@@ -1,0 +1,452 @@
+package graft.extract
+
+import graft.model._
+import scala.util.matching.Regex
+import scala.collection.mutable
+
+/** Consent-profile extraction pipeline, re-expressed from scratch after the
+  * behavior of /root/reference/consent_converter.py (ConsentFormFieldExtractor,
+  * lines 324-1010, and ModentoSchemaValidator, lines 49-144).
+  *
+  * Everything here is pure Scala over one document's lines — a document never
+  * spans rows, so the whole pipeline runs row-locally inside a typed Dataset
+  * map (SURVEY.md §2 master rule).
+  */
+object ConsentExtractor {
+
+  // ---- header/footer removal (consent_converter.py:278-321) ----
+  private val practicePatterns: Vector[Regex] = Vector(
+    "(?i)www\\.\\w+\\.com",
+    "(?i)\\w+@\\w+\\.com",
+    "(?i)\\(\\d{3}\\)\\s*\\d{3}-?\\d{4}",
+    "(?i)\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}",
+    "(?i)Route\\s+\\d+.*\\d{5}",
+    "(?i)Smile@.*\\.com"
+  ).map(_.r)
+
+  private val practiceMarkers = Vector("www.", "@", "route", "office:", "phone:", "fax:")
+
+  def isPracticeInformation(line: String): Boolean = {
+    val lower = line.toLowerCase.trim
+    practicePatterns.exists(_.findFirstIn(line).isDefined) ||
+      practiceMarkers.exists(lower.contains)
+  }
+
+  def removePracticeHeadersFooters(lines: Seq[String]): Seq[String] =
+    lines.filter(l => l.trim.nonEmpty && !isPracticeInformation(l))
+
+  // ---- witness / doctor signature exclusion (consent_converter.py:606-687) ----
+  private val witnessIndicators = Vector(
+    "witness signature", "witness printed name", "witness name", "witness date",
+    "witnessed by", "witness:", "witness relationship", "witness's", "witness’s")
+  private val doctorSignatures = Vector(
+    "doctor signature", "dentist signature", "physician signature",
+    "dr. signature", "practitioner signature", "provider signature",
+    "clinician signature", "doctor's", "doctor’s")
+  private val parentGuardianSignatures = Vector(
+    "parent signature", "guardian signature", "parent’s signature",
+    "parent's signature", "guardian’s signature", "guardian's signature",
+    "legal guardian’s", "legal guardian's")
+  private val parentGuardianNames = Vector(
+    "parent’s name", "parent's name", "guardian’s name", "guardian's name",
+    "parent/guardian’s name", "parent/guardian's name")
+  private val tagRe = "<[^>]+>".r
+
+  def isWitnessOrDoctorSignatureField(lineLower: String, filterParentGuardianNames: Boolean = true): Boolean = {
+    if (witnessIndicators.exists(lineLower.contains)) return true
+    if (doctorSignatures.exists(lineLower.contains)) return true
+    if (parentGuardianSignatures.exists(lineLower.contains)) return true
+    if (filterParentGuardianNames && parentGuardianNames.exists(lineLower.contains)) return true
+    if (lineLower.contains("patient/parent/guardian")) return true
+    if (lineLower.contains("legally authorized representative")) return true
+    if (lineLower.contains("printed name") &&
+        Vector("witness", "guardian", "parent").exists(lineLower.contains)) return true
+    // mostly-underscore signature lines: >=10 underscores and >0.7 ratio
+    val textOnly = tagRe.replaceAllIn(lineLower, "").trim
+    if (textOnly.nonEmpty && textOnly.length >= 10) {
+      val u = textOnly.count(_ == '_')
+      if (u >= 10 && u.toDouble / textOnly.length > 0.7) return true
+    }
+    false
+  }
+
+  private def removeWitnessAndDoctorSignatures(content: String): String =
+    content.split("<br>", -1).filter { seg =>
+      val textContent = tagRe.replaceAllIn(seg, "").trim
+      textContent.isEmpty || !isWitnessOrDoctorSignatureField(textContent.toLowerCase)
+    }.mkString("<br>")
+
+  // ---- markdown cleaning (consent_converter.py:924-942) ----
+  def cleanMarkdownFormatting(text0: String): String = {
+    var text = text0.trim.replaceAll("^#+\\s*$", "")
+    text = text.replaceAll("^###\\s+(.+)$", "<strong>$1</strong>")
+    text = text.replaceAll("^##\\s+(.+)$", "<strong>$1</strong>")
+    text = text.replaceAll("\\*\\*(.+?)\\*\\*", "<strong>$1</strong>")
+    text = text.replaceAll("\\s*#+\\s*", " ")
+    text.trim
+  }
+
+  // ---- title case for section names (consent_converter.py:168-203) ----
+  private val lowercaseWords = Set("a", "an", "and", "as", "at", "but", "by",
+    "for", "in", "of", "on", "or", "the", "to", "with")
+
+  def toTitleCase(text: String): String = {
+    if (text == null || text.isEmpty) return text
+    def cap(w: String): String =
+      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+    text.split(" ").filter(_.nonEmpty).zipWithIndex.map { case (word, i) =>
+      if (word.contains("-")) word.split("-", -1).map(cap).mkString("-")
+      else if (i == 0 || "(\"".contains(word.charAt(0).toString)) cap(word)
+      else if (lowercaseWords.contains(word.toLowerCase)) word.toLowerCase
+      else cap(word)
+    }.mkString(" ")
+  }
+
+  // ---- practice info removal inside joined HTML (consent_converter.py:944-962) ----
+  private val practiceContentPatterns: Vector[Regex] = Vector(
+    "(?i)www\\.\\w+\\.com",
+    "(?i)\\w+@\\w+\\.com",
+    "(?i)\\(\\d{3}\\)\\d{3}-?\\d{4}",
+    "(?i)\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}",
+    "(?i)Route\\s+\\d+.*\\d{5}",
+    "(?i)Smile@.*\\.com"
+  ).map(_.r)
+
+  private def removePracticeHeaderFooterContent(content0: String): String = {
+    var content = content0
+    practiceContentPatterns.foreach(p => content = p.replaceAllIn(content, ""))
+    content.replaceAll("\\s+", " ").trim
+  }
+
+  // ---- Modento placeholders (consent_converter.py:842-908) ----
+  // NOTE on ordering: the `Dr. ___` -> `Dr. {{provider}}` rewrite runs before
+  // the bare provider patterns so the "Dr. " prefix survives, matching the
+  // golden (references/Matching JSON References/consent_crown_bridge_prosthetics.json,
+  // "authorize<br>Dr. {{provider}} and/or ...").
+  def applyPlaceholders(content0: String): String = {
+    var c = content0
+    def sub(pat: String, repl: String): Unit = { c = c.replaceAll("(?i)" + pat, repl) }
+    sub("Dr\\.\\s+_+", "Dr. {{provider}}")
+    // remaining provider placeholder contexts (tab-separated / verbal)
+    sub("Dr\\.\\s*\\t+", "Dr. {{provider}} ")
+    // tooth number / site
+    sub("Tooth\\s+Number\\s*:\\s*_+", "Tooth Number: {{tooth_or_site}}")
+    sub("Tooth\\s+Number\\s*:(?!\\s*\\{\\{)", "Tooth Number: {{tooth_or_site}}")
+    sub("Tooth\\s+No\\(s\\)\\.\\s+_+", "Tooth No(s). {{tooth_or_site}}")
+    sub("Tooth\\s+No\\.\\s*:\\s*_+", "Tooth No.: {{tooth_or_site}}")
+    sub("Tooth\\s*#\\s*:\\s*_+", "Tooth #: {{tooth_or_site}}")
+    // patient name
+    sub("Patient\\s+[Nn]ame\\s*:\\s*_+", "Patient Name: {{patient_name}}")
+    sub("Patient\\s+[Nn]ame\\s*:(?!\\s*\\{\\{)", "Patient Name: {{patient_name}}")
+    sub("Patient['’]s\\s+Name\\s*:\\s*[\\s\\t_]*", "Patient's Name: {{patient_name}}")
+    sub("Patient['’]s\\s+Name\\s*:(?!\\s*\\{\\{)", "Patient's Name: {{patient_name}}")
+    sub("\\b[Ii],?\\s+_+\\s*\\(?\\s*print\\s+name\\s*\\)?", "I, {{patient_name}} (print name)")
+    // DOB / Date of Birth
+    sub("DOB\\s*:\\s*_+", "DOB: {{patient_dob}}")
+    sub("DOB\\s*:(?!\\s*\\{\\{)", "DOB: {{patient_dob}}")
+    sub("Date\\s+of\\s+Birth\\s*:\\s*_+", "Date of Birth: {{patient_dob}}")
+    sub("Date\\s+of\\s+Birth\\s*:(?!\\s*\\{\\{)", "Date of Birth: {{patient_dob}}")
+    // planned procedure / diagnosis / alternative treatment
+    sub("Planned\\s+Procedure\\s*:\\s*_+", "Planned Procedure: {{planned_procedure}}")
+    sub("Planned\\s+Procedure\\s*:(?!\\s*\\{\\{)", "Planned Procedure: {{planned_procedure}}")
+    sub("Diagnosis\\s*:\\s*_+", "Diagnosis: {{diagnosis}}")
+    sub("Diagnosis\\s*:(?!\\s*\\{\\{)", "Diagnosis: {{diagnosis}}")
+    sub("Alternative\\s+Treatment\\s*:\\s*_+", "Alternative Treatment: {{alternative_treatment}}")
+    sub("Alternative\\s+Treatment\\s*:(?!\\s*\\{\\{)", "Alternative Treatment: {{alternative_treatment}}")
+    // standalone Date (not of-Birth / Signed)
+    sub("(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:\\s*_+", "Date: {{today_date}}")
+    sub("(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:(?!\\s*\\{\\{)", "Date: {{today_date}}")
+    c
+  }
+
+  // ---- title ladder (consent_converter.py:725-767) ----
+  private val allCapsConsentRe = "^[A-Z\\s]+CONSENT[A-Z\\s]*$".r
+  private val informedConsentForRe = "(?i)^Informed\\s+Consent\\s+for\\s+".r
+  private val boldTitleRe = "^\\*\\*(.+)\\*\\*$".r
+  private val endsInformedConsentRe = "(?i)^.+\\s+Informed\\s+Consent\\s*$".r
+  private val endsRefusalRe = "(?i)^.+\\s+[Rr]efusal\\s*$".r
+  private val bulletStartRe = "^[-•]\\s+".r
+
+  /** Detect title; returns (title, remaining lines, titleContinuationLines).
+    * Continuation: an `Informed Consent for …` title wrapped across physical
+    * lines is rejoined with `<br>` (golden: crown & bridge title spans two
+    * lines). A continuation line is short, capitalized, unpunctuated.
+    */
+  private def detectTitle(lines0: Vector[String]): (Option[String], Vector[String]) = {
+    var lines = lines0.dropWhile(l => l.trim.matches("^#+\\s*$"))
+    if (lines.isEmpty) return (None, lines)
+    val first = lines.head
+    def continuation(rest: Vector[String]): (String, Vector[String]) = {
+      var extra = ""
+      var rem = rest
+      while (rem.nonEmpty && {
+        val n = rem.head.trim
+        n.nonEmpty && n.length < 40 && n.split("\\s+").length <= 4 &&
+          n.head.isUpper && !n.endsWith(".") && !n.endsWith(":") && !n.contains("_")
+      }) { extra += "<br>" + rem.head.trim; rem = rem.tail }
+      (extra, rem)
+    }
+    if (first.startsWith("# "))
+      (Some(first.replace("# ", "").trim), lines.tail)
+    else if (first.startsWith("## "))
+      (Some(first.replace("## ", "").trim), lines.tail)
+    else if (allCapsConsentRe.findFirstIn(first).isDefined)
+      (Some(first.trim), lines.tail)
+    else if (informedConsentForRe.findFirstIn(first).isDefined) {
+      val (extra, rem) = continuation(lines.tail)
+      (Some(first.trim + extra), rem)
+    } else if (boldTitleRe.findFirstMatchIn(first).exists(_.group(1).length < 150))
+      (Some(boldTitleRe.findFirstMatchIn(first).get.group(1).trim), lines.tail)
+    else if (endsInformedConsentRe.findFirstIn(first).isDefined && first.trim.length < 150)
+      (Some(first.trim), lines.tail)
+    else if (endsRefusalRe.findFirstIn(first).isDefined && first.trim.length < 150)
+      (Some(first.trim), lines.tail)
+    else (None, lines)
+  }
+
+  /** HTML builder (consent_converter.py:707-922). Returns (html, title). */
+  def createEnhancedConsentHtml(consentTextLines: Seq[String],
+                                boldLines: Map[String, Boolean] = Map.empty): (String, Option[String]) = {
+    val (title, contentLines) = detectTitle(consentTextLines.toVector)
+    if (contentLines.isEmpty && title.isEmpty)
+      return ("<div style=\"text-align:center\"><strong>Informed Consent</strong><br></div>", None)
+
+    val processed = mutable.ArrayBuffer[String]()
+    var inBulletList = false
+    var prevWasBoldSubheader = false
+    contentLines.foreach { raw =>
+      if (raw.trim.isEmpty) {
+        if (inBulletList) { processed += "</ul>"; inBulletList = false }
+      } else {
+        val line = cleanMarkdownFormatting(raw)
+        val lineText = line.trim
+        val isBoldSubheader = boldLines.getOrElse(raw.trim, false) && {
+          val isBullet = bulletStartRe.findFirstIn(raw.trim).isDefined
+          !isBullet && !raw.trim.contains("_") && raw.trim.length < 100
+        }
+        if (isBoldSubheader && processed.nonEmpty && !prevWasBoldSubheader)
+          processed += "<br>"
+        if (bulletStartRe.findFirstIn(lineText).isDefined) {
+          if (!inBulletList) { processed += "<ul>"; inBulletList = true }
+          val cleanLine = bulletStartRe.replaceFirstIn(lineText, "")
+            .replace("", "").trim
+          processed += s"<li>$cleanLine</li>"
+          prevWasBoldSubheader = false
+        } else {
+          if (inBulletList) { processed += "</ul>"; inBulletList = false }
+          if (isBoldSubheader) {
+            processed += s"<strong>$lineText</strong>"
+            prevWasBoldSubheader = true
+          } else {
+            processed += lineText
+            prevWasBoldSubheader = false
+          }
+        }
+      }
+    }
+    if (inBulletList) processed += "</ul>"
+
+    // join, avoiding <br> around <ul>/<li> boundaries (consent_converter.py:829-837)
+    val parts = mutable.ArrayBuffer[String]()
+    processed.zipWithIndex.foreach { case (line, i) =>
+      if (i > 0 && !(line.startsWith("<ul>") || line.startsWith("</ul>") ||
+        processed(i - 1).startsWith("<ul>") || processed(i - 1).startsWith("</ul>") ||
+        line.startsWith("<li>") || line.endsWith("</li>")))
+        parts += "<br>"
+      parts += line
+    }
+    var content = parts.mkString("")
+    content = removePracticeHeaderFooterContent(content)
+    content = applyPlaceholders(content)
+    content = removeWitnessAndDoctorSignatures(content)
+
+    val titleHtml = title.getOrElse("Informed Consent")
+    (s"""<div style="text-align:center"><strong>$titleHtml</strong><br>$content</div>""", title)
+  }
+
+  // ---- signature-area field patterns (consent_converter.py:449-458) ----
+  private case class FieldPattern(regex: Regex, key: String, title: String,
+                                  fieldType: String, inputType: Option[String])
+  private val fieldPatterns: Vector[FieldPattern] = Vector(
+    FieldPattern("(?i)Printed?\\s+[Nn]ame\\s+if\\s+signed\\s+on\\s+behalf".r,
+      "printed_name_if_signed_on_behalf", "Printed name if signed on behalf of the patient", "input", None),
+    FieldPattern("(?i)Parent/Guardian['’]s\\s+Name\\s*:".r,
+      "parent_guardian_name", "Parent/Guardian Name", "input", Some("name")),
+    FieldPattern("(?i)Patient.*Name.*Print".r,
+      "patient_name_print", "Patient Name (Print)", "input", Some("name")),
+    FieldPattern("(?i)Relationship\\s*_+".r,
+      "relationship", "Relationship", "input", Some("name")),
+    FieldPattern("(?i)Date\\s+of\\s+Birth".r,
+      "date_of_birth", "Date of Birth", "date", Some("past")),
+    FieldPattern("(?i)tooth\\s+no(?:mber)?\\.?\\s*[:\\(]?\\s*_+".r,
+      "tooth_number", "Tooth Number", "input", Some("name")),
+    FieldPattern("(?i)procedure.*follows?".r,
+      "procedure_description", "Procedure Description", "input", Some("name")),
+    FieldPattern("(?i)alternative.*treatment".r,
+      "alternative_treatment", "Alternative Treatment", "input", Some("name"))
+  )
+
+  private val signatureMarkerRes = Vector(
+    "signature\\s*:".r, "patient\\s+signature".r, "parent.*name\\s*:".r, "guardian.*name\\s*:".r)
+
+  private def ctl(kvs: (String, JVal)*): JObj = JObj(kvs.toVector)
+
+  /** Full consent-form field extraction (consent_converter.py:420-604). */
+  def extractConsentFormFields(textLines0: Seq[String],
+                               boldLines: Map[String, Boolean] = Map.empty): Vector[FieldInfo] = {
+    val textLines = removePracticeHeadersFooters(textLines0).toVector
+    val fields = mutable.ArrayBuffer[FieldInfo]()
+    val processedKeys = mutable.Set[String]()
+
+    // split into consent text block vs signature area
+    var signatureStartIdx: Option[Int] = None
+    val consentTextLines = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < textLines.length && signatureStartIdx.isEmpty) {
+      val lineLower = textLines(i).toLowerCase
+      if (signatureMarkerRes.exists(_.findFirstIn(lineLower).isDefined))
+        signatureStartIdx = Some(i)
+      else if (textLines(i).trim.nonEmpty)
+        consentTextLines += textLines(i).trim
+      i += 1
+    }
+
+    if (consentTextLines.nonEmpty) {
+      val (html, _) = createEnhancedConsentHtml(consentTextLines.toSeq, boldLines)
+      fields += FieldInfo("form_1", "", "text", "Form", optional = false,
+        control = ctl("html_text" -> JStr(html), "hint" -> JNull), lineIdx = 0)
+      processedKeys += "form_1"
+    }
+
+    // signature-area fields
+    signatureStartIdx.foreach { sIdx =>
+      textLines.drop(sIdx).zipWithIndex.foreach { case (line, j) =>
+        val stripped = line.trim
+        if (stripped.nonEmpty && !stripped.startsWith("#") &&
+            !isWitnessOrDoctorSignatureField(stripped.toLowerCase, filterParentGuardianNames = false)) {
+          fieldPatterns.foreach { fp =>
+            if (fp.regex.findFirstIn(line).isDefined && !processedKeys.contains(fp.key) &&
+                !fp.key.contains("witness") && !fp.key.contains("doctor")) {
+              val control = fp.fieldType match {
+                case "date" => ctl("input_type" -> fp.inputType.map(JStr).getOrElse(JNull), "hint" -> JNull)
+                case _ => ctl("input_type" -> fp.inputType.map(JStr).getOrElse(JNull), "hint" -> JNull)
+              }
+              fields += FieldInfo(fp.key, fp.title, fp.fieldType, "Signature",
+                optional = false, control = control, lineIdx = sIdx + j)
+              processedKeys += fp.key
+            }
+          }
+        }
+      }
+    }
+
+    if (!processedKeys.contains("signature")) {
+      fields += FieldInfo("signature", "Signature", "signature", "Signature",
+        optional = false, control = ctl("hint" -> JNull, "input_type" -> JNull),
+        lineIdx = textLines.length)
+      processedKeys += "signature"
+    }
+    if (!processedKeys.contains("date_signed")) {
+      fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
+        optional = false, control = ctl("hint" -> JNull, "input_type" -> JStr("any")),
+        lineIdx = textLines.length + 1)
+      processedKeys += "date_signed"
+    }
+
+    // reorder (consent_converter.py:567-602)
+    val formFields = fields.filter(_.section == "Form")
+    val sigSection = fields.filter(_.section == "Signature")
+    val signatureField = sigSection.find(_.fieldType == "signature")
+    val dateSignedField = sigSection.find(_.key == "date_signed")
+    val primaryInputs = sigSection.filter(f =>
+      (f.fieldType == "input" || f.fieldType == "date") &&
+        f.key != "date_signed" && f.key != "printed_name_if_signed_on_behalf")
+    val secondaryInputs = sigSection.filter(_.key == "printed_name_if_signed_on_behalf")
+    val others = sigSection.filter(f => !primaryInputs.contains(f) &&
+      !secondaryInputs.contains(f) && !signatureField.contains(f) && !dateSignedField.contains(f))
+
+    (formFields ++ primaryInputs ++ signatureField.toSeq ++ dateSignedField.toSeq ++
+      secondaryInputs ++ others).toVector
+  }
+
+  // ---- validation/normalization (consent_converter.py:91-144) ----
+  private val validTypes = Set("input", "radio", "checkbox", "dropdown", "states",
+    "date", "signature", "initials", "text", "header")
+  private val validInputTypes = Set("name", "email", "phone", "number", "ssn", "zip", "initials")
+
+  def validateAndNormalize(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    var fields = fields0
+    // signature uniqueness: first keeps key "signature", rest dropped
+    val sigIdxs = fields.zipWithIndex.collect { case (f, i) if f.fieldType == "signature" => i }
+    if (sigIdxs.nonEmpty) {
+      val first = sigIdxs.head
+      fields = fields.zipWithIndex.collect {
+        case (f, `first`) => f.copy(key = "signature")
+        case (f, i) if !sigIdxs.tail.contains(i) => f
+      }
+    } else {
+      fields = fields :+ FieldInfo("signature", "Signature", "signature", "Signature",
+        optional = false, control = JObj(Vector.empty))
+    }
+    // unique keys
+    val seen = mutable.Set[String]()
+    fields = fields.map { f =>
+      var key = f.key
+      val base = key
+      var counter = 2
+      while (seen.contains(key)) { key = s"${base}_$counter"; counter += 1 }
+      seen += key
+      f.copy(key = key)
+    }
+    // per-question normalization; control key order matches the goldens:
+    // {hint, input_type} for scalar fields, {html_text, hint} for text.
+    fields.map { f =>
+      var ctl = f.control
+      if (ctl.get("hint").isEmpty) ctl = ctl.updated("hint", JNull)
+      f.fieldType match {
+        case "input" =>
+          val t = ctl.get("input_type").getOrElse(JNull)
+          val fixed = t match {
+            case JStr(s) if !validInputTypes.contains(s) => JStr("name")
+            case other => other
+          }
+          ctl = reorder(ctl.updated("input_type", fixed))
+        case "date" =>
+          val t = ctl.get("input_type").getOrElse(JNull)
+          val fixed = t match {
+            case JStr(s) if Set("past", "future", "any").contains(s) => JStr(s)
+            case _ => JStr("any")
+          }
+          ctl = reorder(ctl.updated("input_type", fixed))
+        case "signature" =>
+          ctl = reorder(ctl.updated("hint", JNull).updated("input_type", JNull))
+        case "text" =>
+          ctl = JObj(Vector("html_text" -> ctl.get("html_text").getOrElse(JStr("")),
+            "hint" -> JNull))
+        case _ => ()
+      }
+      f.copy(control = ctl)
+    }
+  }
+
+  /** Canonical control key order {hint, input_type, ...rest} as in the golden
+    * consent JSONs (e.g. relationship in consent_crown_bridge_prosthetics.json).
+    */
+  private def reorder(c: JObj): JObj = {
+    val hint = c.get("hint").getOrElse(JNull)
+    val it = c.get("input_type").getOrElse(JNull)
+    val rest = c.fields.filterNot(kv => kv._1 == "hint" || kv._1 == "input_type")
+    JObj(Vector("hint" -> hint, "input_type" -> it) ++ rest)
+  }
+
+  /** Full pipeline: lines -> golden JSON string (consent profile, no
+    * `optional` key — matches references/Matching JSON References goldens).
+    */
+  def convert(textLines: Seq[String], boldLines: Map[String, Boolean] = Map.empty): String = {
+    val fields = validateAndNormalize(extractConsentFormFields(textLines, boldLines))
+    Spec.render(fields, includeOptional = false)
+  }
+
+  def convertFields(textLines: Seq[String], boldLines: Map[String, Boolean] = Map.empty): Vector[FieldInfo] =
+    validateAndNormalize(extractConsentFormFields(textLines, boldLines))
+}

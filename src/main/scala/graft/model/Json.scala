@@ -1,0 +1,97 @@
+package graft.model
+
+/** Minimal ordered JSON tree + renderer reproducing Python's
+  * `json.dump(spec, f, indent=2, ensure_ascii=False)` byte layout, which is
+  * what the reference uses for its golden outputs
+  * (/root/reference/pdf_to_json_converter.py:5361-5363). Key order is
+  * insertion order (Python dict semantics), so the tree is built with
+  * explicitly ordered key/value sequences.
+  */
+sealed trait JVal
+final case class JStr(s: String) extends JVal
+final case class JBool(b: Boolean) extends JVal
+final case class JInt(i: Long) extends JVal
+final case class JNum(d: Double) extends JVal
+case object JNull extends JVal
+final case class JArr(items: Vector[JVal]) extends JVal
+final case class JObj(fields: Vector[(String, JVal)]) extends JVal {
+  def get(k: String): Option[JVal] = fields.collectFirst { case (`k`, v) => v }
+  def updated(k: String, v: JVal): JObj =
+    if (fields.exists(_._1 == k)) JObj(fields.map { case (kk, vv) => if (kk == k) (kk, v) else (kk, vv) })
+    else JObj(fields :+ (k -> v))
+  def without(k: String): JObj = JObj(fields.filterNot(_._1 == k))
+}
+
+object JObj { def of(kvs: (String, JVal)*): JObj = JObj(kvs.toVector) }
+
+object Json {
+
+  /** Python json escape with ensure_ascii=False: only `"` `\` and control
+    * chars (<0x20) are escaped; \b \f \n \r \t get short forms.
+    */
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Render like json.dump(..., indent=2, ensure_ascii=False). */
+  def render(v: JVal, indent: Int = 2): String = {
+    val sb = new StringBuilder(1 << 12)
+    def pad(level: Int): Unit = sb.append(" " * (indent * level))
+    def go(v: JVal, level: Int): Unit = v match {
+      case JStr(s)  => sb.append('"').append(escape(s)).append('"')
+      case JBool(b) => sb.append(if (b) "true" else "false")
+      case JInt(i)  => sb.append(i.toString)
+      case JNum(d)  => sb.append(pyFloat(d))
+      case JNull    => sb.append("null")
+      case JArr(items) =>
+        if (items.isEmpty) sb.append("[]")
+        else {
+          sb.append("[\n")
+          items.zipWithIndex.foreach { case (it, i) =>
+            pad(level + 1); go(it, level + 1)
+            if (i < items.length - 1) sb.append(',')
+            sb.append('\n')
+          }
+          pad(level); sb.append(']')
+        }
+      case JObj(fields) =>
+        if (fields.isEmpty) sb.append("{}")
+        else {
+          sb.append("{\n")
+          fields.zipWithIndex.foreach { case ((k, fv), i) =>
+            pad(level + 1)
+            sb.append('"').append(escape(k)).append("\": ")
+            go(fv, level + 1)
+            if (i < fields.length - 1) sb.append(',')
+            sb.append('\n')
+          }
+          pad(level); sb.append('}')
+        }
+    }
+    go(v, 0)
+    sb.toString
+  }
+
+  /** Python repr of a float (shortest round-trip); ints stay JInt so this is
+    * only for genuinely fractional values.
+    */
+  private def pyFloat(d: Double): String = {
+    if (d == d.toLong.toDouble) s"${d.toLong}.0"
+    else {
+      val s = d.toString
+      s
+    }
+  }
+}
