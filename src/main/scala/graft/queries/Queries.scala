@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+
+/** Operator inventory exposed through SparkEntry (driver contract).
+  *
+  * Each query is the Spark-first expression of one operator family from
+  * SURVEY.md §2 (relational analogs: semi/anti joins, stable ordering
+  * windows, metrics aggregation) or of the training-data pipeline ops from
+  * the builder brief (dedup, MinHash/LSH, SimHash, ANN, text analysis).
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins are broadcast explicitly;
+  *  - aggregations rely on partial (map-side) aggregation — group keys are
+  *    low-cardinality or co-partitioned;
+  *  - LSH self-join shuffles on band keys only (signature computed row-local);
+  *  - ANN broadcasts the (small) query set and computes cosine row-local,
+  *    top-k via per-query window over a pre-filtered candidate set.
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- relational core ----------
+
+  /** TPC-H Q1-style pricing summary: map-side partial agg, 4-group output.
+    * Money is aggregated as bigint cents to keep engine/oracle values
+    * bit-identical (no float accumulation-order dependence).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum("l_quantity").cast("bigint").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_base_price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k by count with deterministic tie-break (sort+limit = TakeOrdered). */
+  def q2TopCustomers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** Star join with explicitly broadcast dimensions (nation, region). */
+  def q3RegionCustomers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_name")
+
+  /** Broadcast semi-join — the reference's 86-key whitelist filter analog
+    * (SURVEY.md §2.2 #13 / §2.7). */
+  def q4PartSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val hot = table(spark, dir, "lineitem").where(col("l_quantity") >= 48)
+      .select(col("l_partkey"))
+    table(spark, dir, "part")
+      .join(hot, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  /** Stable (partition, order) numbering — the north rule's
+    * `row_number over (partition by conv_id order by turn_idx)` on the
+    * events stream stand-in. */
+  def q5StableOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), row_number().over(w).as("rn"))
+      .orderBy("event_id")
+  }
+
+  /** lag window — the "most recent header" per-line lookup analog
+    * (SURVEY.md §2.3 #19). */
+  def q6LagWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_id"), lag("event_type", 1).over(w).as("prev_type"))
+      .orderBy("event_id")
+  }
+
+  /** Per-group metrics: exact countDistinct (lineage/metrics analog,
+    * SURVEY.md §2.6 #65). */
+  def q7UserMetrics(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct("event_type").as("n_types"))
+      .orderBy("user_id")
+
+  /** Left-anti join — the snapshot-resume "skip committed partitions"
+    * primitive (SURVEY.md §2.7). */
+  def q8OrdersAnti(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Salted-bucket histogram — the skew-aware repartition key distribution. */
+  def q9BucketCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy((col("user_id") % 32).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  // ---------- training-data pipeline ops ----------
+
+  /** Exact dedup: content-hash groupBy keeping min doc_id. */
+  def q10DedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"), min("doc_id").as("keeper_id"))
+      .orderBy("text_hash")
+
+  /** Whitespace token count (codegen'd built-ins only). */
+  def q11TokenCount(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Language distribution (metadata agg). */
+  def q12LangDist(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang")
+
+  /** Quality signals: word count, stopword count, scaled stopword ratio —
+    * pure built-in higher-order functions (no UDF, stays in codegen). */
+  def q13QualitySignals(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)").as("n_words"),
+        expr("CAST(size(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS BIGINT)").as("n_stop"))
+      .withColumn("stop_ratio_x1000",
+        floor(lit(1000.0) * col("n_stop") / col("n_words")).cast("bigint"))
+      .orderBy("doc_id")
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * shingle-Jaccard. Signature is computed row-local (one pass over the
+    * doc); the only shuffle is the band-key self-join — the scalable LSH
+    * shape for 10^9+ docs. */
+  def q14MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bandsUdf = udf { text: String =>
+      TextFns.lshBandKeys(TextFns.minHashSignature(text, k = 3, perms = 64), bands = 16)
+        .zipWithIndex.map { case (h, b) => s"$b:$h" }
+    }
+    val jaccardUdf = udf { (a: String, b: String) => TextFns.jaccardShingles(a, b, 3) }
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val banded = docs.withColumn("band", explode(bandsUdf(col("text"))))
+    val pairs = banded.as("l").join(banded.as("r"), Seq("band"))
+      .where($"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .distinct()
+    pairs
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .withColumn("jaccard_x1000", jaccardUdf(col("text_a"), col("text_b")))
+      .where(col("jaccard_x1000") >= 500)
+      .select("doc_a", "doc_b", "jaccard_x1000")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash per document (near-dup blocking key). */
+  def q15Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val simUdf = udf { text: String => TextFns.simHash(text) }
+    table(spark, dir, "documents")
+      .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Brute-force cosine top-5 ANN for the first 10 query vectors: broadcast
+    * the query set, compute cosine with codegen'd higher-order functions,
+    * per-query top-k window. The IVF/LSH variant for full-scale ANN lives in
+    * graft.functions (round 2 wiring). */
+  def q16AnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+    val queries = broadcast(emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm2").as("q_norm2")))
+    val scored = emb.crossJoin(queries)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.select(col("query_id"), col("vec_id").as("neighbor_id"), row_number().over(w).as("rank"))
+      .where(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Winnowing fingerprint cardinality per doc (rolling-hash fingerprint). */
+  def q17Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fpUdf = udf { text: String => TextFns.fingerprint(text).length.toLong }
+    table(spark, dir, "documents")
+      .select(col("doc_id"), fpUdf(col("text")).as("n_fingerprints"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID prediction (n-gram/stopword heuristic) vs labeled lang. */
+  def q18LangId(spark: SparkSession, dir: String): DataFrame = {
+    val langUdf = udf { text: String => TextFns.detectLanguage(text) }
+    table(spark, dir, "documents")
+      .select(col("doc_id"), langUdf(col("text")).as("pred_lang"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** The extraction engine itself over the documents table: each row's text
+    * is one document; emits form type + field/section counts (rows-only
+    * check; the byte-exact goldens are covered in sbt test). */
+  def q19ExtractFields(spark: SparkSession, dir: String): DataFrame = {
+    val extractUdf = udf { text: String =>
+      val fields = graft.extract.ConsentExtractor.convertFields(
+        Option(text).getOrElse("").split("\n", -1).toSeq)
+      (fields.length, fields.map(_.section).distinct.length)
+    }
+    table(spark, dir, "documents")
+      .withColumn("fc", extractUdf(col("text")))
+      .select(col("doc_id"), col("fc._1").as("field_count"), col("fc._2").as("section_count"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish subword token count (UDF; vocabulary-free subword splitting). */
+  def q20BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpeUdf = udf { text: String => TextFns.bpeTokenCount(text).toLong }
+    table(spark, dir, "documents")
+      .select(col("doc_id"), bpeUdf(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_top_customers" -> q2TopCustomers _,
+    "q3_region_customers" -> q3RegionCustomers _,
+    "q4_part_semijoin" -> q4PartSemijoin _,
+    "q5_stable_order" -> q5StableOrder _,
+    "q6_lag_window" -> q6LagWindow _,
+    "q7_user_metrics" -> q7UserMetrics _,
+    "q8_orders_anti" -> q8OrdersAnti _,
+    "q9_bucket_counts" -> q9BucketCounts _,
+    "q10_dedup_exact" -> q10DedupExact _,
+    "q11_token_count" -> q11TokenCount _,
+    "q12_lang_dist" -> q12LangDist _,
+    "q13_quality_signals" -> q13QualitySignals _,
+    "q14_minhash_lsh" -> q14MinhashLsh _,
+    "q15_simhash" -> q15Simhash _,
+    "q16_ann_cosine" -> q16AnnCosine _,
+    "q17_fingerprint" -> q17Fingerprint _,
+    "q18_lang_id" -> q18LangId _,
+    "q19_extract_fields" -> q19ExtractFields _,
+    "q20_bpe_tokens" -> q20BpeTokens _
+  )
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query (same column
+    * names and deterministic values — bigint/string outputs only).
+    */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_top_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY n_orders DESC, o_custkey ASC LIMIT 10""",
+    "q3_region_customers" ->
+      """SELECT r_name, count(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1""",
+    "q4_part_semijoin" ->
+      """SELECT p_partkey, p_brand FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48) ORDER BY p_partkey""",
+    "q5_stable_order" ->
+      """SELECT event_id, user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn FROM events ORDER BY event_id""",
+    "q6_lag_window" ->
+      """SELECT event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events ORDER BY event_id""",
+    "q7_user_metrics" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types FROM events GROUP BY 1 ORDER BY 1""",
+    "q8_orders_anti" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) ORDER BY 1""",
+    "q9_bucket_counts" ->
+      """SELECT CAST(user_id % 32 AS BIGINT) AS bucket, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""",
+    "q10_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keeper_id FROM documents GROUP BY 1 ORDER BY 1""",
+    "q11_token_count" ->
+      """SELECT doc_id, CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""",
+    "q12_lang_dist" ->
+      """SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1""",
+    "q13_quality_signals" ->
+      """SELECT doc_id, CAST(array_length(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_words, CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop, CAST(floor(1000.0 * len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for'))) / array_length(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS stop_ratio_x1000 FROM documents ORDER BY doc_id""",
+    "q16_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank"""
+  )
+}
