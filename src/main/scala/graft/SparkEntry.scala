@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the north-star transcript extraction pipeline — synthesize a
+    * deterministic multi-turn transcript table, run the salted, per-turn
+    * extraction, return extracted turns. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = graft.spark.Transcripts.generate(spark, numConversations = 200)
+    graft.spark.ExtractionJob.extract(spark, turns).toDF()
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = graft.queries.Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,62 @@
+package graft.extract
+
+import scala.util.matching.Regex
+
+/** Form-type detection, re-expressed from
+  * /root/reference/pdf_to_json_converter.py:815-886 (detect_form_type) with
+  * the classification pattern banks from lines 600-622.
+  */
+object FormClassifier {
+
+  private val recordsRelease: Vector[Regex] = Vector(
+    "release\\s*of\\s*(?:patient\\s*)?records",
+    "(?:medical|dental|patient)\\s*records?\\s*release",
+    "authorization\\s*to\\s*release",
+    "consent\\s*for\\s*release",
+    "section\\s*a:\\s*patient\\s*information",
+    "select\\s*information\\s*to\\s*be\\s*released").map(p => ("(?i)" + p).r)
+
+  private val structuredConsent: Vector[Regex] = Vector(
+    "informed\\s*consent", "treatment\\s*consent", "procedure\\s*consent")
+    .map(p => ("(?i)" + p).r)
+
+  private val narrativeConsent: Vector[Regex] = Vector(
+    "risks?\\s*and\\s*benefits?", "complications", "side\\s*effects?")
+    .map(p => ("(?i)" + p).r)
+
+  private val consentKeywords = Vector(
+    "informed consent", "consent form", "risks", "complications",
+    "agree to", "acknowledge", "understand that", "voluntary",
+    "authorize", "treatment consent", "procedure consent")
+
+  private val patientInfoKeywords = Vector(
+    "patient information", "personal information", "contact information",
+    "first name", "last name", "date of birth", "address", "phone",
+    "email", "insurance", "dental plan", "medical history",
+    "emergency contact", "ssn", "social security")
+
+  private val signaturePatternRe = "signature.*date|date.*signature".r
+  private val fieldPatternRe = "_+|\\.\\.\\.+|\\[\\s*\\]".r
+
+  def detectFormType(textLines: Seq[String]): String = {
+    val analysisText = textLines.take(50).mkString(" ").toLowerCase
+    val fullText = textLines.mkString(" ").toLowerCase
+
+    if (recordsRelease.exists(_.findFirstIn(analysisText).isDefined)) return "records_release"
+    if (structuredConsent.exists(_.findFirstIn(analysisText).isDefined)) return "structured_consent"
+    if (narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
+
+    var consent = 0
+    var patientInfo = 0
+    consentKeywords.foreach(k => if (analysisText.contains(k)) consent += 2)
+    patientInfoKeywords.foreach(k => if (analysisText.contains(k)) patientInfo += 2)
+    consentKeywords.foreach(k => if (fullText.contains(k)) consent += 1)
+    patientInfoKeywords.foreach(k => if (fullText.contains(k)) patientInfo += 1)
+    consent += signaturePatternRe.findAllIn(fullText).size * 2
+    if (fieldPatternRe.findAllIn(fullText).size > 10) patientInfo += 3
+
+    if (consent > patientInfo && consent >= 3) "consent"
+    else if (patientInfo > consent && patientInfo >= 5) "patient_info"
+    else "patient_info"
+  }
+}

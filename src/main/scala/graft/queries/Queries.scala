@@ -237,7 +237,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The transcript extraction pipeline over a deterministic synthetic table
+    * (the north-star operator; rows-only check — goldens are byte-compared in
+    * sbt test). */
+  def q21TranscriptExtract(spark: SparkSession, dir: String): DataFrame = {
+    val turns = graft.spark.Transcripts.generate(spark, numConversations = 300)
+    graft.spark.ExtractionJob.extract(spark, turns)
+      .select("conv_id", "turn_idx", "form_type", "field_count", "section_count")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Salted-bucket distribution of the synthetic transcript table (skew
+    * visibility for the north rule's repartition strategy). */
+  def q22TurnBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.spark.Transcripts.generate(spark, numConversations = 300).toDF()
+      .groupBy(graft.spark.ExtractionJob.bucketOf(32).as("bucket"))
+      .agg(count(lit(1)).as("n_turns"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_transcript_extract" -> q21TranscriptExtract _,
+    "q22_turn_buckets" -> q22TurnBuckets _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_top_customers" -> q2TopCustomers _,
     "q3_region_customers" -> q3RegionCustomers _,

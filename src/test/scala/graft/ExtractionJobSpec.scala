@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import graft.spark.{ExtractionJob, Transcripts}
+import java.nio.file.Files
+
+/** Spark end-to-end: synthetic transcript table -> salted extraction ->
+  * snapshot sink; per-turn byte equality vs the row-local core pipeline and
+  * resume-without-recompute (BASELINE.md engine targets).
+  */
+class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("generator is deterministic and heavy-tailed") {
+    val a = Transcripts.generate(spark, 50).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val b = Transcripts.generate(spark, 50).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(a.map(t => (t.conv_id, t.turn_idx, t.text.hashCode, t.ts.getTime)).toSeq ==
+      b.map(t => (t.conv_id, t.turn_idx, t.text.hashCode, t.ts.getTime)).toSeq)
+    val lens = a.groupBy(_.conv_id).view.mapValues(_.length).values.toSeq
+    assert(lens.max >= 100, "expected long-tail conversations")
+    assert(lens.min <= 8, "expected short conversations")
+  }
+
+  test("per-turn extraction equals the row-local core pipeline (stable order)") {
+    val turns = Transcripts.generate(spark, 30)
+    val got = ExtractionJob.extract(spark, turns)
+      .collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val want = turns.collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.conv_id == w.conv_id && g.turn_idx == w.turn_idx)
+      val e = graft.extract.Extractor.extractTurn(w.text)
+      assert(g.fields_json == e.fieldsJson, s"turn ${w.conv_id}/${w.turn_idx}")
+      assert(g.main_text == e.mainText)
+    }
+    // fixture turns must match the golden bytes end-to-end through Spark
+    val goldenTooth = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getClassLoader.getResource("golden/tooth_removal_consent.json").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8).stripLineEnd
+    val toothTurns = got.filter(g => want.find(w =>
+      w.conv_id == g.conv_id && w.turn_idx == g.turn_idx).get.text.contains("TOOTH REMOVAL"))
+    assert(toothTurns.nonEmpty)
+    toothTurns.foreach(t => assert(t.fields_json == goldenTooth))
+  }
+
+  test("snapshot sink commits in waves; killed run resumes without recompute") {
+    val full = Files.createTempDirectory("graft-full").toString
+    val partial = Files.createTempDirectory("graft-partial").toString
+    val turns = Transcripts.generate(spark, 40)
+
+    // reference: uninterrupted run
+    val doneFull = ExtractionJob.run(spark, turns, ExtractionJob.Config(full, buckets = 8, waves = 4))
+    assert(doneFull == (0 until 8).toSet)
+
+    // killed run: fails after wave 1's commit
+    val killed = intercept[RuntimeException] {
+      ExtractionJob.run(spark, turns,
+        ExtractionJob.Config(partial, buckets = 8, waves = 4, failAfterWave = 1))
+    }
+    assert(killed.getMessage.contains("simulated kill"))
+    val committedAfterKill = ExtractionJob.committedBuckets(partial)
+    assert(committedAfterKill.size == 4, s"2 waves of 2 buckets committed, got $committedAfterKill")
+
+    // record committed files before resume — they must not be rewritten
+    val dataDir = java.nio.file.Paths.get(partial, "data")
+    val before = Files.walk(dataDir).iterator()
+    val beforeMap = new java.util.HashMap[String, java.nio.file.attribute.FileTime]()
+    before.forEachRemaining(p => if (p.toString.endsWith(".parquet"))
+      beforeMap.put(p.toString, Files.getLastModifiedTime(p)))
+
+    // resume: completes only the remaining buckets
+    val resumed = ExtractionJob.run(spark, turns, ExtractionJob.Config(partial, buckets = 8, waves = 4))
+    assert(resumed == (0 until 8).toSet -- committedAfterKill, "resume must only process uncommitted buckets")
+    beforeMap.forEach { (p, t) =>
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(p)) == t,
+        s"committed file rewritten on resume: $p")
+    }
+
+    // resumed output == uninterrupted output (same rows, same bytes per turn)
+    val a = ExtractionJob.readCommitted(spark, full)
+      .select("conv_id", "turn_idx", "fields_json", "main_text", "form_type")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = ExtractionJob.readCommitted(spark, partial)
+      .select("conv_id", "turn_idx", "fields_json", "main_text", "form_type")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "resumed run must be byte-identical to the uninterrupted run")
+
+    // rerun on a complete table is a no-op
+    val noop = ExtractionJob.run(spark, turns, ExtractionJob.Config(partial, buckets = 8, waves = 4))
+    assert(noop.isEmpty, "fully-committed table must not recompute anything")
+  }
+
+  test("lineage rows cover every bucket with correct row counts") {
+    val out = Files.createTempDirectory("graft-lineage").toString
+    val turns = Transcripts.generate(spark, 25)
+    ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
+    val lineageFiles = Files.list(java.nio.file.Paths.get(out, "lineage")).iterator()
+    var totalRows = 0L
+    lineageFiles.forEachRemaining { p =>
+      val txt = new String(Files.readAllBytes(p))
+      "\"row_count\":(\\d+)".r.findAllMatchIn(txt).foreach(m => totalRows += m.group(1).toLong)
+    }
+    assert(totalRows == turns.count(), "lineage row_count must sum to input size")
+  }
+}
