@@ -28,8 +28,11 @@ object ConsentExtractor {
 
   def isPracticeInformation(line: String): Boolean = {
     val lower = line.toLowerCase.trim
-    practicePatterns.exists(_.findFirstIn(line).isDefined) ||
-      practiceMarkers.exists(lower.contains)
+    // markers subsume the www/@/route/Smile@ regexes; only the phone and
+    // street-address patterns add coverage, and both require a digit
+    if (practiceMarkers.exists(lower.contains)) return true
+    if (!line.exists(_.isDigit)) return false
+    practicePatterns.exists(_.findFirstIn(line).isDefined)
   }
 
   def removePracticeHeadersFooters(lines: Seq[String]): Seq[String] =
@@ -51,8 +54,18 @@ object ConsentExtractor {
     "parent’s name", "parent's name", "guardian’s name", "guardian's name",
     "parent/guardian’s name", "parent/guardian's name")
   private val tagRe = "<[^>]+>".r
+  private val brSplitRe = java.util.regex.Pattern.compile("<br>")
 
   def isWitnessOrDoctorSignatureField(lineLower: String, filterParentGuardianNames: Boolean = true): Boolean = {
+    // cheap token pre-check: every indicator requires one of these substrings
+    val quick = lineLower.contains("witness") || lineLower.contains("doctor") ||
+      lineLower.contains("dr.") || lineLower.contains("dentist") ||
+      lineLower.contains("physician") || lineLower.contains("practitioner") ||
+      lineLower.contains("provider") || lineLower.contains("clinician") ||
+      lineLower.contains("parent") || lineLower.contains("guardian") ||
+      lineLower.contains("legally") || lineLower.contains("printed name") ||
+      lineLower.indexOf('_') >= 0
+    if (!quick) return false
     if (witnessIndicators.exists(lineLower.contains)) return true
     if (doctorSignatures.exists(lineLower.contains)) return true
     if (parentGuardianSignatures.exists(lineLower.contains)) return true
@@ -70,19 +83,41 @@ object ConsentExtractor {
     false
   }
 
-  private def removeWitnessAndDoctorSignatures(content: String): String =
-    content.split("<br>", -1).filter { seg =>
-      val textContent = tagRe.replaceAllIn(seg, "").trim
+  private def removeWitnessAndDoctorSignatures(content: String): String = {
+    // quick-token scan: if no segment can possibly be filtered, skip the
+    // split/rejoin entirely (saves two full-content copies per turn)
+    val cl = content.toLowerCase
+    val mayFilter = cl.contains("witness") || cl.contains("doctor") ||
+      cl.contains("dr.") || cl.contains("dentist") || cl.contains("physician") ||
+      cl.contains("practitioner") || cl.contains("provider") ||
+      cl.contains("clinician") || cl.contains("parent") || cl.contains("guardian") ||
+      cl.contains("legally") || cl.contains("printed name") || cl.indexOf('_') >= 0
+    if (!mayFilter) return content
+    brSplitRe.split(content, -1).filter { seg =>
+      val textContent =
+        (if (seg.indexOf('<') >= 0) tagRe.replaceAllIn(seg, "") else seg).trim
       textContent.isEmpty || !isWitnessOrDoctorSignatureField(textContent.toLowerCase)
     }.mkString("<br>")
+  }
 
   // ---- markdown cleaning (consent_converter.py:924-942) ----
+  // All patterns precompiled: this runs per line per turn, and
+  // String.replaceAll would recompile the pattern on every call.
+  private val mdEmptyHeaderRe = "^#+\\s*$".r
+  private val mdH3Re = "^###\\s+(.+)$".r
+  private val mdH2Re = "^##\\s+(.+)$".r
+  private val mdBoldRe = "\\*\\*(.+?)\\*\\*".r
+  private val mdLooseHashRe = "\\s*#+\\s*".r
+
   def cleanMarkdownFormatting(text0: String): String = {
-    var text = text0.trim.replaceAll("^#+\\s*$", "")
-    text = text.replaceAll("^###\\s+(.+)$", "<strong>$1</strong>")
-    text = text.replaceAll("^##\\s+(.+)$", "<strong>$1</strong>")
-    text = text.replaceAll("\\*\\*(.+?)\\*\\*", "<strong>$1</strong>")
-    text = text.replaceAll("\\s*#+\\s*", " ")
+    val t0 = text0.trim
+    // fast path: no '#' and no '**' means none of the five patterns can match
+    if (t0.indexOf('#') < 0 && !t0.contains("**")) return t0
+    var text = mdEmptyHeaderRe.replaceAllIn(t0, "")
+    text = mdH3Re.replaceAllIn(text, "<strong>$1</strong>")
+    text = mdH2Re.replaceAllIn(text, "<strong>$1</strong>")
+    text = mdBoldRe.replaceAllIn(text, "<strong>$1</strong>")
+    text = mdLooseHashRe.replaceAllIn(text, " ")
     text.trim
   }
 
@@ -112,10 +147,29 @@ object ConsentExtractor {
     "(?i)Smile@.*\\.com"
   ).map(_.r)
 
+  private val wsCollapseRe = "\\s+".r
+
   private def removePracticeHeaderFooterContent(content0: String): String = {
     var content = content0
-    practiceContentPatterns.foreach(p => content = p.replaceAllIn(content, ""))
-    content.replaceAll("\\s+", " ").trim
+    val hasAt = content.indexOf('@') >= 0
+    val hasWww = content.contains("www.")
+    val hasDigit = content.exists(_.isDigit)
+    val guards = Array(hasWww, hasAt, hasDigit, hasDigit, hasDigit, hasAt)
+    practiceContentPatterns.zip(guards).foreach { case (p, g) =>
+      if (g) content = p.replaceAllIn(content, "")
+    }
+    // skip the collapse copy when no run-of-whitespace / exotic ws exists
+    var needsCollapse = false
+    var i = 0
+    var prevWs = false
+    while (i < content.length && !needsCollapse) {
+      val c = content.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (ws && (c != ' ' || prevWs)) needsCollapse = true
+      prevWs = ws
+      i += 1
+    }
+    if (needsCollapse) wsCollapseRe.replaceAllIn(content, " ").trim else content.trim
   }
 
   // ---- Modento placeholders (consent_converter.py:842-908) ----
@@ -123,39 +177,50 @@ object ConsentExtractor {
   // the bare provider patterns so the "Dr. " prefix survives, matching the
   // golden (references/Matching JSON References/consent_crown_bridge_prosthetics.json,
   // "authorize<br>Dr. {{provider}} and/or ...").
+  // each substitution carries a lowercase literal anchor that any match must
+  // contain — a substring check that skips the regex scan for absent fields
+  private val placeholderSubs: Vector[(String, Regex, String)] = Vector(
+    ("dr.", "Dr\\.\\s+_+", "Dr. {{provider}}"),
+    // remaining provider placeholder contexts (tab-separated / verbal)
+    ("dr.", "Dr\\.\\s*\\t+", "Dr. {{provider}} "),
+    // tooth number / site
+    ("tooth", "Tooth\\s+Number\\s*:\\s*_+", "Tooth Number: {{tooth_or_site}}"),
+    ("tooth", "Tooth\\s+Number\\s*:(?!\\s*\\{\\{)", "Tooth Number: {{tooth_or_site}}"),
+    ("tooth", "Tooth\\s+No\\(s\\)\\.\\s+_+", "Tooth No(s). {{tooth_or_site}}"),
+    ("tooth", "Tooth\\s+No\\.\\s*:\\s*_+", "Tooth No.: {{tooth_or_site}}"),
+    ("tooth", "Tooth\\s*#\\s*:\\s*_+", "Tooth #: {{tooth_or_site}}"),
+    // patient name
+    ("patient", "Patient\\s+[Nn]ame\\s*:\\s*_+", "Patient Name: {{patient_name}}"),
+    ("patient", "Patient\\s+[Nn]ame\\s*:(?!\\s*\\{\\{)", "Patient Name: {{patient_name}}"),
+    ("patient", "Patient['’]s\\s+Name\\s*:\\s*[\\s\\t_]*", "Patient's Name: {{patient_name}}"),
+    ("patient", "Patient['’]s\\s+Name\\s*:(?!\\s*\\{\\{)", "Patient's Name: {{patient_name}}"),
+    ("print", "\\b[Ii],?\\s+_+\\s*\\(?\\s*print\\s+name\\s*\\)?", "I, {{patient_name}} (print name)"),
+    // DOB / Date of Birth
+    ("dob", "DOB\\s*:\\s*_+", "DOB: {{patient_dob}}"),
+    ("dob", "DOB\\s*:(?!\\s*\\{\\{)", "DOB: {{patient_dob}}"),
+    ("date", "Date\\s+of\\s+Birth\\s*:\\s*_+", "Date of Birth: {{patient_dob}}"),
+    ("date", "Date\\s+of\\s+Birth\\s*:(?!\\s*\\{\\{)", "Date of Birth: {{patient_dob}}"),
+    // planned procedure / diagnosis / alternative treatment
+    ("planned", "Planned\\s+Procedure\\s*:\\s*_+", "Planned Procedure: {{planned_procedure}}"),
+    ("planned", "Planned\\s+Procedure\\s*:(?!\\s*\\{\\{)", "Planned Procedure: {{planned_procedure}}"),
+    ("diagnosis", "Diagnosis\\s*:\\s*_+", "Diagnosis: {{diagnosis}}"),
+    ("diagnosis", "Diagnosis\\s*:(?!\\s*\\{\\{)", "Diagnosis: {{diagnosis}}"),
+    ("alternative", "Alternative\\s+Treatment\\s*:\\s*_+", "Alternative Treatment: {{alternative_treatment}}"),
+    ("alternative", "Alternative\\s+Treatment\\s*:(?!\\s*\\{\\{)", "Alternative Treatment: {{alternative_treatment}}"),
+    // standalone Date (not of-Birth / Signed)
+    ("date", "(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:\\s*_+", "Date: {{today_date}}"),
+    ("date", "(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:(?!\\s*\\{\\{)", "Date: {{today_date}}")
+  ).map { case (a, p, r) => (a, ("(?i)" + p).r, r) }
+
   def applyPlaceholders(content0: String): String = {
     var c = content0
-    def sub(pat: String, repl: String): Unit = { c = c.replaceAll("(?i)" + pat, repl) }
-    sub("Dr\\.\\s+_+", "Dr. {{provider}}")
-    // remaining provider placeholder contexts (tab-separated / verbal)
-    sub("Dr\\.\\s*\\t+", "Dr. {{provider}} ")
-    // tooth number / site
-    sub("Tooth\\s+Number\\s*:\\s*_+", "Tooth Number: {{tooth_or_site}}")
-    sub("Tooth\\s+Number\\s*:(?!\\s*\\{\\{)", "Tooth Number: {{tooth_or_site}}")
-    sub("Tooth\\s+No\\(s\\)\\.\\s+_+", "Tooth No(s). {{tooth_or_site}}")
-    sub("Tooth\\s+No\\.\\s*:\\s*_+", "Tooth No.: {{tooth_or_site}}")
-    sub("Tooth\\s*#\\s*:\\s*_+", "Tooth #: {{tooth_or_site}}")
-    // patient name
-    sub("Patient\\s+[Nn]ame\\s*:\\s*_+", "Patient Name: {{patient_name}}")
-    sub("Patient\\s+[Nn]ame\\s*:(?!\\s*\\{\\{)", "Patient Name: {{patient_name}}")
-    sub("Patient['’]s\\s+Name\\s*:\\s*[\\s\\t_]*", "Patient's Name: {{patient_name}}")
-    sub("Patient['’]s\\s+Name\\s*:(?!\\s*\\{\\{)", "Patient's Name: {{patient_name}}")
-    sub("\\b[Ii],?\\s+_+\\s*\\(?\\s*print\\s+name\\s*\\)?", "I, {{patient_name}} (print name)")
-    // DOB / Date of Birth
-    sub("DOB\\s*:\\s*_+", "DOB: {{patient_dob}}")
-    sub("DOB\\s*:(?!\\s*\\{\\{)", "DOB: {{patient_dob}}")
-    sub("Date\\s+of\\s+Birth\\s*:\\s*_+", "Date of Birth: {{patient_dob}}")
-    sub("Date\\s+of\\s+Birth\\s*:(?!\\s*\\{\\{)", "Date of Birth: {{patient_dob}}")
-    // planned procedure / diagnosis / alternative treatment
-    sub("Planned\\s+Procedure\\s*:\\s*_+", "Planned Procedure: {{planned_procedure}}")
-    sub("Planned\\s+Procedure\\s*:(?!\\s*\\{\\{)", "Planned Procedure: {{planned_procedure}}")
-    sub("Diagnosis\\s*:\\s*_+", "Diagnosis: {{diagnosis}}")
-    sub("Diagnosis\\s*:(?!\\s*\\{\\{)", "Diagnosis: {{diagnosis}}")
-    sub("Alternative\\s+Treatment\\s*:\\s*_+", "Alternative Treatment: {{alternative_treatment}}")
-    sub("Alternative\\s+Treatment\\s*:(?!\\s*\\{\\{)", "Alternative Treatment: {{alternative_treatment}}")
-    // standalone Date (not of-Birth / Signed)
-    sub("(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:\\s*_+", "Date: {{today_date}}")
-    sub("(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:(?!\\s*\\{\\{)", "Date: {{today_date}}")
+    var lower = c.toLowerCase
+    placeholderSubs.foreach { case (anchor, re, repl) =>
+      if (lower.contains(anchor)) {
+        val c2 = re.replaceAllIn(c, repl)
+        if (c2 != c) { c = c2; lower = c.toLowerCase }
+      }
+    }
     c
   }
 
@@ -173,7 +238,7 @@ object ConsentExtractor {
     * lines). A continuation line is short, capitalized, unpunctuated.
     */
   private def detectTitle(lines0: Vector[String]): (Option[String], Vector[String]) = {
-    var lines = lines0.dropWhile(l => l.trim.matches("^#+\\s*$"))
+    var lines = lines0.dropWhile(l => mdEmptyHeaderRe.findFirstIn(l.trim).isDefined)
     if (lines.isEmpty) return (None, lines)
     val first = lines.head
     def continuation(rest: Vector[String]): (String, Vector[String]) = {
@@ -293,8 +358,14 @@ object ConsentExtractor {
 
   /** Full consent-form field extraction (consent_converter.py:420-604). */
   def extractConsentFormFields(textLines0: Seq[String],
-                               boldLines: Map[String, Boolean] = Map.empty): Vector[FieldInfo] = {
-    val textLines = removePracticeHeadersFooters(textLines0).toVector
+                               boldLines: Map[String, Boolean] = Map.empty): Vector[FieldInfo] =
+    extractFromCleaned(removePracticeHeadersFooters(textLines0).toVector, boldLines)
+
+  /** Same, over lines already passed through removePracticeHeadersFooters
+    * (lets the fused per-turn extractor clean once for both main_text and
+    * field extraction). */
+  def extractFromCleaned(textLines: Vector[String],
+                         boldLines: Map[String, Boolean]): Vector[FieldInfo] = {
     val fields = mutable.ArrayBuffer[FieldInfo]()
     val processedKeys = mutable.Set[String]()
 

@@ -31,11 +31,12 @@ object Extractor {
   def extractTurn(text: String): Extracted = {
     val lines = Option(text).getOrElse("").split("\n", -1).toSeq
     val formType = FormClassifier.detectFormType(lines)
-    val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines).map(_.trim)
-    val mainText = cleaned.mkString("\n")
+    val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
+    val mainText = cleaned.map(_.trim).mkString("\n")
     // round-1 routing: all profiles run the consent pipeline (the patient-info
     // machine lands in a later round; formType is still reported faithfully)
-    val fields = ConsentExtractor.convertFields(lines)
+    val fields = ConsentExtractor.validateAndNormalize(
+      ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
     val spans = fields.map { f =>
       if (f.fieldType == "text") Span(f.key, 0, mainText.length)
       else {

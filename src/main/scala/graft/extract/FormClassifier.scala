@@ -39,8 +39,13 @@ object FormClassifier {
   private val fieldPatternRe = "_+|\\.\\.\\.+|\\[\\s*\\]".r
 
   def detectFormType(textLines: Seq[String]): String = {
-    val analysisText = textLines.take(50).mkString(" ").toLowerCase
+    // the first-50-line window is a prefix of the full join (same separator):
+    // build/lowercase once, slice the window — halves the string allocations
     val fullText = textLines.mkString(" ").toLowerCase
+    val analysisText =
+      if (textLines.lengthCompare(50) <= 0) fullText
+      else fullText.substring(0,
+        textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0))
 
     if (recordsRelease.exists(_.findFirstIn(analysisText).isDefined)) return "records_release"
     if (structuredConsent.exists(_.findFirstIn(analysisText).isDefined)) return "structured_consent"

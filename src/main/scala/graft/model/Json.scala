@@ -47,7 +47,7 @@ object Json {
 
   /** Render like json.dump(..., indent=2, ensure_ascii=False). */
   def render(v: JVal, indent: Int = 2): String = {
-    val sb = new StringBuilder(1 << 12)
+    val sb = new StringBuilder(estimateSize(v) + 256)
     def pad(level: Int): Unit = sb.append(" " * (indent * level))
     def go(v: JVal, level: Int): Unit = v match {
       case JStr(s)  => sb.append('"').append(escape(s)).append('"')
@@ -82,6 +82,13 @@ object Json {
     }
     go(v, 0)
     sb.toString
+  }
+
+  private def estimateSize(v: JVal): Int = v match {
+    case JStr(s) => s.length + 8
+    case JArr(items) => 4 + items.foldLeft(0)(_ + estimateSize(_) + 8)
+    case JObj(fields) => 4 + fields.foldLeft(0) { case (a, (k, fv)) => a + k.length + estimateSize(fv) + 12 }
+    case _ => 8
   }
 
   /** Python repr of a float (shortest round-trip); ints stay JInt so this is

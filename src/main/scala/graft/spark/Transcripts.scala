@@ -68,10 +68,15 @@ object Transcripts {
   }
 
   /** Distributed generation: one task per ordinal range; flatMap stays
-    * row-local so generation scales linearly with executors.
+    * row-local so generation scales linearly with executors. Long (heavy-
+    * tail) conversations are spread uniformly over ordinals, so contiguous
+    * ordinal ranges are load-balanced without a shuffle.
     */
-  def generate(spark: SparkSession, numConversations: Long): Dataset[Turn] = {
+  def generate(spark: SparkSession, numConversations: Long,
+               numPartitions: Int = 0): Dataset[Turn] = {
     import spark.implicits._
-    spark.range(numConversations).flatMap(ord => turnsFor(ord))
+    val slices = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, numConversations, 1, slices).flatMap(ord => turnsFor(ord))
   }
 }
