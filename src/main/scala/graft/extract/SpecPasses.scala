@@ -1,0 +1,497 @@
+package graft.extract
+
+import graft.model._
+import scala.util.matching.Regex
+import scala.collection.mutable
+
+/** Spec-level question record (the JSON-dict stage of the main pipeline,
+  * pdf_to_json_converter.py:5264-5288), with meta.line_idx carried for
+  * stable ordering then stripped at render.
+  */
+final case class SpecQ(
+    var key: String,
+    var fieldType: String,
+    var title: String,
+    var control: JObj,
+    var section: String,
+    var optional: Boolean,
+    var lineIdx: Int) {
+  def render: JObj = JObj(Vector(
+    "key" -> JStr(key), "type" -> JStr(fieldType), "title" -> JStr(title),
+    "control" -> control, "section" -> JStr(section), "optional" -> JBool(optional)))
+}
+
+object SpecAssembly {
+  /** _convert_fields_to_json_spec + _normalize_control_by_type
+    * (pdf_to_json_converter.py:5264-5288;
+    * field_processing/field_normalization_manager.py:83-132). */
+  def toSpecQ(f: FieldInfo): SpecQ =
+    SpecQ(f.key, f.fieldType, f.title,
+      normalizeControlByType(f.control, f.fieldType, f.key),
+      f.section, f.optional, f.lineIdx)
+
+  def normalizeControlByType(control: JObj, fieldType: String, fieldKey: String): JObj = {
+    var out: JObj = fieldType match {
+      case "states" | "signature" => JObj(Vector.empty)
+      case "text" =>
+        val ordered = Vector("temporary_html_text", "html_text", "text")
+          .flatMap(k => control.get(k).filter(_ != JNull).map(k -> _))
+        val rest = control.fields.filter { case (k, v) =>
+          !Set("temporary_html_text", "html_text", "text").contains(k) && v != JNull
+        }
+        JObj(ordered ++ rest)
+      case _ => JObj(control.fields.filter(_._2 != JNull))
+    }
+    // specific field fixes (field_normalization_manager.py:113-132)
+    if (fieldKey == "if_different_from_patient_street")
+      out = out.updated("input_type", JStr("address"))
+    if (Set("mobile_2", "home_2", "work_2", "phone_2").contains(fieldKey))
+      out = out.updated("hint", JNull)
+    if (fieldKey == "initials_3") out = out.without("hint")
+    if (Set("states", "text").contains(fieldType) || fieldKey.startsWith("initials"))
+      out = out.without("hint")
+    out
+  }
+}
+
+object FieldOrdering {
+  /** field_processing/field_ordering_manager.py:32-50. */
+  val referenceFieldOrder: Vector[String] = Vector(
+    "todays_date", "first_name", "mi", "last_name", "nickname", "street", "apt_unit_suite",
+    "city", "state", "zip", "mobile", "home", "work", "e_mail", "drivers_license", "state2",
+    "what_is_your_preferred_method_of_contact", "ssn", "date_of_birth", "patient_employed_by",
+    "occupation", "street_2", "city_2", "state3", "zip_2", "sex", "marital_status",
+    "in_case_of_emergency_who_should_be_notified", "relationship_to_patient", "mobile_phone",
+    "home_phone", "is_the_patient_a_minor", "full_time_student", "name_of_school",
+    "first_name_2", "last_name_2", "date_of_birth_2", "relationship_to_patient_2",
+    "if_patient_is_a_minor_primary_residence", "if_different_from_patient_street", "city_3",
+    "state4", "zip_3", "mobile_2", "home_2", "work_2", "employer_if_different_from_above",
+    "occupation_2", "street_3", "city_2_2", "state5", "zip_4", "name_of_insured",
+    "birthdate", "ssn_2", "insurance_company", "phone", "street_4", "city_5", "state_6",
+    "zip_5", "dental_plan_name", "plan_group_number", "id_number", "patient_relationship_to_insured",
+    "name_of_insured_2", "birthdate_2", "ssn_3", "insurance_company_2", "phone_2", "street_5",
+    "city_6", "state_7", "zip_6", "dental_plan_name_2", "plan_group_number_2", "id_number_2",
+    "patient_relationship_to_insured_2", "text_3", "initials", "text_4", "initials_2",
+    "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_",
+    "initials_3", "signature", "date_signed")
+
+  def orderFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val fields = fields0.sortBy(_.lineIdx)
+    val keys = fields.map(_.key).toSet
+    val overlap = keys.intersect(referenceFieldOrder.toSet).size
+    if (overlap > keys.size * 0.5) {
+      val lookup = fields.map(f => f.key -> f).toMap
+      referenceFieldOrder.flatMap(lookup.get) ++
+        fields.filterNot(f => referenceFieldOrder.contains(f.key))
+    } else {
+      val (sig, other) = fields.partition(_.fieldType == "signature")
+      other ++ sig
+    }
+  }
+
+  def ensureRequiredSignatureFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val sigs = fields0.filter(_.fieldType == "signature")
+    if (sigs.isEmpty)
+      fields0 :+ FieldInfo("signature", "Signature", "signature", "Signature",
+        optional = false, control = JObj(Vector.empty), lineIdx = 9999)
+    else {
+      val first = sigs.head
+      fields0.flatMap { f =>
+        if (f.fieldType == "signature") {
+          if (f eq first) Some(f.copy(key = "signature")) else None
+        } else Some(f)
+      }
+    }
+  }
+
+  def ensureDateSignedField(fields: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val hasSig = fields.exists(_.fieldType == "signature")
+    val hasDate = fields.exists(_.key == "date_signed")
+    if (hasSig && !hasDate)
+      fields :+ FieldInfo("date_signed", "Date Signed", "date", "Signature",
+        optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 9999)
+    else fields
+  }
+}
+
+object SpecNormalization {
+  /** field_processing/field_normalization_manager.py. */
+  private val possessive1 = "([a-z]+)_s_([a-z]+)".r
+  private val possessive2 = "([a-z]+)_s$".r
+  private val directKeyMappings = Map(
+    "patient_printed_name" -> "printed_name", "printed_patient_name" -> "printed_name")
+
+  def normalizeFieldKeys(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    spec.foreach { q =>
+      q.key = directKeyMappings.getOrElse(q.key, {
+        var k = possessive1.replaceAllIn(q.key, "$1_$2")
+        k = possessive2.replaceAllIn(k, "$1")
+        k
+      })
+    }
+    spec
+  }
+
+  private val escapedUnicodeRe = "\\\\u[0-9a-fA-F]{4}".r
+  private val unicodeBlockRe = "[\\uf000-\\uffff]".r
+
+  def normalizeTextContent(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    spec.foreach { q =>
+      Vector("html_text", "temporary_html_text").foreach { tk =>
+        q.control.get(tk).collect { case JStr(t0) =>
+          var text = t0.replace("\\_", "")
+          if (q.key == "text_3") {
+            text = escapedUnicodeRe.replaceAllIn(text, "")
+          } else {
+            text = escapedUnicodeRe.replaceAllIn(text, "")
+            text = text.replace("", "").replace("’", "'")
+              .replace("“", "\"").replace("”", "\"")
+          }
+          text = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+          if (q.key == "text_3") text = text.replace("IS N OT", "IS NOT")
+          q.control = q.control.updated(tk, JStr(
+            if (text.startsWith("<p>")) text else s"<p>$text</p>"))
+        }
+      }
+      q.title = normalizeTitle(q.title)
+    }
+    spec
+  }
+
+  def normalizeTitle(title: String): String =
+    unicodeBlockRe.replaceAllIn(title, "").replace("", "")
+      .replaceAll("\\s+$", "")
+
+  private val authKey = "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_"
+
+  def normalizeAuthorizationField(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    spec.find(_.key == authKey).foreach { q =>
+      val default = JStr("<p>I have read the above and agree to the financial and scheduling terms.</p>")
+      val options = q.control.get("options").getOrElse(JArr(Vector.empty))
+      val html = q.control.get("html_text").getOrElse(default)
+      val temp = q.control.get("temporary_html_text").getOrElse(default)
+      q.control = JObj(Vector(
+        "temporary_html_text" -> temp, "html_text" -> html,
+        "text" -> JStr(""), "options" -> options))
+    }
+    spec
+  }
+}
+
+object ConsentShaping {
+  /** field_processing/consent_shaping_manager.py. */
+  private val consentPatterns: Vector[Regex] = Vector(
+    ".*I understand.*", ".*I acknowledge.*", ".*I agree.*", ".*I consent.*",
+    ".*I authorize.*", ".*I have been.*informed.*", ".*risks.*benefits.*",
+    ".*alternative.*treatment.*", ".*financial.*responsibility.*",
+    ".*informed.*consent.*").map(p => ("(?i)" + p).r)
+  private val consentKeywords = Vector("consent", "acknowledge", "understand", "agree",
+    "authorize", "risks", "benefits", "complications", "treatment", "procedure")
+
+  def isConsentContent(text: String): Boolean = {
+    if (text == null || text.isEmpty) return false
+    if (consentPatterns.exists(_.findFirstIn(text).isDefined)) return true
+    val lower = text.toLowerCase
+    consentKeywords.count(lower.contains) >= 2
+  }
+
+  def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    spec.foreach { q =>
+      if (q.fieldType == "text") {
+        q.control.get("html_text").collect { case JStr(h) if isConsentContent(h) =>
+          Vector("html_text", "temporary_html_text").foreach { tk =>
+            q.control.get(tk).collect { case JStr(t) if t.nonEmpty && !t.trim.startsWith("<p>") =>
+              q.control = q.control.updated(tk, JStr(s"<p>${t.trim}</p>"))
+            }
+          }
+        }
+      }
+    }
+    ensureConsentStructure(spec)
+  }
+
+  private def isConsentForm(spec: Vector[SpecQ]): Boolean = {
+    var indicators = 0
+    spec.foreach { q =>
+      val title = q.title.toLowerCase
+      val section = q.section.toLowerCase
+      if (Seq("consent", "agreement", "authorization").exists(w => title.contains(w) || section.contains(w)))
+        indicators += 1
+      if (q.fieldType == "text") {
+        q.control.get("html_text").collect { case JStr(h) =>
+          val lower = h.toLowerCase
+          if (Seq("consent", "understand", "acknowledge", "agree").exists(lower.contains))
+            indicators += 1
+        }
+      }
+    }
+    indicators >= 2
+  }
+
+  private def ensureConsentStructure(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    var spec = spec0
+    if (!isConsentForm(spec)) return spec
+    if (!spec.exists(_.fieldType == "signature"))
+      spec = spec :+ SpecQ("signature", "signature", "Signature", JObj(Vector.empty),
+        "Signature", optional = false, lineIdx = -1)
+    if (!spec.exists(_.key == "date_signed"))
+      spec = spec :+ SpecQ("date_signed", "date", "Date Signed",
+        JObj.of("input_type" -> JStr("past")), "Signature", optional = false,
+        lineIdx = -1)
+    spec
+  }
+}
+
+object MainValidator {
+  /** ModentoSchemaValidator, pdf_to_json_converter.py:49-541. */
+  private val validTypes = Set("input", "radio", "checkbox", "dropdown", "states",
+    "date", "signature", "initials", "text", "header")
+  private val genericFieldWhitelist = Set(
+    "Date", "Phone", "Street", "City", "State", "Zip", "Name", "Address",
+    "First Name", "Last Name", "Email", "E-Mail", "SSN", "Social Security No.",
+    "Occupation", "Employer", "Insurance Company", "ID Number")
+  private val patientSections = Set("Patient Information", "Patient Info", "Patient Information Form")
+
+  /** ensure_unique_keys with order-dependent duplicate merge
+    * (pdf_to_json_converter.py:103-209). */
+  def ensureUniqueKeys(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    val spec = mutable.ArrayBuffer[SpecQ](spec0: _*)
+
+    def isNumbered(key: String): Boolean =
+      key.contains("_") && key.split("_").last.forall(_.isDigit) && key.split("_").last.nonEmpty
+
+    def shouldMergeOrRemove(currentIdx: Int): Option[Int] = {
+      val current = spec(currentIdx)
+      if (isNumbered(current.key)) return None
+      val isGeneric = genericFieldWhitelist.contains(current.title)
+      (0 until currentIdx).foreach { prevIdx =>
+        val prev = spec(prevIdx)
+        if (!isNumbered(prev.key) &&
+            prev.title == current.title && current.title.nonEmpty && prev.title.nonEmpty &&
+            current.title.length > 2) {
+          val stateSkip = current.title == "State" && prev.title == "State"
+          if (!stateSkip) {
+            if (isGeneric && prev.section != current.section) {
+              // generic fields only merge within the same section
+            } else if (prev.section == current.section) return Some(prevIdx)
+            else if (!isGeneric && patientSections.contains(prev.section) &&
+                     patientSections.contains(current.section)) return Some(prevIdx)
+          }
+        }
+      }
+      None
+    }
+
+    val toRemove = mutable.ArrayBuffer[Int]()
+    spec.indices.foreach { i =>
+      shouldMergeOrRemove(i).foreach { mergeWith =>
+        val current = spec(i)
+        val prev = spec(mergeWith)
+        if (current.section == "Patient Information" && prev.section == "Patient Information Form")
+          toRemove += mergeWith
+        else toRemove += i
+      }
+    }
+    toRemove.sorted(Ordering[Int].reverse).foreach(spec.remove)
+
+    val seen = mutable.Set[String]()
+    spec.foreach { q =>
+      var key = q.key
+      val base = key
+      var counter = 2
+      while (seen.contains(key)) { key = s"${base}_$counter"; counter += 1 }
+      seen += key
+      q.key = key
+    }
+    spec.toVector
+  }
+
+  def validateAndNormalize(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    var spec = spec0
+    // signature uniqueness by type; drop input fields keyed "signature"
+    val sigIdxs = spec.zipWithIndex.collect { case (q, i) if q.fieldType == "signature" => i }
+    val inputSigIdxs = spec.zipWithIndex.collect {
+      case (q, i) if q.fieldType == "input" && q.key == "signature" => i }.toSet
+    val dropIdxs: Set[Int] =
+      (if (sigIdxs.nonEmpty) inputSigIdxs ++ sigIdxs.tail.toSet else Set.empty[Int])
+    if (sigIdxs.nonEmpty) spec(sigIdxs.head).key = "signature"
+    spec = spec.zipWithIndex.collect { case (q, i) if !dropIdxs.contains(i) => q }
+    if (sigIdxs.isEmpty)
+      spec = spec :+ SpecQ("signature", "signature", "Signature", JObj(Vector.empty),
+        "Signature", optional = false, lineIdx = -1)
+
+    spec = ensureUniqueKeys(spec)
+
+    spec.foreach { q =>
+      if (validTypes.contains(q.fieldType)) {
+        if (q.fieldType == "states") q.control = JObj(Vector.empty)
+        if (q.control.get("hint").contains(JNull)) q.control = q.control.without("hint")
+        if (q.fieldType == "input") {
+          val t = q.control.get("input_type")
+          val valid = Set("name", "email", "phone", "number", "ssn", "zip", "initials", "address")
+          if (!t.exists { case JStr(s) => valid.contains(s); case _ => false })
+            q.control = q.control.updated("input_type", JStr("name"))
+          if (q.key == "if_different_from_patient_street")
+            q.control = q.control.updated("input_type", JStr("address"))
+        }
+        if (q.fieldType == "date") {
+          val t = q.control.get("input_type")
+          if (!t.exists { case JStr(s) => Set("past", "future").contains(s); case _ => false })
+            q.control = q.control.without("input_type")
+        }
+        if (q.fieldType == "signature") q.control = JObj(Vector.empty)
+        if (Set("radio", "checkbox", "dropdown").contains(q.fieldType)) {
+          q.control.get("options").collect { case JArr(opts) =>
+            val fixed = opts.map {
+              case o: JObj =>
+                val v = o.get("value")
+                if (v.isEmpty || v.contains(JNull) || v.contains(JStr(""))) {
+                  val name = o.get("name").collect { case JStr(s) => s }.getOrElse("option")
+                  o.updated("value", JStr(Slugify.slugify(name)))
+                } else o
+              case other => other
+            }
+            q.control = q.control.updated("options", JArr(fixed))
+          }
+        }
+      }
+    }
+
+    spec = applyConsentShapingValidator(spec)
+    spec = applyMedicalHistoryGrouping(spec)
+    spec = applyStableOrdering(spec)
+    spec = spec.filterNot(q => Set("relationship_to_patient_2_2", "text_4_2").contains(q.key))
+    spec = ensureNoWitnessFields(spec)
+    spec
+  }
+
+  /** validator-level consent shaping (pdf_to_json_converter.py:325-372). */
+  private def applyConsentShapingValidator(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    var spec = spec0
+    val consentKeywords = Vector("risk", "side effect", "benefit", "alternative", "consent", "i understand")
+    val appended = mutable.ArrayBuffer[SpecQ]()
+    spec.foreach { q =>
+      if (q.fieldType == "text" && q.section == "Signature") {
+        val textContent = q.control.get("text").collect { case JStr(s) => s }.getOrElse("").toLowerCase
+        if (consentKeywords.exists(textContent.contains) &&
+            !spec.exists(_.key == "acknowledge") && !appended.exists(_.key == "acknowledge")) {
+          appended += SpecQ("acknowledge", "checkbox",
+            "I have read and understand the information above.",
+            JObj.of("options" -> JArr(Vector(JObj.of("name" -> JStr("I agree"), "value" -> JStr("I agree"))))),
+            "Consent", optional = false, lineIdx = -1)
+        }
+      }
+    }
+    spec = spec ++ appended
+    if (!spec.exists(q => q.key == "date_signed" && q.fieldType == "date"))
+      spec = spec :+ SpecQ("date_signed", "date", "Date Signed",
+        JObj.of("input_type" -> JStr("past")), "Signature", optional = false,
+        lineIdx = -1)
+    spec
+  }
+
+  /** medical-history grouping (pdf_to_json_converter.py:375-451). */
+  def applyMedicalHistoryGrouping(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    val sequences = mutable.ArrayBuffer[Vector[Int]]()
+    var current = mutable.ArrayBuffer[Int]()
+    spec.zipWithIndex.foreach { case (q, i) =>
+      val isMedical = q.section == "Medical History" &&
+        Set("checkbox", "radio").contains(q.fieldType) &&
+        q.control.get("options").collect { case JArr(o) => o.length }.contains(1)
+      if (isMedical) current += i
+      else if (current.nonEmpty) { sequences += current.toVector; current = mutable.ArrayBuffer() }
+    }
+    if (current.nonEmpty) sequences += current.toVector
+    val toGroup = sequences.filter(_.length >= 6)
+    if (toGroup.isEmpty) return spec
+    val skip = toGroup.flatten.toSet
+    val firstOf = toGroup.map(seq => seq.head -> seq).toMap
+    val result = mutable.ArrayBuffer[SpecQ]()
+    spec.zipWithIndex.foreach { case (q, i) =>
+      if (skip.contains(i)) {
+        firstOf.get(i).foreach { seq =>
+          val options = seq.flatMap(idx => {
+            val t = spec(idx).title
+            if (t.nonEmpty) Some(JObj.of("name" -> JStr(t), "value" -> JStr(t))) else None
+          })
+          result += SpecQ("medical_history", "checkbox", "Medical History",
+            JObj.of("options" -> JArr(options.toVector)), "Medical History",
+            optional = true, lineIdx = spec(seq.head).lineIdx)
+        }
+      } else result += q
+    }
+    result.toVector
+  }
+
+  /** stable ordering + positioning fix (pdf_to_json_converter.py:453-503).
+    * Python quirk preserved: fields appended without meta get
+    * line_idx = their current position (setdefault(idx)), NOT infinity. */
+  def applyStableOrdering(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    val spec = mutable.ArrayBuffer[SpecQ](spec0: _*)
+    spec.zipWithIndex.foreach { case (q, i) =>
+      if (q.lineIdx == -1) q.lineIdx = i
+    }
+    // fix_field_positioning_issues: relationship_to_patient_2 right after date_of_birth_2
+    val relIdx = spec.indexWhere(_.key == "relationship_to_patient_2")
+    val dobIdx = spec.indexWhere(_.key == "date_of_birth_2")
+    if (relIdx >= 0 && dobIdx >= 0 && relIdx > dobIdx) {
+      val rel = spec.remove(relIdx)
+      spec.insert(dobIdx + 1, rel)
+      spec.zipWithIndex.foreach { case (q, i) => q.lineIdx = i }
+    }
+    spec.sortBy(_.lineIdx).toVector
+  }
+
+  private val witnessKeyIndicators = Vector("witness_signature", "witness_printed_name",
+    "witness_name", "witness_date", "witness_relationship", "witness")
+
+  def ensureNoWitnessFields(spec: Vector[SpecQ]): Vector[SpecQ] =
+    spec.filterNot { q =>
+      val key = q.key.toLowerCase
+      val title = q.title.toLowerCase
+      witnessKeyIndicators.exists(key.contains) || witnessKeyIndicators.exists(title.contains)
+    }
+
+  /** _ensure_signature_compliance (pdf_to_json_converter.py:5306-5330). */
+  def ensureSignatureCompliance(spec0: Vector[SpecQ]): Vector[SpecQ] = {
+    val sigs = spec0.filter(_.fieldType == "signature")
+    if (sigs.length > 1) {
+      sigs.head.key = "signature"
+      spec0.filter(q => q.fieldType != "signature" || (q eq sigs.head))
+    } else if (sigs.length == 1) { sigs.head.key = "signature"; spec0 }
+    else spec0 :+ SpecQ("signature", "signature", "Signature", JObj(Vector.empty),
+      "Signature", optional = false, lineIdx = -1)
+  }
+
+  /** _apply_final_cleanup (pdf_to_json_converter.py:5332-5349). */
+  def applyFinalCleanup(spec: Vector[SpecQ]): Vector[SpecQ] = {
+    spec.foreach { q =>
+      if (q.fieldType == "states" || q.fieldType == "signature") q.control = JObj(Vector.empty)
+      q.title = SpecNormalization.normalizeTitle(q.title)
+    }
+    spec
+  }
+}
+
+/** Records-release template (pdf_to_json_converter.py:3220-3399) — ported in
+  * a later round; minimal trigger-compatible stub for routing completeness.
+  */
+object RecordsRelease {
+  def extract(textLines: Seq[String]): Vector[FieldInfo] = Vector(
+    FieldInfo("form_1", "", "text", "Form", optional = false,
+      control = JObj.of("html_text" -> JStr(
+        MainExtractor.createComprehensiveConsentHtml(textLines))), lineIdx = 10),
+    FieldInfo("signature", "Signature", "signature", "Signature",
+      optional = false, control = JObj(Vector.empty), lineIdx = 200),
+    FieldInfo("date_signed", "Date Signed", "date", "Signature",
+      optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 201))
+}
+
+/** Patient-info machine (pdf_to_json_converter.py:4052-5139) — the NPF
+  * 86-field extractor; ported in the NPF milestone. Interim: generic consent
+  * extraction so the route stays total.
+  */
+object PatientInfo {
+  def extract(textLines: Seq[String]): Vector[FieldInfo] =
+    MainExtractor.extractConsentFormFields(textLines)
+}

@@ -21,7 +21,17 @@ object Convert {
       sys.exit(1)
     }
     val lines = new String(Files.readAllBytes(path), StandardCharsets.UTF_8).split("\n", -1).toSeq
-    val json = ConsentExtractor.convert(lines)
+    val profile = {
+      val i = args.indexOf("--profile")
+      if (i >= 0 && i + 1 < args.length) args(i + 1) else "consent"
+    }
+    val json = profile match {
+      case "main" => graft.extract.MainExtractor.convert(lines)
+      case "consent" => ConsentExtractor.convert(lines)
+      case other =>
+        System.err.println(s"error: unknown profile '$other' (use main|consent)")
+        sys.exit(1); ""
+    }
     val outIdx = args.indexOf("--output")
     if (outIdx >= 0 && outIdx + 1 < args.length) {
       Files.write(Paths.get(args(outIdx + 1)), (json + "\n").getBytes(StandardCharsets.UTF_8))
