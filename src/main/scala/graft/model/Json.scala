@@ -84,6 +84,32 @@ object Json {
     sb.toString
   }
 
+  /** Render like json.dumps(..., separators=(",", ":"), ensure_ascii=False)
+    * — the minified layout of the NPF golden. */
+  def renderCompact(v: JVal): String = {
+    val sb = new StringBuilder(estimateSize(v) + 256)
+    def go(v: JVal): Unit = v match {
+      case JStr(s)  => sb.append('"').append(escape(s)).append('"')
+      case JBool(b) => sb.append(if (b) "true" else "false")
+      case JInt(i)  => sb.append(i.toString)
+      case JNum(d)  => sb.append(pyFloat(d))
+      case JNull    => sb.append("null")
+      case JArr(items) =>
+        sb.append('[')
+        items.zipWithIndex.foreach { case (it, i) =>
+          if (i > 0) sb.append(','); go(it) }
+        sb.append(']')
+      case JObj(fields) =>
+        sb.append('{')
+        fields.zipWithIndex.foreach { case ((k, fv), i) =>
+          if (i > 0) sb.append(',')
+          sb.append('"').append(escape(k)).append("\":"); go(fv) }
+        sb.append('}')
+    }
+    go(v)
+    sb.toString
+  }
+
   private def estimateSize(v: JVal): Int = v match {
     case JStr(s) => s.length + 8
     case JArr(items) => 4 + items.foldLeft(0)(_ + estimateSize(_) + 8)

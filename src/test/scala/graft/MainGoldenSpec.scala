@@ -31,4 +31,18 @@ class MainGoldenSpec extends AnyFunSuite {
   test("pediatric extraction (consent route) matches golden byte-for-byte") {
     runGolden("pediatric_extraction")
   }
+
+  test("NPF 86-field patient-info machine matches golden byte-for-byte") {
+    val lines = res("fixtures/npf.txt").split("\n", -1).toSeq
+    val golden = res("golden/npf.json").stripLineEnd
+    val (formType, spec) = MainExtractor.convertToSpec(lines)
+    assert(formType == "patient_info")
+    // the NPF golden is minified (json.dumps separators=(",",":"))
+    val out = graft.model.Json.renderCompact(graft.model.JArr(spec.map(_.render)))
+    if (out != golden) {
+      val i = out.zip(golden).indexWhere { case (a, b) => a != b }
+      val p = if (i < 0) math.min(out.length, golden.length) else i
+      fail(s"golden mismatch at char $p\n got: ...${out.slice(p - 60, p + 90)}...\nwant: ...${golden.slice(p - 60, p + 90)}...\n(lengths ${out.length} vs ${golden.length})")
+    }
+  }
 }
