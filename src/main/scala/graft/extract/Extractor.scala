@@ -28,15 +28,38 @@ object Extractor {
     * occurrence of their title in main_text, (-1,-1) when the title is
     * synthetic (injected signature/date fields).
     */
-  def extractTurn(text: String): Extracted = {
-    val lines = Option(text).getOrElse("").split("\n", -1).toSeq
-    val formType = FormClassifier.detectFormType(lines)
+  def extractTurn(text: String, tool: String = "consent_txt"): Extracted = {
+    // payload tags: "<profile>" or "<wrapper>:<profile>" where wrapper is
+    // html (boilerplate-wrapped markup -> streaming tokenizer + density
+    // strip) or pdf_runs (layout runs -> XY-cut reading order)
+    val (wrapper, profile) = Option(tool).getOrElse("").split(":", 2) match {
+      case Array(w, pr) if w == "html" || w == "pdf_runs" => (w, pr)
+      case _ => ("", Option(tool).getOrElse(""))
+    }
+    val raw = Option(text).getOrElse("")
+    val lines: Seq[String] = wrapper match {
+      case "html" => graft.parse.Html.extractLines(raw)
+      case "pdf_runs" => graft.parse.XYCut.toLines(graft.parse.XYCut.parseRuns(raw))
+      case _ => raw.split("\n", -1).toSeq
+    }
     val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
     val mainText = cleaned.map(_.trim).mkString("\n")
-    // round-1 routing: all profiles run the consent pipeline (the patient-info
-    // machine lands in a later round; formType is still reported faithfully)
-    val fields = ConsentExtractor.validateAndNormalize(
-      ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
+    // profile dispatch mirrors the reference's entry points: the consent
+    // converter (consent_converter.py) vs the main monolith
+    // (pdf_to_json_converter.py); the payload tag selects the profile, the
+    // main profile then routes internally by detected form type.
+    val (formType, fields, json) =
+      if (profile == "docling_md" || profile == "main") {
+        val (ft, spec) = MainExtractor.convertToSpec(lines)
+        val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,
+          q.optional, q.control, q.lineIdx))
+        (ft, fis, Json.render(JArr(spec.map(_.render))))
+      } else {
+        val ft = FormClassifier.detectFormType(lines)
+        val fis = ConsentExtractor.validateAndNormalize(
+          ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
+        (ft, fis, Spec.render(fis, includeOptional = false))
+      }
     val spans = fields.map { f =>
       if (f.fieldType == "text") Span(f.key, 0, mainText.length)
       else {
@@ -48,7 +71,7 @@ object Extractor {
       formType = formType,
       mainText = mainText,
       spans = spans,
-      fieldsJson = Spec.render(fields, includeOptional = false),
+      fieldsJson = json,
       fieldCount = fields.length,
       sectionCount = fields.map(_.section).distinct.length)
   }

@@ -114,58 +114,60 @@ object MainExtractor {
   }
 
   // ---------- inline multi-field parse (pdf_to_json_converter.py:1252-1441) ----------
-  private val exactPatterns: Vector[(Regex, Vector[(String, String)])] = Vector(
-    "First.*?MI.*?Last.*?Nickname" -> Vector(
+  // (anchor, regex, fields): the anchor is a cheap lowercase substring any
+  // match must contain — skips the lazy-regex scan on non-matching lines
+  private val exactPatterns: Vector[(String, Regex, Vector[(String, String)])] = Vector(
+    ("first", "First.*?MI.*?Last.*?Nickname", Vector(
       "First Name" -> "first_name", "Middle Initial" -> "mi",
-      "Last Name" -> "last_name", "Nickname" -> "nickname"),
-    "First.*?Last(?!.*Nickname)" -> Vector(
-      "First Name" -> "first_name_2", "Last Name" -> "last_name_2"),
-    "Street.*?Apt/Unit/Suite" -> Vector(
-      "Street" -> "street", "Apt/Unit/Suite" -> "apt_unit_suite"),
-    "Street.*?City.*?State.*?Zip(?!.*Phone)" -> Vector(
+      "Last Name" -> "last_name", "Nickname" -> "nickname")),
+    ("first", "First.*?Last(?!.*Nickname)", Vector(
+      "First Name" -> "first_name_2", "Last Name" -> "last_name_2")),
+    ("street", "Street.*?Apt/Unit/Suite", Vector(
+      "Street" -> "street", "Apt/Unit/Suite" -> "apt_unit_suite")),
+    ("street", "Street.*?City.*?State.*?Zip(?!.*Phone)", Vector(
       "Street" -> "if_different_from_patient_street", "City" -> "city_2_2",
-      "State" -> "state5", "Zip" -> "zip_4"),
-    "City.*?State.*?Zip(?!.*Phone)" -> Vector(
-      "City" -> "city", "State" -> "state", "Zip" -> "zip"),
-    "Street.*?City.*?State.*?Zip(?=.*Work|.*employment)" -> Vector(
-      "Street" -> "street_2", "City" -> "city_2", "State" -> "state3", "Zip" -> "zip_2"),
-    "Mobile.*?Home.*?Work(?!.*Address)" -> Vector(
-      "Mobile" -> "mobile", "Home" -> "home", "Work" -> "work"),
-    "Mobile Phone.*?Home Phone" -> Vector(
-      "Mobile Phone" -> "mobile_phone", "Home Phone" -> "home_phone"),
-    "Mobile.*?Home.*?Work.*?(?:Address|$)" -> Vector(
-      "Mobile" -> "mobile_2", "Home" -> "home_2", "Work" -> "work_2"),
-    "E-Mail.*?Drivers License #" -> Vector(
-      "E-Mail" -> "e_mail", "Drivers License #" -> "drivers_license"),
-    "Patient Employed By.*?Occupation" -> Vector(
-      "Patient Employed By" -> "patient_employed_by", "Occupation" -> "occupation"),
-    "Name of Insured.*?Birthdate" -> Vector(
-      "Name of Insured" -> "name_of_insured", "Birthdate" -> "birthdate"),
-    "Insurance Company.*?Phone" -> Vector(
-      "Insurance Company" -> "insurance_company", "Phone" -> "phone"),
-    "Dental Plan Name.*?Plan/Group Number" -> Vector(
-      "Dental Plan Name" -> "dental_plan_name", "Plan/Group Number" -> "plan_group_number"),
-    "ID Number.*?Patient Relationship to Insured" -> Vector(
-      "ID Number" -> "id_number", "Patient Relationship to Insured" -> "patient_relationship_to_insured"),
-    "In case of emergency, who should be notified.*?Relationship to Patient" -> Vector(
+      "State" -> "state5", "Zip" -> "zip_4")),
+    ("city", "City.*?State.*?Zip(?!.*Phone)", Vector(
+      "City" -> "city", "State" -> "state", "Zip" -> "zip")),
+    ("street", "Street.*?City.*?State.*?Zip(?=.*Work|.*employment)", Vector(
+      "Street" -> "street_2", "City" -> "city_2", "State" -> "state3", "Zip" -> "zip_2")),
+    ("mobile", "Mobile.*?Home.*?Work(?!.*Address)", Vector(
+      "Mobile" -> "mobile", "Home" -> "home", "Work" -> "work")),
+    ("mobile phone", "Mobile Phone.*?Home Phone", Vector(
+      "Mobile Phone" -> "mobile_phone", "Home Phone" -> "home_phone")),
+    ("mobile", "Mobile.*?Home.*?Work.*?(?:Address|$)", Vector(
+      "Mobile" -> "mobile_2", "Home" -> "home_2", "Work" -> "work_2")),
+    ("e-mail", "E-Mail.*?Drivers License #", Vector(
+      "E-Mail" -> "e_mail", "Drivers License #" -> "drivers_license")),
+    ("patient employed", "Patient Employed By.*?Occupation", Vector(
+      "Patient Employed By" -> "patient_employed_by", "Occupation" -> "occupation")),
+    ("name of insured", "Name of Insured.*?Birthdate", Vector(
+      "Name of Insured" -> "name_of_insured", "Birthdate" -> "birthdate")),
+    ("insurance company", "Insurance Company.*?Phone", Vector(
+      "Insurance Company" -> "insurance_company", "Phone" -> "phone")),
+    ("dental plan", "Dental Plan Name.*?Plan/Group Number", Vector(
+      "Dental Plan Name" -> "dental_plan_name", "Plan/Group Number" -> "plan_group_number")),
+    ("id number", "ID Number.*?Patient Relationship to Insured", Vector(
+      "ID Number" -> "id_number", "Patient Relationship to Insured" -> "patient_relationship_to_insured")),
+    ("in case of emergency", "In case of emergency, who should be notified.*?Relationship to Patient", Vector(
       "In case of emergency, who should be notified" -> "in_case_of_emergency_who_should_be_notified",
-      "Relationship to Patient" -> "relationship_to_patient"),
-    "Employer \\(if different from above\\).*?Relationship To Patient" -> Vector(
+      "Relationship to Patient" -> "relationship_to_patient")),
+    ("employer", "Employer \\(if different from above\\).*?Relationship To Patient", Vector(
       "Employer (if different from above)" -> "employer_if_different_from_above",
-      "Relationship To Patient" -> "relationship_to_patient_2"),
-    "Signature.*?Printed Name.*?Date" -> Vector(
-      "Signature" -> "signature", "Printed Name" -> "printed_name", "Date" -> "date_signed"),
-    "\\(Patient/Parent/Guardian\\)\\s*Relationship\\s*\\(If patient is a minor\\)" -> Vector(
+      "Relationship To Patient" -> "relationship_to_patient_2")),
+    ("printed name", "Signature.*?Printed Name.*?Date", Vector(
+      "Signature" -> "signature", "Printed Name" -> "printed_name", "Date" -> "date_signed")),
+    ("guardian", "\\(Patient/Parent/Guardian\\)\\s*Relationship\\s*\\(If patient is a minor\\)", Vector(
       "(Patient/Parent/Guardian) Relationship (If patient is a minor)" ->
-        "patient_parent_guardian_relationship_if_patient_is_a_minor"),
-    "\\(Patient/Parent/Guardian\\)\\s*\\t\\s*Relationship\\s*\\(If patient is a minor\\)" -> Vector(
+        "patient_parent_guardian_relationship_if_patient_is_a_minor")),
+    ("guardian", "\\(Patient/Parent/Guardian\\)\\s*\\t\\s*Relationship\\s*\\(If patient is a minor\\)", Vector(
       "(Patient/Parent/Guardian)" -> "patient_parent_guardian",
-      "Relationship (If patient is a minor)" -> "relationship_if_patient_is_a_minor"),
-    "Patient Date of Birth" -> Vector(
-      "Patient Date of Birth" -> "patient_date_of_birth"),
-    "Print\\s+patient\\s+name\\s*:" -> Vector("Print patient name" -> "printed_name"),
-    "Patient\\s+signature" -> Vector("Patient signature" -> "patient_signature")
-  ).map { case (p, v) => (("(?i)" + p).r, v) }
+      "Relationship (If patient is a minor)" -> "relationship_if_patient_is_a_minor")),
+    ("patient date of birth", "Patient Date of Birth", Vector(
+      "Patient Date of Birth" -> "patient_date_of_birth")),
+    ("print", "Print\\s+patient\\s+name\\s*:", Vector("Print patient name" -> "printed_name")),
+    ("signature", "Patient\\s+signature", Vector("Patient signature" -> "patient_signature"))
+  ).map { case (a, p, v) => (a, ("(?i)" + p).r, v) }
 
   private val sectionHeaderSkips = Vector(
     "patient information form", "for children/minors only", "primary dental plan", "secondary dental plan")
@@ -190,17 +192,21 @@ object MainExtractor {
 
     val fields = mutable.ArrayBuffer[(String, String)]()
     val seen = mutable.Set[String]()
-    exactPatterns.foreach { case (re, tuples) =>
-      if (fields.isEmpty && re.findFirstIn(line).isDefined) {
+    val it = exactPatterns.iterator
+    var matched = false
+    while (it.hasNext && !matched) {
+      val (anchor, re, tuples) = it.next()
+      if ((anchor.isEmpty || lower.contains(anchor)) && re.findFirstIn(line).isDefined) {
         tuples.foreach { case (fieldTitle, _) =>
           if (!seen.contains(fieldTitle)) {
             fields += ((normalizeFieldName(fieldTitle, line), line))
             seen += fieldTitle
           }
         }
-        return fields.toVector // first exact pattern wins
+        matched = true // first exact pattern wins
       }
     }
+    if (matched) return fields.toVector
     // restrictive single-field colon label
     if (line.contains(":") && line.trim.length < 50 && !inlineSkipWords.exists(lower.contains)) {
       val fieldName = line.split(":", 2)(0).trim
@@ -208,7 +214,7 @@ object MainExtractor {
         fields += ((normalizeFieldName(fieldName, line), line))
     }
     // underscore fallback
-    if (fields.isEmpty) {
+    if (fields.isEmpty && line.indexOf('_') >= 0) {
       underscorePatterns.foreach { re =>
         re.findAllMatchIn(line).foreach { m =>
           val label = m.group(1).trim

@@ -89,8 +89,8 @@ object PatientInfoMachine {
     detectRadioQuestion(line).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
 
     // Pattern 1: question + checkbox options on the same line
-    val sameLineRe = "([^□☐!]+?)(?:□|☐|!)([^□☐!]+?)(?:□|☐|!)([^□☐!]*)".r
-    sameLineRe.findFirstMatchIn(line).foreach { m =>
+    if (line.indexOf('□') >= 0 || line.indexOf('☐') >= 0 || line.indexOf('!') >= 0)
+    sameLineCheckboxRe.findFirstMatchIn(line).foreach { m =>
       val question = m.group(1).trim.replaceAll(":+$", "")
       if (question.length >= 5) {
         val optionParts = line.split("[" + checkboxCharClass + "]").drop(1)
@@ -157,8 +157,8 @@ object PatientInfoMachine {
     // Pattern 3: "Full-time Student" with inline checkbox (mixed)
     if (line.toLowerCase.contains("full-time student") && hasCheckboxSymbol(line)) {
       val options = mutable.ArrayBuffer[JObj]()
-      val noRe = ("(?i)" + checkboxSymbols + "\\s*no\\b").r
-      val yesRe = ("(?i)" + checkboxSymbols + "\\s*yes\\b").r
+      val noRe = noOptRe
+      val yesRe = yesOptRe
       if (noRe.findFirstIn(line).isDefined) options += JObj.of("name" -> JStr("No"), "value" -> JStr("No"))
       else if (yesRe.findFirstIn(line).isDefined) options += JObj.of("name" -> JStr("Yes"), "value" -> JStr("Yes"))
       var prevIdx = startIdx - 1
@@ -236,6 +236,20 @@ object PatientInfoMachine {
     case other => other
   }
 
+  private val workAddressRe = "(?i)^Work Address:\\s*$".r
+  private val workAddrFieldsRe = "(?i)Street.*City.*State.*Zip".r
+  private val initialSplitRe = "(?i)\\s*_+\\s*\\(initial\\)".r
+  private val yesNoCheckRe = "(?i)YES.*?N.*?O.*?\\(Check One\\)".r
+  private val yesNoQuestionRe = "(?i)^(.*?)\\s+YES.*?\\(Check One\\)".r
+  private val skipHeaderRes: Vector[Regex] = Vector(
+    "(?i)^Patient Name:?\\s*$", "(?i)^Address:?\\s*$", "(?i)^Phone:?\\s*$",
+    "(?i)^Work Address:?\\s*$", "(?i)^Social Security No\\.?:?\\s*$",
+    "(?i)^Date of Birth:?\\s*$", "(?i)^Insurance Company:?\\s*$",
+    "(?i)^Dental Plan Name:?\\s*$", "(?i)^Patient Name\\s*$").map(_.r)
+  private val sameLineCheckboxRe = "([^□☐!]+?)(?:□|☐|!)([^□☐!]+?)(?:□|☐|!)([^□☐!]*)".r
+  private val yesOptRe = ("(?i)" + checkboxSymbols + "\\s*yes\\b").r
+  private val noOptRe = ("(?i)" + checkboxSymbols + "\\s*no\\b").r
+
   private val authKey = "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_"
 
   // ================= THE MACHINE =================
@@ -269,9 +283,9 @@ object PatientInfoMachine {
       }
 
       // work-address two-line lookahead
-      if (!consumed && "(?i)^Work Address:\\s*$".r.findFirstIn(line).isDefined && i + 1 < textLines.length) {
+      if (!consumed && workAddressRe.findFirstIn(line).isDefined && i + 1 < textLines.length) {
         val next = textLines(i + 1).trim
-        if ("(?i)Street.*City.*State.*Zip".r.findFirstIn(next).isDefined) {
+        if (workAddrFieldsRe.findFirstIn(next).isDefined) {
           val contextText = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 5))
             .mkString(" ").toLowerCase
           val (mapping, sectionFor) =
@@ -349,7 +363,7 @@ object PatientInfoMachine {
 
       // (initial) handler -> text_4 + initials (first pass)
       if (!consumed && line.toLowerCase.contains("(initial)")) {
-        val textPart = "(?i)\\s*_+\\s*\\(initial\\)".r.split(line)(0).trim
+        val textPart = initialSplitRe.split(line)(0).trim
         if (textPart.nonEmpty) {
           if (!processedKeys.contains("text_4")) {
             fields += FieldInfo("text_4", "", "text", currentSection, optional = false,
@@ -379,8 +393,8 @@ object PatientInfoMachine {
       }
 
       // YES/NO (Check One) consent question (short-line variant)
-      if (!consumed && "(?i)YES.*?N.*?O.*?\\(Check One\\)".r.findFirstIn(line).isDefined) {
-        "(?i)^(.*?)\\s+YES.*?\\(Check One\\)".r.findFirstMatchIn(line).foreach { _ =>
+      if (!consumed && line.toUpperCase.contains("YES") && yesNoCheckRe.findFirstIn(line).isDefined) {
+        yesNoQuestionRe.findFirstMatchIn(line).foreach { _ =>
           if (!processedKeys.contains(authKey)) {
             fields += FieldInfo(authKey,
               "I authorize the release of my personal information necessary to process my dental benefit claims, including health information, diagnosis, and records of any treatment or exam rendered. I hereby authorize payment of benefits directly to this dental office otherwise payable to me.",
@@ -414,15 +428,8 @@ object PatientInfoMachine {
       }
 
       // skip bare header labels
-      if (!consumed) {
-        val skipHeaderRes = Vector(
-          "(?i)^Patient Name:?\\s*$", "(?i)^Address:?\\s*$", "(?i)^Phone:?\\s*$",
-          "(?i)^Work Address:?\\s*$", "(?i)^Social Security No\\.?:?\\s*$",
-          "(?i)^Date of Birth:?\\s*$", "(?i)^Insurance Company:?\\s*$",
-          "(?i)^Dental Plan Name:?\\s*$", "(?i)^Patient Name\\s*$")
-        if (skipHeaderRes.exists(p => p.r.findFirstIn(line.trim).isDefined)) {
-          i += 1; consumed = true
-        }
+      if (!consumed && skipHeaderRes.exists(_.findFirstIn(line.trim).isDefined)) {
+        i += 1; consumed = true
       }
 
       // standalone label (ends with ':' or next line holds the underscores)

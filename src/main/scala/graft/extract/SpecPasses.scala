@@ -182,18 +182,25 @@ object SpecNormalization {
 
 object ConsentShaping {
   /** field_processing/consent_shaping_manager.py. */
-  private val consentPatterns: Vector[Regex] = Vector(
-    ".*I understand.*", ".*I acknowledge.*", ".*I agree.*", ".*I consent.*",
-    ".*I authorize.*", ".*I have been.*informed.*", ".*risks.*benefits.*",
-    ".*alternative.*treatment.*", ".*financial.*responsibility.*",
-    ".*informed.*consent.*").map(p => ("(?i)" + p).r)
+  // the reference's `.*A.*B.*` regexes are plain ordered-substring tests;
+  // expressed as contains/indexOf to avoid O(n^2) backtracking on large html
+  private val singleConsentMarkers = Vector(
+    "i understand", "i acknowledge", "i agree", "i consent", "i authorize")
+  private val orderedConsentMarkers = Vector(
+    ("i have been", "informed"), ("risks", "benefits"),
+    ("alternative", "treatment"), ("financial", "responsibility"),
+    ("informed", "consent"))
   private val consentKeywords = Vector("consent", "acknowledge", "understand", "agree",
     "authorize", "risks", "benefits", "complications", "treatment", "procedure")
 
   def isConsentContent(text: String): Boolean = {
     if (text == null || text.isEmpty) return false
-    if (consentPatterns.exists(_.findFirstIn(text).isDefined)) return true
     val lower = text.toLowerCase
+    if (singleConsentMarkers.exists(lower.contains)) return true
+    if (orderedConsentMarkers.exists { case (a, b) =>
+      val i = lower.indexOf(a)
+      i >= 0 && lower.indexOf(b, i + a.length) >= 0
+    }) return true
     consentKeywords.count(lower.contains) >= 2
   }
 

@@ -48,7 +48,7 @@ object ExtractionJob {
   def extract(spark: SparkSession, turns: Dataset[Turn]): Dataset[ExtractedTurn] = {
     import spark.implicits._
     turns.map { t =>
-      val e = graft.extract.Extractor.extractTurn(t.text)
+      val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
       ExtractedTurn(t.conv_id, t.turn_idx, e.formType, e.mainText, e.spans,
         e.fieldsJson, e.fieldCount, e.sectionCount)
     }
@@ -130,7 +130,7 @@ object ExtractionJob {
         .repartition(spark.sessionState.conf.numShufflePartitions,
           saltKey(config.saltTurnsPerSplit))
       val extracted = wave.as[TurnWithBucket].map { t =>
-        val e = graft.extract.Extractor.extractTurn(t.text)
+        val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
         ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.mainText, e.spans,
           e.fieldsJson, e.fieldCount, e.sectionCount, t.bucket)
       }

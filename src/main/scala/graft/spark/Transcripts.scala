@@ -40,17 +40,60 @@ object Transcripts {
 
   private val roles = Array("user", "assistant", "tool")
 
-  /** Fixture payloads shipped in the jar (round-robin per turn). */
+  /** Fixture payloads shipped in the jar (round-robin per turn); the tag
+    * selects the extraction profile (consent converter vs main monolith). */
   lazy val payloads: IndexedSeq[(String, String)] = {
-    val names = Vector("tooth_removal_consent", "consent_crown_bridge")
-    names.map { n =>
+    val names = Vector(
+      "tooth_removal_consent" -> "consent_txt",
+      "consent_crown_bridge" -> "consent_txt",
+      "pediatric_extraction" -> "docling_md",
+      "npf" -> "docling_md")
+    val base = names.map { case (n, tag) =>
       val in = getClass.getClassLoader.getResourceAsStream(s"fixtures/$n.txt")
       require(in != null, s"missing fixture $n")
       val text = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       in.close()
-      ("docling_md", text)
+      (tag, text)
     }
+    // wrapped variants exercising the parse layer (FIXTURES.md §2.5-2.6):
+    // the tooth consent inside boilerplate HTML, the pediatric consent as
+    // two-column PDF text runs
+    val toothHtml = ("html:consent_txt", wrapInBoilerplateHtml(base(0)._2.split("\n", -1).toSeq))
+    val pedRuns = ("pdf_runs:docling_md", graft.parse.XYCut.renderRuns(
+      graft.parse.XYCut.synthesizeColumns(base(2)._2.split("\n", -1).toSeq, cols = 2)))
+    base :+ toothHtml :+ pedRuns
   }
+
+  /** Deterministic HTML wrapper: nav/header/footer noise with high link
+    * density around the document content (plain lines -> <p>, "- " -> <li>,
+    * "## " -> <h2>). */
+  def wrapInBoilerplateHtml(lines: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append("<html><head><title>Practice Portal</title><style>p{margin:0}</style>")
+    sb.append("<script>var t = \"<p>not content</p>\";</script></head><body>")
+    sb.append("<nav><a href=\"/\">Home</a> <a href=\"/forms\">Forms</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>")
+    sb.append("<header><div>Bright Smiles Dental Group</div><div>Call (555) 123-4567 or visit www.example.com</div></header>")
+    sb.append("<main>")
+    var inList = false
+    lines.foreach { l =>
+      if (l.startsWith("- ")) {
+        if (!inList) { sb.append("<ul>"); inList = true }
+        sb.append("<li>").append(escapeHtml(l.substring(2))).append("</li>")
+      } else {
+        if (inList) { sb.append("</ul>"); inList = false }
+        if (l.startsWith("## ")) sb.append("<h2>").append(escapeHtml(l.substring(3))).append("</h2>")
+        else if (l.trim.nonEmpty) sb.append("<p>").append(escapeHtml(l)).append("</p>")
+      }
+    }
+    if (inList) sb.append("</ul>")
+    sb.append("</main>")
+    sb.append("<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> <div>© 2024 Bright Smiles</div></footer>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   def convLength(ordinal: Long): Int =
     if (ordinal % 10 == 9) (100 + (ordinal * 37) % 400).toInt

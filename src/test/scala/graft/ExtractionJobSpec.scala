@@ -45,7 +45,7 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) =>
       assert(g.conv_id == w.conv_id && g.turn_idx == w.turn_idx)
-      val e = graft.extract.Extractor.extractTurn(w.text)
+      val e = graft.extract.Extractor.extractTurn(w.text, w.tool)
       assert(g.fields_json == e.fieldsJson, s"turn ${w.conv_id}/${w.turn_idx}")
       assert(g.main_text == e.mainText)
     }
