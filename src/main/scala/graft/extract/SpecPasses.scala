@@ -482,18 +482,52 @@ object MainValidator {
   }
 }
 
-/** Records-release template (pdf_to_json_converter.py:3220-3399) — ported in
-  * a later round; minimal trigger-compatible stub for routing completeness.
+/** Records-release fixed template emission
+  * (pdf_to_json_converter.py:3220-3399): Section A patient fields, release
+  * checkbox groups, Release-To block, signature block with initials_2.
   */
 object RecordsRelease {
+  private def in(key: String, title: String, section: String, inputType: String,
+                 lineIdx: Int, optional: Boolean = false): FieldInfo =
+    FieldInfo(key, title, "input", section, optional,
+      JObj.of("input_type" -> JStr(inputType)), lineIdx)
+
   def extract(textLines: Seq[String]): Vector[FieldInfo] = Vector(
-    FieldInfo("form_1", "", "text", "Form", optional = false,
-      control = JObj.of("html_text" -> JStr(
-        MainExtractor.createComprehensiveConsentHtml(textLines))), lineIdx = 10),
+    in("patient_name", "Patient Name", "Patient Information", "name", 0),
+    FieldInfo("date_of_birth", "Date of Birth", "date", "Patient Information",
+      optional = false, JObj.of("input_type" -> JStr("past")), 1),
+    in("street", "Street", "Patient Information", "address", 2),
+    in("city", "City", "Patient Information", "name", 3),
+    FieldInfo("state", "State", "states", "Patient Information",
+      optional = false, JObj(Vector.empty), 4),
+    in("zip", "Zip", "Patient Information", "zip", 5),
+    in("mobile_phone", "Mobile Phone", "Patient Information", "phone", 6),
+    in("home_phone", "Home Phone", "Patient Information", "phone", 7),
+    FieldInfo("complete_records", "Complete records", "checkbox",
+      "Information to be Released", optional = false,
+      JObj.of("options" -> JArr(Vector(
+        JObj.of("name" -> JStr("Complete records"), "value" -> JBool(true))))), 100),
+    FieldInfo("limited_records_options", "Limited records", "checkbox",
+      "Information to be Released", optional = false,
+      JObj.of("options" -> JArr(Vector(
+        JObj.of("name" -> JStr("Radiographs/Images"), "value" -> JStr("radiographs")),
+        JObj.of("name" -> JStr("Reports"), "value" -> JStr("reports")),
+        JObj.of("name" -> JStr("Other"), "value" -> JStr("other"))))), 101),
+    in("other_specify", "Other (specify)", "Information to be Released", "name", 102, optional = true),
+    in("recipient_name", "Name", "Release To", "name", 200),
+    in("recipient_address", "Address", "Release To", "address", 201),
+    in("recipient_phone", "Phone", "Release To", "phone", 202),
+    in("recipient_fax", "Fax", "Release To", "phone", 203),
+    in("patient_employed_by", "Patient Employed By", "Signature", "name", 300),
+    in("occupation", "Occupation", "Signature", "name", 301),
+    in("in_case_of_emergency_who_should_be_notified",
+      "In case of emergency, who should be notified", "Signature", "name", 302),
+    in("relationship_to_patient", "Relationship to Patient", "Signature", "name", 303),
     FieldInfo("signature", "Signature", "signature", "Signature",
-      optional = false, control = JObj(Vector.empty), lineIdx = 200),
+      optional = false, JObj(Vector.empty), 400),
     FieldInfo("date_signed", "Date Signed", "date", "Signature",
-      optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 201))
+      optional = false, JObj.of("input_type" -> JStr("past")), 401),
+    in("initials_2", "Initial", "Signature", "initials", 402))
 }
 
 /** Patient-info route: the NPF 86-field machine. */

@@ -32,6 +32,10 @@ class MainGoldenSpec extends AnyFunSuite {
     runGolden("pediatric_extraction")
   }
 
+  test("records release template (generated-once golden, FIXTURES.md 2.4)") {
+    runGolden("records_release")
+  }
+
   test("NPF 86-field patient-info machine matches golden byte-for-byte") {
     val lines = res("fixtures/npf.txt").split("\n", -1).toSeq
     val golden = res("golden/npf.json").stripLineEnd

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.model.Slugify
+import graft.extract.ConsentExtractor
+import graft.functions.TextFns
+
+/** Property-based invariants (SURVEY.md §5.2). */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampler over a ScalaCheck Gen (scalatestplus is not in
+    * the offline cache; raw scalacheck is). */
+  private def forAll[A](gen: Gen[A], n: Int = 150)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val anyText: Gen[String] = Gen.asciiPrintableStr
+  private val wordText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("the"), Gen.const("Dr."),
+      Gen.const("___"), Gen.const("Tooth"))).map(_.mkString(" "))
+
+  test("slugify is idempotent and emits only [a-z0-9_]") {
+    forAll(anyText) { s =>
+      val once = Slugify.slugify(s)
+      assert(Slugify.slugify(once) == once)
+      assert(once.matches("[a-z0-9_]+"), once)
+      assert(!once.startsWith("_") && !once.endsWith("_"))
+    }
+  }
+
+  test("placeholder substitution is idempotent (negative-lookahead guards)") {
+    forAll(wordText) { s =>
+      val once = ConsentExtractor.applyPlaceholders(s)
+      val twice = ConsentExtractor.applyPlaceholders(once)
+      assert(twice == once, s"input=$s")
+    }
+  }
+
+  test("consent HTML never emits unbalanced <ul>") {
+    val lineGen = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"- bullet $s"),
+      Gen.alphaNumStr.map(s => s"Plain line $s"),
+      Gen.const(""),
+      Gen.alphaNumStr.map(s => s"## Header $s"))
+    forAll(Gen.listOf(lineGen)) { lines =>
+      val (html, _) = ConsentExtractor.createEnhancedConsentHtml(lines)
+      val opens = "<ul>".r.findAllIn(html).length
+      val closes = "</ul>".r.findAllIn(html).length
+      assert(opens == closes, html)
+    }
+  }
+
+  test("validator key uniqueness never collides") {
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "signature", "date_signed", "a_2"))) { keys =>
+      val fields = keys.toVector.map(k =>
+        graft.model.FieldInfo(k, k.capitalize + " title word", "input", "Form"))
+      val out = ConsentExtractor.validateAndNormalize(fields)
+      val outKeys = out.map(_.key)
+      assert(outKeys.distinct.length == outKeys.length, outKeys.toString)
+      assert(out.count(_.fieldType == "signature") == 1)
+    }
+  }
+
+  test("extraction always yields signature + date_signed and valid JSON") {
+    forAll(Gen.listOf(anyText)) { lines =>
+      val fields = ConsentExtractor.convertFields(lines)
+      assert(fields.exists(f => f.fieldType == "signature" && f.key == "signature"))
+      assert(fields.exists(_.key == "date_signed"))
+      val json = graft.model.Spec.render(fields, includeOptional = false)
+      assert(json.startsWith("[") && json.endsWith("]"))
+    }
+  }
+
+  test("minhash signature similarity tracks shingle jaccard direction") {
+    val doc = Gen.listOfN(30, Gen.oneOf("spark", "scala", "data", "table", "row",
+      "join", "agg", "filter", "scan", "merge")).map(_.mkString(" "))
+    forAll(doc) { d =>
+      val sigSelf = TextFns.minHashSignature(d, 3, 64)
+      assert(sigSelf.sameElements(TextFns.minHashSignature(d, 3, 64)), "deterministic")
+      assert(TextFns.jaccardShingles(d, d, 3) == 1000)
+    }
+  }
+
+  test("simhash of identical docs is identical; hamming <= 64") {
+    forAll(anyText, anyText) { (a, b) =>
+      assert(TextFns.simHash(a) == TextFns.simHash(a))
+      assert(TextFns.hammingDistance(TextFns.simHash(a), TextFns.simHash(b)) <= 64)
+    }
+  }
+
+  test("XY-cut single-column order recovery under permutation") {
+    forAll(Gen.choose(1, 20), Gen.choose(0L, 1000L)) { (n, seed) =>
+      val lines = (0 until n).map(i => s"line number $i").toVector
+      val runs = graft.parse.XYCut.synthesizeColumns(lines, cols = 1)
+      val perm = new scala.util.Random(seed).shuffle(runs)
+      assert(graft.parse.XYCut.toLines(perm) == lines)
+    }
+  }
+}
