@@ -1,0 +1,123 @@
+package graft.extract
+
+import graft.model._
+import scala.collection.mutable
+
+/** Enhanced DOCX consent processor, reconstructed from its golden outputs
+  * (docx/ZOOMConsentFINAL122024.json, DentureProcessingConsentFINAL122024.json,
+  * "Informed Consent Crown & Bridge Prosthetic.json"): the producing module
+  * (`enhanced_docx_processor`) is absent from the reference repo — its import
+  * always fails (pdf_to_json_converter.py:5164-5172) — so the goldens are the
+  * spec. Input model: one line per DOCX paragraph; empty line = empty
+  * paragraph; markdown bold (**text**) marks bold paragraphs.
+  *
+  * Output shape: form_1 with one <p> per paragraph (<p><br></p> for empty,
+  * <p><strong>..</strong></p> for bold), title paragraph(s) in the centered
+  * <strong> header; signature-area fields in document order; signature +
+  * date_signed(past) injected when absent; bypasses the manager/validator
+  * passes (the reference shortcut returns early).
+  */
+object EnhancedDocxConsent {
+
+  private case class Pat(anchor: String, key: String, title: String,
+                         fieldType: String, inputType: Option[String])
+  // ordered: most specific anchors first; all lowercase-contains matches
+  private val patterns = Vector(
+    Pat("print patient name", "printed_name", "Patient Name", "input", Some("name")),
+    Pat("patient's name (please print)", "patient_name_please_print", "Patient's Name (Please Print)", "input", Some("name")),
+    Pat("printed name if signed on behalf", "printed_name_if_signed_on_behalf", "Printed Name", "input", Some("name")),
+    Pat("patient's name", "patient_name", "Patient's Name", "input", Some("name")),
+    Pat("patient date of birth", "patient_date_of_birth", "Patient Date of Birth", "date", Some("past")),
+    Pat("authorized representative", "authorized_representative", "Authorized Representative", "input", Some("name")),
+    Pat("signature of parent/guardian", "signature_of_parent_guardian", "Signature of Parent/Guardian", "input", Some("name")),
+    Pat("patient name", "patient_name", "Patient Name", "input", Some("name")),
+    Pat("relationship", "relationship", "Relationship", "input", Some("name")))
+
+  private val boldRe = "^\\*\\*(.*)\\*\\*$".r
+
+  def convert(lines0: Seq[String]): String = {
+    val lines = lines0.toVector
+    val fields = mutable.ArrayBuffer[FieldInfo]()
+    val processed = mutable.Set[String]()
+
+    // ---- content/title area ----
+    // content ends at the first fill-in line: a field/signature/date label
+    // WITH underscores. A label line without a blank (e.g. Denture's
+    // "Patient's Name (Please Print) : Date:") stays in the content html,
+    // matching the goldens.
+    val firstIdx = lines.indexWhere(_.trim.nonEmpty)
+    def isFillIn(l: String): Boolean = {
+      val lower = l.toLowerCase
+      l.contains("_") && (patterns.exists(p => lower.contains(p.anchor)) ||
+        lower.contains("signature") || lower.matches("^date\\s*:.*"))
+    }
+    val sigStart = lines.indexWhere(isFillIn)
+    val contentEnd = if (sigStart >= 0) sigStart else lines.length
+
+    var titleParts = Vector(stripBold(lines(firstIdx).trim))
+    var contentFrom = firstIdx + 1
+    // multi-line title continuation: short capitalized unpunctuated next line
+    while (contentFrom < contentEnd && {
+      val n = lines(contentFrom).trim
+      n.nonEmpty && n.length < 40 && n.split("\\s+").length <= 4 &&
+        n.head.isUpper && !n.endsWith(".") && !n.endsWith(":") && !n.contains("_")
+    }) {
+      titleParts = titleParts :+ stripBold(lines(contentFrom).trim)
+      contentFrom += 1
+    }
+    val title = titleParts.mkString("<br>")
+
+    val body = new StringBuilder
+    lines.slice(contentFrom, contentEnd).foreach { raw =>
+      val t = raw.trim
+      if (t.isEmpty) body.append("<p><br></p>")
+      else boldRe.findFirstMatchIn(t) match {
+        case Some(m) => body.append(s"<p><strong>${m.group(1)}</strong></p>")
+        case None => body.append(s"<p>$t</p>")
+      }
+    }
+    fields += FieldInfo("form_1", "", "text", "Form", optional = false,
+      control = JObj.of("html_text" ->
+        JStr(s"""<div style="text-align:center"><strong>$title</strong><br>$body</div>""")),
+      lineIdx = 0)
+
+    // ---- field pass over the whole document (document order == output order) ----
+    lines.zipWithIndex.drop(contentFrom).foreach { case (raw, idx) =>
+      val lower = raw.toLowerCase
+      if (raw.trim.nonEmpty) {
+        patterns.find(p => lower.contains(p.anchor) && !processed.contains(p.key)) match {
+          case Some(p) =>
+            val control = p.fieldType match {
+              case "date" => JObj.of("input_type" -> JStr(p.inputType.getOrElse("past")))
+              case _ => JObj.of("input_type" -> JStr(p.inputType.getOrElse("name")))
+            }
+            fields += FieldInfo(p.key, p.title, p.fieldType, "Signature",
+              optional = false, control = control, lineIdx = idx)
+            processed += p.key
+          case None =>
+            if (lower.contains("signature") && !processed.contains("signature")) {
+              fields += FieldInfo("signature", "Signature", "signature", "Signature",
+                optional = false, control = JObj(Vector.empty), lineIdx = idx)
+              processed += "signature"
+            } else if (lower.matches("^date\\s*:.*") && !processed.contains("date_signed")) {
+              fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
+                optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = idx)
+              processed += "date_signed"
+            }
+        }
+      }
+    }
+
+    if (!processed.contains("signature"))
+      fields += FieldInfo("signature", "Signature", "signature", "Signature",
+        optional = false, control = JObj(Vector.empty), lineIdx = lines.length)
+    if (!processed.contains("date_signed"))
+      fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
+        optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = lines.length + 1)
+
+    Spec.render(fields.toSeq, includeOptional = true)
+  }
+
+  private def stripBold(s: String): String =
+    boldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+}

@@ -47,7 +47,10 @@ object Transcripts {
       "tooth_removal_consent" -> "consent_txt",
       "consent_crown_bridge" -> "consent_txt",
       "pediatric_extraction" -> "docling_md",
-      "npf" -> "docling_md")
+      "npf" -> "docling_md",
+      "records_release" -> "docling_md",
+      "zoom_consent" -> "docx",
+      "denture_consent" -> "docx")
     val base = names.map { case (n, tag) =>
       val in = getClass.getClassLoader.getResourceAsStream(s"fixtures/$n.txt")
       require(in != null, s"missing fixture $n")

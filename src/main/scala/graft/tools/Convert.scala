@@ -27,9 +27,10 @@ object Convert {
     }
     val json = profile match {
       case "main" => graft.extract.MainExtractor.convert(lines)
+      case "docx" => graft.extract.EnhancedDocxConsent.convert(lines)
       case "consent" => ConsentExtractor.convert(lines)
       case other =>
-        System.err.println(s"error: unknown profile '$other' (use main|consent)")
+        System.err.println(s"error: unknown profile '$other' (use main|consent|docx)")
         sys.exit(1); ""
     }
     val outIdx = args.indexOf("--output")

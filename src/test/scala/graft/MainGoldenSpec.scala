@@ -36,6 +36,21 @@ class MainGoldenSpec extends AnyFunSuite {
     runGolden("records_release")
   }
 
+  private def runDocxGolden(name: String): Unit = {
+    val lines = res(s"fixtures/$name.txt").split("\n", -1).toSeq
+    val golden = res(s"golden/$name.json").stripLineEnd
+    val out = graft.extract.EnhancedDocxConsent.convert(lines)
+    if (out != golden) {
+      val a = out.split("\n"); val b = golden.split("\n")
+      val d = a.zip(b).indexWhere { case (x, y) => x != y }
+      fail(s"golden mismatch at line $d\n got: ${a.lift(d)}\nwant: ${b.lift(d)}\n(lengths ${a.length} vs ${b.length})")
+    }
+  }
+
+  test("ZOOM docx consent matches golden byte-for-byte") { runDocxGolden("zoom_consent") }
+  test("Denture docx consent matches golden byte-for-byte") { runDocxGolden("denture_consent") }
+  test("Crown & Bridge docx consent matches golden byte-for-byte") { runDocxGolden("crown_bridge_docx") }
+
   test("NPF 86-field patient-info machine matches golden byte-for-byte") {
     val lines = res("fixtures/npf.txt").split("\n", -1).toSeq
     val golden = res("golden/npf.json").stripLineEnd
