@@ -256,9 +256,21 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** LSH-bucketed ANN — the 10^9-vector scale path (recall vs the q16 brute
+    * force is asserted in AnnRecallSpec; rows-only for the driver). */
+  def q23AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.AnnLsh.annTopK(spark, dir)
+
+  /** Multimodal binary-column plumbing: blob -> stubbed decode -> metadata +
+    * feature vector, batched via mapPartitions (rows-only check). */
+  def q24Multimodal(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.pipeline(spark, dir)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
+    "q23_ann_lsh" -> q23AnnLsh _,
+    "q24_multimodal" -> q24Multimodal _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_top_customers" -> q2TopCustomers _,
     "q3_region_customers" -> q3RegionCustomers _,

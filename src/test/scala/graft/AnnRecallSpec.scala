@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** LSH ANN must approximate the brute-force top-k (recall), and the
+  * multimodal pipeline must produce decodable metadata for every document. */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("LSH ANN recall@5 >= 0.6 vs brute force on sf0.001") {
+    val brute = graft.queries.Queries.q16AnnCosine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.functions.AnnLsh.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("multimodal pipeline decodes every blob with sane metadata") {
+    val rows = graft.functions.Multimodal.pipeline(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 48)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    }
+  }
+}
