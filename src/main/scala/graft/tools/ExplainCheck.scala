@@ -1,0 +1,45 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Plan-quality audit: assert pushdown/pruning/broadcast shapes on the
+  * representative queries (the 100 TB plan-shape contract). */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    def plan(name: String, df: org.apache.spark.sql.DataFrame, checks: (String, String => Boolean)*): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      checks.foreach { case (what, ok) =>
+        println(f"$name%-22s $what%-38s ${if (ok(p)) "OK" else "MISSING"}")
+        if (!ok(p)) println(p.linesIterator.take(30).mkString("\n"))
+      }
+    }
+    plan("q1_pricing_summary", graft.queries.Queries.q1PricingSummary(spark, dir),
+      ("partial agg (map-side combine)", _.contains("partial_")),
+      ("column-pruned scan (4 cols)", p => p.contains("ReadSchema: struct<l_quantity") || p.contains("l_returnflag")))
+    plan("q3_region_customers", graft.queries.Queries.q3RegionCustomers(spark, dir),
+      ("broadcast hash join", _.contains("BroadcastHashJoin")))
+    plan("q4_part_semijoin", graft.queries.Queries.q4PartSemijoin(spark, dir),
+      ("semi join", _.contains("LeftSemi")),
+      ("filter pushed to scan", _.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48")))
+    plan("q8_orders_anti", graft.queries.Queries.q8OrdersAnti(spark, dir),
+      ("anti join", _.contains("LeftAnti")))
+    plan("q10_dedup_exact", graft.queries.Queries.q10DedupExact(spark, dir),
+      ("partial agg before shuffle", _.contains("partial_")))
+    plan("q16_ann_cosine", graft.queries.Queries.q16AnnCosine(spark, dir),
+      ("broadcast query side", _.contains("Broadcast")))
+    plan("q21_transcripts", graft.queries.Queries.q21TranscriptExtract(spark, dir),
+      // object operators can't be codegen'd; the contract is a FUSED object
+      // chain (flatMap+map, one deserialize, one serialize) and column
+      // pruning through the typed map (big string cols never serialize)
+      ("fused object chain (single serialize)", p => "SerializeFromObject".r.findAllIn(p).length == 1),
+      ("pruned serialize (no main_text col)", p => !p.contains("main_text")))
+    // scan pruning check: a 2-col projection must not read all lineitem cols
+    val pruned = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val rs = pruned.queryExecution.executedPlan.toString
+    println("pruning ReadSchema: " + rs.linesIterator.find(_.contains("ReadSchema")).getOrElse("?").trim.take(120))
+    spark.stop()
+  }
+}
