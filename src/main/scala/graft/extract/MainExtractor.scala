@@ -560,7 +560,7 @@ object MainExtractor {
       case "records_release" => RecordsRelease.extract(textLines)
       case "patient_info" => PatientInfo.extract(textLines)
       case "consent" => extractConsentFormFields(textLines)
-      case _ => extractConsentFormFields(textLines)
+      case _ => UniversalExtractor.extract(textLines)
     }
     (formType, applyFormTypeFiltering(consolidateConsentSections(fields, formType), formType))
   }
@@ -571,7 +571,11 @@ object MainExtractor {
     Json.render(JArr(spec.map(_.render)))
   }
 
-  def convertToSpec(textLines: Seq[String]): (String, Vector[SpecQ]) = {
+  def convertToSpec(textLines0: Seq[String]): (String, Vector[SpecQ]) = {
+    // main-pipeline line cleaning (scan-stage analog,
+    // pdf_to_json_converter.py:792-793): header/footer manager with the
+    // form-content whitelist
+    val textLines = HeaderFooterMain.removePracticeHeadersFooters(textLines0)
     val (formType, fields0) = extractFieldsFromText(textLines)
     var fields = FieldOrdering.ensureRequiredSignatureFields(fields0)
     fields = FieldOrdering.ensureDateSignedField(fields)
