@@ -266,11 +266,67 @@ object Queries {
   def q24Multimodal(spark: SparkSession, dir: String): DataFrame =
     graft.functions.Multimodal.pipeline(spark, dir)
 
+  /** Embedding-cosine near-duplicate pairs (exact, subset): the dedup-by-
+    * embedding method from the brief, DuckDB-oracled. At scale the LSH
+    * bucketing of q23 replaces the cross join. */
+  def q25EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm2").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("norm2").as("nb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") /
+          sqrt(col("na") * col("nb")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("a").asc, col("b").asc)))
+      .where(col("rank") <= 20)
+      .select("a", "b", "rank")
+      .orderBy("rank")
+  }
+
+  /** SimHash near-duplicate pairs: 16-bit band blocking + Hamming<=6 verify
+    * (rows-only; simhash is engine-defined). */
+  def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val simUdf = udf { text: String => TextFns.simHash(text) }
+    val bandUdf = udf { h: Long => (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xFFFFL}") }
+    val hammingUdf = udf { (x: Long, y: Long) => TextFns.hammingDistance(x, y) }
+    val docs = table(spark, dir, "documents").select(col("doc_id"),
+      simUdf(col("text")).as("sim"))
+    val banded = docs.withColumn("band", explode(bandUdf(col("sim"))))
+    banded.as("l").join(banded.as("r"), Seq("band"))
+      .where($"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"), $"l.sim".as("sa"), $"r.sim".as("sb"))
+      .distinct()
+      .where(hammingUdf(col("sa"), col("sb")) <= 6)
+      .select("a", "b")
+      .orderBy("a", "b")
+  }
+
+  /** Exact 3-gram word-shingle Jaccard over a doc subset — DuckDB-oracled
+    * (list_intersect on generated shingles). */
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val jaccardUdf = udf { (x: String, y: String) => TextFns.jaccardShingles(x, y, 3).toLong }
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val docs = table(spark, dir, "documents").where(col("doc_id") < 40 && nWords >= 3)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccardUdf(col("ta"), col("tb")).as("jaccard_x1000"))
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_multimodal" -> q24Multimodal _,
+    "q25_embed_neardup" -> q25EmbedNeardup _,
+    "q26_simhash_pairs" -> q26SimhashPairs _,
+    "q27_ngram_jaccard" -> q27NgramJaccard _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_top_customers" -> q2TopCustomers _,
     "q3_region_customers" -> q3RegionCustomers _,
@@ -323,6 +379,10 @@ object Queries {
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1""",
     "q13_quality_signals" ->
       """SELECT doc_id, CAST(array_length(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_words, CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop, CAST(floor(1000.0 * len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for'))) / array_length(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS stop_ratio_x1000 FROM documents ORDER BY doc_id""",
+    "q25_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS a, b.vec_id AS b, row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, a.vec_id ASC, b.vec_id ASC) AS rank FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) SELECT a, b, CAST(rank AS INT) AS rank FROM p WHERE rank <= 20 ORDER BY rank""",
+    "q27_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 40 AND len(regexp_split_to_array(trim(text), '\s+')) >= 3)) SELECT a.doc_id AS a, b.doc_id AS b, CAST((1000 * len(list_intersect(a.sh, b.sh))) // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_x1000 FROM d a CROSS JOIN d b WHERE a.doc_id < b.doc_id ORDER BY 1, 2""",
     "q16_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank"""
   )
