@@ -27,6 +27,62 @@ object PatientInfoMachine {
   def extractCheckboxOptions(line: String): Vector[String] =
     optionExtractRe.findAllMatchIn(line).map(_.group(1).trim).filter(_.nonEmpty).toVector
 
+  // ---- checkbox-run collection (pdf_to_json_converter.py:544-569, 1443-1476, 1628-1635) ----
+  private val unifiedBulletRe = ("^\\s*(?:[•\\-–\\*]|[□■☐☑✅]|[◉●○]|\\d+[\\.\\)]\\s*|" +
+    "[a-zA-Z][\\.\\)]\\s*|[\\u2022\\u2023\\u2043\\u204C\\u204D\\u2219\\u25A0\\u25A1\\u25CF\\u25CB])\\s*(.+)").r
+  private val firstHistoryItemRe = ("^" + checkboxSymbols + "\\s*[A-Za-z]").r
+  private val plainHistoryRe = "^[A-Za-z][A-Za-z\\s]{2,}$".r
+  private val fallbackCheckRe = ("^(?:" + checkboxSymbols + "\\s*)?([A-Za-z][A-Za-z0-9\\-\\s/&]{2,})$").r
+
+  def looksLikeFirstHistoryItem(line: String): Boolean =
+    firstHistoryItemRe.findFirstIn(line).isDefined || plainHistoryRe.findFirstIn(line).isDefined
+
+  /** Collect consecutive bullet/checkbox lines into options; returns
+    * (options, nextIdx). */
+  def collectCheckboxRun(lines: IndexedSeq[String], start: Int): (Vector[JObj], Int) = {
+    val out = mutable.ArrayBuffer[JObj]()
+    var j = start
+    var done = false
+    while (j < lines.length && !done) {
+      val line = lines(j).trim
+      if (line.isEmpty) j += 1
+      else unifiedBulletRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val label = m.group(1).trim.replaceAll(":+$", "")
+          if (label.length > 2) out += JObj.of("name" -> JStr(label), "value" -> JStr(label))
+          j += 1
+        case None =>
+          fallbackCheckRe.findFirstMatchIn(line) match {
+            case Some(m) =>
+              val label = m.group(1).trim.replaceAll(":+$", "")
+              if (label.length > 2) out += JObj.of("name" -> JStr(label), "value" -> JStr(label))
+              j += 1
+            case None => done = true
+          }
+      }
+    }
+    (out.toVector, j)
+  }
+
+  /** Consent text block + acknowledgment + signature + date quadruple
+    * (pdf_to_json_converter.py:1504-1548). */
+  def emitConsentBlock(title: String, paragraphLines: Seq[String], section: String,
+                       lineIdx: Int): Vector[FieldInfo] = {
+    val html = "<p>" + paragraphLines.mkString(" ") + "</p>"
+    Vector(
+      FieldInfo(Slugify.slugify(title), title, "text", section, optional = false,
+        JObj.of("html_text" -> JStr(html), "temporary_html_text" -> JStr(html),
+          "text" -> JStr("")), lineIdx),
+      FieldInfo("acknowledge", "I have read and understand the information above.",
+        "checkbox", section, optional = false,
+        JObj.of("options" -> JArr(Vector(JObj.of("name" -> JStr("I agree"), "value" -> JStr("I agree"))))),
+        lineIdx + 1),
+      FieldInfo("signature", "Signature", "signature", "Signature", optional = false,
+        JObj(Vector.empty), lineIdx + 2),
+      FieldInfo("signature_date", "Date", "date", "Signature", optional = false,
+        JObj.of("input_type" -> JStr("past")), lineIdx + 3))
+  }
+
   // ---- predefined radio banks (pdf_to_json_converter.py:1165-1251) ----
   private def opts(pairs: (String, JVal)*): JArr =
     JArr(pairs.toVector.map { case (n, v) => JObj.of("name" -> JStr(n), "value" -> v) })
@@ -361,6 +417,53 @@ object PatientInfoMachine {
         }
       }
 
+      // consent paragraphs with risks/side effects (pdf_to_json_converter.py:4294-4310)
+      if (!consumed && Set("Signature", "Consent").contains(currentSection) && line.length > 50 &&
+          Vector("risks", "side effects", "complications", "potential").exists(line.toLowerCase.contains)) {
+        val consentLines = mutable.ArrayBuffer(line)
+        var j = i + 1
+        while (j < textLines.length && textLines(j).length > 30) {
+          consentLines += textLines(j); j += 1
+        }
+        val block = emitConsentBlock("Risks and Acknowledgment", consentLines.toSeq, currentSection, i)
+        block.foreach { f =>
+          if (!processedKeys.contains(f.key)) { fields += f; processedKeys += f.key }
+        }
+        i = j; consumed = true
+      }
+
+      // large policy text block, first pass (pdf_to_json_converter.py:4313-4364):
+      // fires only for 100-200 char lines (longer ones were policy-skipped);
+      // the second pass rebuilds text_3 and reference ordering keeps the last
+      if (!consumed && line.length > 100 && currentSection == "Signature" &&
+          Vector("responsibility", "payment", "benefit", "authorize", "consent")
+            .exists(line.toLowerCase.contains) &&
+          "(?i)YES\\s+N\\s*O?\\s*\\(Check One\\)".r.findFirstIn(
+            line.replaceAll("[\\uf031\\uf020\\u2003\\u2002\\u2000-\\u200b\\ufeff]+", " ")).isEmpty) {
+        val content = mutable.ArrayBuffer(line)
+        var j = i + 1
+        var stop = false
+        while (j < textLines.length && !stop) {
+          val next = textLines(j).trim
+          if (next.length < 10 || next.startsWith("##") ||
+              (next.contains("_") && Vector("initial", "signature").exists(next.contains)) ||
+              (next.toLowerCase.contains("initial") && next.length < 50)) stop = true
+          else {
+            if (next.length > 30) content += next
+            j += 1
+          }
+        }
+        val fullText = content.mkString(" ")
+        if (fullText.nonEmpty && !processedKeys.contains("text_3")) {
+          val html = Text3Formatter.formatHtml(fullText)
+          fields += FieldInfo("text_3", "", "text", currentSection, optional = false,
+            JObj.of("html_text" -> JStr(html), "temporary_html_text" -> JStr(html),
+              "text" -> JStr("")), lineIdx = 0)
+          processedKeys += "text_3"
+        }
+        i = j; consumed = true
+      }
+
       // (initial) handler -> text_4 + initials (first pass)
       if (!consumed && line.toLowerCase.contains("(initial)")) {
         val textPart = initialSplitRe.split(line)(0).trim
@@ -425,6 +528,42 @@ object PatientInfoMachine {
           processedKeys += "date_signed"
         }
         i += 1; consumed = true
+      }
+
+      // medical-history checkbox-run bundling (pdf_to_json_converter.py:4496-4511)
+      if (!consumed && currentSection == "Medical History" && looksLikeFirstHistoryItem(line)) {
+        val (options, j) = collectCheckboxRun(textLines, i)
+        if (options.length >= 4 && !processedKeys.contains("medical_history")) {
+          fields += FieldInfo("medical_history", "Medical History", "checkbox",
+            currentSection, optional = true, JObj.of("options" -> JArr(options)), i)
+          processedKeys += "medical_history"
+          i = j; consumed = true
+        }
+      }
+
+      // generic same-line checkbox question -> radio (pdf_to_json_converter.py:4530-4558)
+      if (!consumed) {
+        val checkboxOptions = extractCheckboxOptions(line)
+        if (checkboxOptions.length >= 2) {
+          val questionPart = line.split("[" + checkboxCharClass + "]")(0).trim
+          if (questionPart.nonEmpty && questionPart.length > 3) {
+            val key = Slugify.slugify(questionPart)
+            if (!processedKeys.contains(key)) {
+              val options = checkboxOptions.map { opt =>
+                val v: JVal = opt.toLowerCase match {
+                  case "yes" | "true" => JBool(true)
+                  case "no" | "false" => JBool(false)
+                  case _ => JStr(opt)
+                }
+                JObj.of("name" -> JStr(opt), "value" -> v)
+              }
+              fields += FieldInfo(key, questionPart, "radio", currentSection,
+                optional = false, JObj.of("options" -> JArr(options)), i)
+              processedKeys += key
+            }
+            i += 1; consumed = true
+          }
+        }
       }
 
       // skip bare header labels

@@ -102,6 +102,42 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(UniversalExtractor.currentSection(4, m) == "Signature")
   }
 
+  test("medical-history checkbox run bundles >=4 items into one checkbox (#28)") {
+    val lines = Seq(
+      "## MEDICAL HISTORY",
+      "□ Diabetes",
+      "□ Heart Disease",
+      "□ Asthma",
+      "□ High Blood Pressure",
+      "□ Arthritis",
+      "Allergies: ____________")
+    val fields = PatientInfoMachine.extract(lines)
+    val mh = fields.find(_.key == "medical_history")
+    assert(mh.isDefined, fields.map(_.key).toString)
+    val opts = mh.get.control.get("options").collect { case JArr(o) => o.length }.getOrElse(0)
+    assert(opts >= 4, mh.get.control.toString)
+    assert(mh.get.optional)
+  }
+
+  test("risks consent paragraph emits text+acknowledge+signature+date block (#37)") {
+    val lines = Seq(
+      "## SIGNATURE",
+      "There are risks and potential complications with this treatment that you should understand fully beforehand.",
+      "These include swelling and discomfort which usually resolve quickly after treatment ends.")
+    val fields = PatientInfoMachine.extract(lines)
+    val keys = fields.map(_.key)
+    assert(keys.contains("risks_and_acknowledgment"), keys.toString)
+    assert(keys.contains("acknowledge"))
+    assert(keys.contains("signature"))
+  }
+
+  test("generic same-line checkbox question becomes a radio (#4530)") {
+    val lines = Seq("Preferred appointment time □ Morning □ Afternoon □ Evening")
+    val fields = PatientInfoMachine.extract(lines)
+    val radio = fields.find(_.key == "preferred_appointment_time")
+    assert(radio.isDefined && radio.get.fieldType == "radio", fields.map(_.key).toString)
+  }
+
   test("title case small words (consent_converter.py:168-203)") {
     assert(ConsentExtractor.toTitleCase("tooth removal consent form") == "Tooth Removal Consent Form")
     assert(ConsentExtractor.toTitleCase("consent for the removal of teeth") == "Consent for the Removal of Teeth")
