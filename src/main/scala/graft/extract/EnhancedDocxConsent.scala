@@ -35,7 +35,12 @@ object EnhancedDocxConsent {
 
   private val boldRe = "^\\*\\*(.*)\\*\\*$".r
 
-  def convert(lines0: Seq[String]): String = {
+  def convert(lines0: Seq[String]): String =
+    convertFields(lines0)._2
+
+  /** Returns (fields, rendered json) — callers needing counts avoid a second
+    * extraction pass. */
+  def convertFields(lines0: Seq[String]): (Vector[FieldInfo], String) = {
     val lines = lines0.toVector
     val fields = mutable.ArrayBuffer[FieldInfo]()
     val processed = mutable.Set[String]()
@@ -115,7 +120,7 @@ object EnhancedDocxConsent {
       fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
         optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = lines.length + 1)
 
-    Spec.render(fields.toSeq, includeOptional = true)
+    (fields.toVector, Spec.render(fields.toSeq, includeOptional = true))
   }
 
   private def stripBold(s: String): String =

@@ -50,12 +50,8 @@ object Extractor {
     // main profile then routes internally by detected form type.
     val (formType, fields, json) =
       if (profile == "docx") {
-        val json = EnhancedDocxConsent.convert(lines)
-        val ft = FormClassifier.detectFormType(lines)
-        // field/section counts parsed from the spec for reporting
-        val fis = ConsentExtractor.validateAndNormalize(
-          ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
-        (ft, fis, json)
+        val (fis, json) = EnhancedDocxConsent.convertFields(lines)
+        (FormClassifier.detectFormType(lines), fis, json)
       } else if (profile == "docling_md" || profile == "main") {
         val (ft, spec) = MainExtractor.convertToSpec(lines)
         val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,

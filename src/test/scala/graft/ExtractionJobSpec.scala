@@ -107,6 +107,40 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop.isEmpty, "fully-committed table must not recompute anything")
   }
 
+  test("crash between bucket promotion and snapshot commit is repaired on resume") {
+    val out = Files.createTempDirectory("graft-dirty").toString
+    val turns = Transcripts.generate(spark, 30)
+    // commit only wave 0 (buckets 0-1 of 8, 4 waves)
+    intercept[RuntimeException] {
+      ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 8, waves = 4, failAfterWave = 0))
+    }
+    val committed = ExtractionJob.committedBuckets(out)
+    assert(committed.size == 2)
+    // simulate a kill mid-wave-1: a bucket dir promoted into data/ but the
+    // snapshot never committed, plus a stale staging dir
+    val uncommitted = (0 until 8).filterNot(committed.contains).head
+    val dirty = java.nio.file.Paths.get(out, "data", s"bucket=$uncommitted")
+    Files.createDirectories(dirty)
+    Files.write(dirty.resolve("part-bogus.parquet"), Array[Byte](1, 2, 3))
+    val staleStaging = java.nio.file.Paths.get(out, "staging-wave-1", s"bucket=$uncommitted")
+    Files.createDirectories(staleStaging)
+    Files.write(staleStaging.resolve("junk.parquet"), Array[Byte](9))
+
+    // resume: must reprocess every uncommitted bucket and repair the dirty dir
+    val resumed = ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 8, waves = 4))
+    assert(resumed == (0 until 8).toSet -- committed)
+    assert(!Files.exists(dirty.resolve("part-bogus.parquet")), "dirty partial promotion must be replaced")
+
+    // final table equals a clean end-to-end run
+    val clean = Files.createTempDirectory("graft-clean").toString
+    ExtractionJob.run(spark, turns, ExtractionJob.Config(clean, buckets = 8, waves = 4))
+    val a = ExtractionJob.readCommitted(spark, out).select("conv_id", "turn_idx", "fields_json")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = ExtractionJob.readCommitted(spark, clean).select("conv_id", "turn_idx", "fields_json")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+  }
+
   test("lineage rows cover every bucket with correct row counts") {
     val out = Files.createTempDirectory("graft-lineage").toString
     val turns = Transcripts.generate(spark, 25)
