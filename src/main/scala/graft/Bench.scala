@@ -50,15 +50,22 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // failed queries are reported with negative elapsed plus a failed list so
+    // a throwing query can never masquerade as a fast healthy run
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + f"""":${if (ok) v else -v}%.3f""" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum + extractSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -51,6 +51,20 @@ object EnhancedDocxConsent {
     // "Patient's Name (Please Print) : Date:") stays in the content html,
     // matching the goldens.
     val firstIdx = lines.indexWhere(_.trim.nonEmpty)
+    if (firstIdx < 0) {
+      // degenerate input (empty / whitespace-only docx): minimal spec, same
+      // shape as the non-empty path's fallback — form_1 + injected signature
+      // + date_signed — so one blank row can't kill a whole batch.
+      fields += FieldInfo("form_1", "", "text", "Form", optional = false,
+        control = JObj.of("html_text" ->
+          JStr("""<div style="text-align:center"><strong></strong><br></div>""")),
+        lineIdx = 0)
+      fields += FieldInfo("signature", "Signature", "signature", "Signature",
+        optional = false, control = JObj(Vector.empty), lineIdx = 1)
+      fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
+        optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 2)
+      return (fields.toVector, Spec.render(fields.toSeq, includeOptional = true))
+    }
     def isFillIn(l: String): Boolean = {
       val lower = l.toLowerCase
       l.contains("_") && (patterns.exists(p => lower.contains(p.anchor)) ||

@@ -59,10 +59,28 @@ object Multimodal {
     out
   }
 
+  /** Deterministic 64-bit checksum of a feature vector (bit-exact: folds the
+    * IEEE-754 bits, not the float values). The driver-facing query returns
+    * this scalar instead of the raw Array[Float] — float arrays are not
+    * hashable by the oracle harness — while `features` stays available for
+    * internal pipelines (q23-style ANN over the feature column).
+    */
+  def featureChecksum(feats: Array[Float]): Long = {
+    var cs = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < feats.length) {
+      cs = (cs ^ java.lang.Float.floatToIntBits(feats(i)).toLong) * 0x100000001B3L
+      i += 1
+    }
+    cs
+  }
+
   /** The multimodal pipeline over the documents table: synthesize blob column
     * -> batched decode (mapPartitions keeps the batch shape; no per-row UDF
     * dispatch) -> metadata struct + feature vector. At 100 TB the blob column
-    * lives in parquet; only metadata and features shuffle.
+    * lives in parquet; only metadata and features shuffle. The driver-facing
+    * output carries a bigint checksum of the feature vector (deterministic,
+    * hashable) rather than the raw float array.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -74,9 +92,10 @@ object Multimodal {
         val blob = synthesizeBlob(docId, text)
         val meta = decodeStub(blob)
         val feats = featuresStub(blob)
-        (docId, meta.width, meta.height, meta.channels, meta.bytes, feats)
+        (docId, meta.width, meta.height, meta.channels, meta.bytes,
+          featureChecksum(feats))
       }
-    }.toDF("doc_id", "width", "height", "channels", "payload_bytes", "features")
+    }.toDF("doc_id", "width", "height", "channels", "payload_bytes", "feature_checksum")
       .orderBy("doc_id")
   }
 }

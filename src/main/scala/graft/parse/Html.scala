@@ -28,9 +28,11 @@ object Html {
     private def advance(): Token = {
       while (i < html.length) {
         if (rawTextEnd != null) {
-          val end = html.toLowerCase.indexOf(rawTextEnd, i)
-          val stop = if (end < 0) html.length else end
-          i = stop
+          // case-insensitive forward scan (no whole-document lowercase copy)
+          var k = i
+          while (k <= html.length - rawTextEnd.length &&
+            !html.regionMatches(true, k, rawTextEnd, 0, rawTextEnd.length)) k += 1
+          i = if (k > html.length - rawTextEnd.length) html.length else k
           rawTextEnd = null
           // raw text content of script/style is never content text: skip it
         } else if (html.charAt(i) == '<') {

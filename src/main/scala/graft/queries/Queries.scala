@@ -135,10 +135,15 @@ object Queries {
     * pure built-in higher-order functions (no UDF, stays in codegen). */
   def q13QualitySignals(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+      // single tokenization: both counts derive from one split() result.
+      // aggregate() folds words and stopwords in one pass so CollapseProject
+      // cannot re-inline the split into two copies.
       .select(col("doc_id"),
-        expr("CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)").as("n_words"),
-        expr("CAST(size(filter(split(lower(trim(text)), '\\\\s+'), " +
-          "x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS BIGINT)").as("n_stop"))
+        expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
+          "named_struct('w', 0L, 's', 0L), " +
+          "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
+          "CAST(x IN ('the','a','and','of','to','in','is','on','for') AS BIGINT)))").as("ws"))
+      .select(col("doc_id"), col("ws.w").as("n_words"), col("ws.s").as("n_stop"))
       .withColumn("stop_ratio_x1000",
         floor(lit(1000.0) * col("n_stop") / col("n_words")).cast("bigint"))
       .orderBy("doc_id")
@@ -275,13 +280,21 @@ object Queries {
         expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm2").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("norm2").as("nb"))
-    a.crossJoin(b).where(col("a") < col("b"))
+    val top = a.crossJoin(b).where(col("a") < col("b"))
       .withColumn("cosine",
         expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") /
           sqrt(col("na") * col("nb")))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("a").asc, col("b").asc)))
-      .where(col("rank") <= 20)
+      // top-20 via sort+limit = TakeOrderedAndProject: no partition-less
+      // window over the full pair set (which would single-partition it).
+      // Spark 4 eliminates foldable window partition specs, so even a
+      // partitionBy(lit) window would degrade — rank the 20 survivors with
+      // a per-partition id over a single locally-sorted partition instead.
+      .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
+      .limit(20)
+    top
+      .coalesce(1)
+      .sortWithinPartitions(col("cosine").desc, col("a").asc, col("b").asc)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select("a", "b", "rank")
       .orderBy("rank")
   }
@@ -319,6 +332,15 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** Per-turn bucket assignment dump (companion to q22): materializes the
+    * engine-defined salt/bucket function's output so the q22 histogram can be
+    * DuckDB-oracled downstream of it (the hash itself is engine-defined). */
+  def q28BucketAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.spark.Transcripts.generate(spark, numConversations = 300).toDF()
+      .select(col("conv_id"), col("turn_idx"),
+        graft.spark.ExtractionJob.bucketOf(32).as("bucket"))
+      .orderBy("conv_id", "turn_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -346,13 +368,39 @@ object Queries {
     "q17_fingerprint" -> q17Fingerprint _,
     "q18_lang_id" -> q18LangId _,
     "q19_extract_fields" -> q19ExtractFields _,
-    "q20_bpe_tokens" -> q20BpeTokens _
+    "q20_bpe_tokens" -> q20BpeTokens _,
+    "q28_bucket_assign" -> q28BucketAssign _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
     * names and deterministic values — bigint/string outputs only).
+    *
+    * The literal token `__OUT__` is replaced by graft.Verify with the
+    * absolute verify output dir: oracles for engine-defined intermediates
+    * (simhash values, LSH candidate pairs, salt buckets) read the dumped
+    * intermediate via read_parquet and independently recompute the
+    * downstream stage in SQL — the "oracle the downstream" pattern.
     */
   val oracles: Map[String, String] = Map(
+    "q14_minhash_lsh" ->
+      // candidate pairs are engine-defined (MinHash bands); the verify stage
+      // (exact 3-gram shingle Jaccard >= 500 on those pairs) is recomputed
+      // from the documents table in pure SQL.
+      """WITH p AS (SELECT doc_a, doc_b FROM read_parquet('__OUT__/q14_minhash_lsh/*.parquet')), d AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] ELSE list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents)) SELECT p.doc_a, p.doc_b, CAST((1000 * len(list_intersect(a.sh, b.sh))) // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS INTEGER) AS jaccard_x1000 FROM p JOIN d a ON a.doc_id = p.doc_a JOIN d b ON b.doc_id = p.doc_b ORDER BY doc_a, doc_b""",
+    "q18_lang_id" ->
+      // full SQL re-expression of the stopword-profile heuristic, including
+      // the maxBy tie-break (max score, ties -> lexicographically greatest
+      // lang). The CJK branch uses the basic Han block — equivalent to
+      // UnicodeScript.HAN on this all-ASCII corpus.
+      """SELECT doc_id, CASE WHEN 4 * length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > length(text) THEN 'zh' WHEN s_fr = 0 AND s_es = 0 AND s_en = 0 AND s_de = 0 THEN 'und' WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS pred_lang, lang FROM (SELECT doc_id, lang, text, len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','for','with','a'))) AS s_en, len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','del','se','un'))) AS s_es, len(list_filter(w, x -> x IN ('der','die','und','das','ist','von','mit','den','ein','zu'))) AS s_de, len(list_filter(w, x -> x IN ('le','la','les','de','des','et','un','une','est','dans'))) AS s_fr FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents)) ORDER BY doc_id""",
+    "q22_turn_buckets" ->
+      // bucket hash is engine-defined (xxhash64 salt); the histogram over the
+      // dumped per-turn assignment is oracled independently.
+      """SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_turns FROM read_parquet('__OUT__/q28_bucket_assign/*.parquet') GROUP BY 1 ORDER BY 1""",
+    "q26_simhash_pairs" ->
+      // given the dumped simhash values (engine-defined), the 16-bit band
+      // blocking + Hamming<=6 verify join is recomputed in pure SQL.
+      """WITH s AS (SELECT doc_id, simhash FROM read_parquet('__OUT__/q15_simhash/*.parquet')), bb AS (SELECT doc_id, simhash, i AS band, (simhash >> (i * 16)) & 65535 AS bkey FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)), p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb FROM bb l JOIN bb r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id) SELECT a, b FROM p WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY a, b""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q2_top_customers" ->

@@ -178,9 +178,19 @@ object ExtractionJob {
     doneThisRun
   }
 
-  /** Read the committed table (all buckets). */
-  def readCommitted(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+  /** Read the committed table: only bucket dirs listed in the latest
+    * committed manifest. A crash between bucket promotion and commitSnapshot
+    * can leave promoted-but-uncommitted dirs under data/ — readers must not
+    * see them (snapshot-isolation read semantics).
+    */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val buckets = committedBuckets(outDir)
+    require(buckets.nonEmpty, s"no committed snapshot under $outDir")
+    val paths = buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
+    spark.read
+      .option("basePath", s"$outDir/data")
+      .parquet(paths: _*)
+  }
 }
 
 final case class TurnWithBucket(

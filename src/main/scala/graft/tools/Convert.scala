@@ -25,7 +25,12 @@ object Convert {
       val i = args.indexOf("--profile")
       if (i >= 0 && i + 1 < args.length) args(i + 1) else "consent"
     }
+    val minify = args.contains("--minify")
     val json = profile match {
+      case "main" if minify =>
+        // NPF-style goldens are minified (reference json.dumps separators)
+        val (_, spec) = graft.extract.MainExtractor.convertToSpec(lines)
+        graft.model.Json.renderCompact(graft.model.JArr(spec.map(_.render)))
       case "main" => graft.extract.MainExtractor.convert(lines)
       case "docx" => graft.extract.EnhancedDocxConsent.convert(lines)
       case "consent" => ConsentExtractor.convert(lines)

@@ -28,12 +28,20 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("multimodal pipeline decodes every blob with sane metadata") {
-    val rows = graft.functions.Multimodal.pipeline(spark, dir).collect()
+    import graft.functions.Multimodal
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.pipeline(spark, dir).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 48)
       assert(r.getAs[Int]("channels") == 3)
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      // checksum matches an independent row-local recomputation from source
+      val docId = r.getAs[Long]("doc_id")
+      val expected = Multimodal.featureChecksum(
+        Multimodal.featuresStub(Multimodal.synthesizeBlob(docId, texts(docId))))
+      assert(r.getAs[Long]("feature_checksum") == expected)
     }
   }
 }
