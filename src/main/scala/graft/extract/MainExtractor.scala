@@ -466,7 +466,10 @@ object MainExtractor {
       case Some(t) => s"""<div style="text-align:center"><strong>$t</strong><br>"""
       case None => "<div style=\"text-align:center\"><strong>Informed Consent</strong><br>"
     }
-    header + splitIntoParagraphs(content).mkString("<br>") + "</div>"
+    // fill-in underscores drop AFTER the paragraph split (so a run that led
+    // a paragraph leaves its separating space behind — golden-pinned,
+    // /root/reference/pdfs/consent_crown_bridge_prosthetics.json tail)
+    header + splitIntoParagraphs(content).map(_.replace("_", "")).mkString("<br>") + "</div>"
   }
 
   private val mainPracticePatterns: Vector[Regex] = Vector(

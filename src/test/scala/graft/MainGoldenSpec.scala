@@ -51,6 +51,19 @@ class MainGoldenSpec extends AnyFunSuite {
   test("Denture docx consent matches golden byte-for-byte") { runDocxGolden("denture_consent") }
   test("Crown & Bridge docx consent matches golden byte-for-byte") { runDocxGolden("crown_bridge_docx") }
 
+  test("Crown & Bridge v2 (pdfs/consent_crown_bridge_prosthetics.json: 3-field enhanced route) matches golden byte-for-byte") {
+    // second docling extraction: markdown heading + body without numbered
+    // risk headers; routes via structured_consent -> enhanced consent html
+    runGolden("consent_crown_bridge_v2")
+  }
+
+  test("NPF v2 variant (pdfs/npf.json: glyph-bearing extraction, Secondary street block) matches golden byte-for-byte") {
+    // second docling extraction of the same form: bullet/checkbox glyphs,
+    // bold runs, curly apostrophes, no filler between Primary block and
+    // Secondary header (flips street_4..zip_5 to Secondary Dental Plan)
+    runGolden("npf_v2")
+  }
+
   test("NPF 86-field patient-info machine matches golden byte-for-byte") {
     val lines = res("fixtures/npf.txt").split("\n", -1).toSeq
     val golden = res("golden/npf.json").stripLineEnd
