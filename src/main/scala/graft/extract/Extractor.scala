@@ -8,6 +8,7 @@ final case class Span(field_key: String, start: Int, end: Int)
 /** The per-turn extraction result (FIXTURES.md §4 output schema). */
 final case class Extracted(
     formType: String,
+    formSubtype: String,
     mainText: String,
     spans: Vector[Span],
     fieldsJson: String,
@@ -72,6 +73,7 @@ object Extractor {
     }
     Extracted(
       formType = formType,
+      formSubtype = FormClassifier.detectFormSubtype(lines),
       mainText = mainText,
       spans = spans,
       fieldsJson = json,

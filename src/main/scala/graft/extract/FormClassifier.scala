@@ -38,6 +38,53 @@ object FormClassifier {
   private val signaturePatternRe = "signature.*date|date.*signature".r
   private val fieldPatternRe = "_+|\\.\\.\\.+|\\[\\s*\\]".r
 
+  // ---- modular subtype classifier ----
+  // Port of the reference's modular variant
+  // (document_processing/form_classifier.py:37-128): same three pattern
+  // banks, then NPF indicators and per-procedure consent subtypes
+  // (biopsy/endodontic/crown-bridge/composite/implant/denture), with the
+  // length-based fallback ladder. The modular path delegates extraction to
+  // the monolith, so this is exposed as enrichment metadata (form_subtype).
+
+  private val patientInfoIndicators = Vector(
+    "patient name", "first name", "last name", "date of birth",
+    "address", "phone", "insurance", "dental plan", "emergency contact")
+  private val recordsKeywords = Vector("release", "authorization", "medical records", "dental records")
+  private val consentSubKeywords = Vector("consent", "procedure", "treatment", "risks", "benefits")
+  private val narrativeSubKeywords = Vector("complications", "side effects", "risks and benefits")
+  private val npfIndicators = Vector(
+    "preferred method of contact", "marital status", "employed by",
+    "in case of emergency", "is the patient a minor")
+  private val subtypeBanks: Vector[(String, Vector[String], Vector[String])] = Vector(
+    // (label, any-of trigger words, all-of companion words)
+    ("biopsy_consent", Vector("biopsy"), Vector("consent", "procedure")),
+    ("endodontic_consent", Vector("endodontic", "root canal"), Vector("consent")),
+    ("crown_bridge_consent", Vector("crown", "bridge", "prosthetic"), Vector("consent")),
+    ("composite_consent", Vector("composite", "restoration", "filling"), Vector("consent")),
+    ("implant_consent", Vector("implant", "implant supported"), Vector("consent")),
+    ("denture_consent", Vector("denture", "dentures", "partial denture", "complete denture"), Vector("consent")))
+
+  def detectFormSubtype(textLines: Seq[String]): String = {
+    val fullText = textLines.mkString(" ").toLowerCase
+    def bank(patterns: Vector[Regex]): Int =
+      patterns.map(_.findAllIn(fullText).size).sum
+    if (patientInfoIndicators.count(fullText.contains) >= 3) return "patient_info"
+    if (bank(recordsRelease) > 0 && recordsKeywords.count(fullText.contains) >= 2)
+      return "records_release"
+    if (bank(structuredConsent) > 0 && consentSubKeywords.count(fullText.contains) >= 2)
+      return "structured_consent"
+    if (bank(narrativeConsent) > 0 && narrativeSubKeywords.count(fullText.contains) >= 1)
+      return "narrative_consent"
+    if (npfIndicators.count(fullText.contains) >= 2) return "patient_info"
+    subtypeBanks.foreach { case (label, anyOf, companions) =>
+      if (anyOf.exists(fullText.contains) && companions.exists(fullText.contains))
+        return label
+    }
+    if (textLines.length > 100) "detailed_consent"
+    else if (textLines.length > 50) "structured_form"
+    else "simple_form"
+  }
+
   def detectFormType(textLines: Seq[String]): String = {
     // the first-50-line window is a prefix of the full join (same separator):
     // build/lowercase once, slice the window — halves the string allocations

@@ -49,7 +49,7 @@ object ExtractionJob {
     import spark.implicits._
     turns.map { t =>
       val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
-      ExtractedTurn(t.conv_id, t.turn_idx, e.formType, e.mainText, e.spans,
+      ExtractedTurn(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
         e.fieldsJson, e.fieldCount, e.sectionCount)
     }
   }
@@ -131,7 +131,7 @@ object ExtractionJob {
           saltKey(config.saltTurnsPerSplit))
       val extracted = wave.as[TurnWithBucket].map { t =>
         val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
-        ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.mainText, e.spans,
+        ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
           e.fieldsJson, e.fieldCount, e.sectionCount, t.bucket)
       }
       // write-locality exchange: co-locate each bucket, restore stable order
@@ -198,6 +198,6 @@ final case class TurnWithBucket(
     ts: java.sql.Timestamp, bucket: Int)
 
 final case class ExtractedTurnB(
-    conv_id: String, turn_idx: Int, form_type: String, main_text: String,
+    conv_id: String, turn_idx: Int, form_type: String, form_subtype: String, main_text: String,
     spans: Seq[graft.extract.Span], fields_json: String, field_count: Int,
     section_count: Int, bucket: Int)

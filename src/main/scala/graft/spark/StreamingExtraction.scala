@@ -25,7 +25,7 @@ object StreamingExtraction {
       .as[Turn]
     val extracted = turns.map { t =>
       val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
-      ExtractedTurn(t.conv_id, t.turn_idx, e.formType, e.mainText, e.spans,
+      ExtractedTurn(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
         e.fieldsJson, e.fieldCount, e.sectionCount)
     }
     val q = extracted.writeStream

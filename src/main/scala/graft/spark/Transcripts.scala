@@ -20,6 +20,7 @@ final case class ExtractedTurn(
     conv_id: String,
     turn_idx: Int,
     form_type: String,
+    form_subtype: String,
     main_text: String,
     spans: Seq[graft.extract.Span],
     fields_json: String,
