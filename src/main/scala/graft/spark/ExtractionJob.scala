@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
   *   out/data/bucket=B/part-....parquet  committed data, sorted by (conv_id, turn_idx)
   *   out/lineage/lineage-K.json       per-bucket lineage rows for snapshot K
   *   out/snapshots/snap-K.json        manifest: cumulative committed buckets
+  *                                    + exact data files with row counts
   *   out/snapshots/_latest            current snapshot id (atomic rename)
+  *
+  * Resume verifies every manifest-listed file exists before skipping a
+  * bucket; committed reads load exactly the manifest's file list.
   *
   * Buckets are processed in waves; each wave commits one snapshot, so a
   * killed run resumes from the last committed snapshot and recomputes
@@ -41,6 +45,13 @@ object ExtractionJob {
       field_count_sum: Long,
       extract_ms: Long,
       committed_at: String)
+
+  /** One committed data file: path relative to out/data plus its row count
+    * (Iceberg-manifest granularity — enables file-level conflict detection
+    * and exact-file snapshot reads). */
+  final case class FileEntry(bucket: Int, path: String, rowCount: Long)
+
+  final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry])
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -71,15 +82,39 @@ object ExtractionJob {
     else None
   }
 
-  def committedBuckets(outDir: String): Set[Int] = latestSnapshot(outDir) match {
+  private val fileEntryRe =
+    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)\\}".r
+
+  /** Parse the latest committed manifest. Manifest format:
+    * {"snapshot_id":K,"committed_buckets":[..],
+    *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
+    *  "committed_at":".."} — `files` lists every committed data file.
+    */
+  def readManifest(outDir: String): Option[Manifest] = latestSnapshot(outDir).map { k =>
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(outDir, "snapshots", s"snap-$k.json")), StandardCharsets.UTF_8)
+    val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
+    val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    val files = fileEntryRe.findAllMatchIn(manifest)
+      .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
+    Manifest(k, buckets, files)
+  }
+
+  /** Committed = listed in the manifest AND every listed data file for the
+    * bucket is still present on disk. A bucket whose files were lost (or a
+    * legacy partial promote) is treated as uncommitted and recomputed on
+    * resume. Buckets with zero rows legitimately list no files.
+    */
+  def committedBuckets(outDir: String): Set[Int] = readManifest(outDir) match {
     case None => Set.empty
-    case Some(k) =>
-      val manifest = new String(
-        Files.readAllBytes(Paths.get(outDir, "snapshots", s"snap-$k.json")), StandardCharsets.UTF_8)
-      // manifest format: {"snapshot_id":K,"committed_buckets":[..],"committed_at":".."}
-      val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
-        .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
-      m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    case Some(man) =>
+      val dataDir = Paths.get(outDir, "data")
+      val byBucket = man.files.groupBy(_.bucket)
+      man.buckets.filter { b =>
+        byBucket.getOrElse(b, Vector.empty)
+          .forall(f => Files.exists(dataDir.resolve(f.path)))
+      }
   }
 
   private def atomicWrite(path: Path, content: String): Unit = {
@@ -90,15 +125,18 @@ object ExtractionJob {
   }
 
   private def commitSnapshot(outDir: String, snapshotId: Int, buckets: Set[Int],
-                             lineage: Seq[LineageRow]): Unit = {
+                             files: Seq[FileEntry], lineage: Seq[LineageRow]): Unit = {
     val lineageJson = lineage.sortBy(_.bucket).map { r =>
       s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
         s""""field_count_sum":${r.field_count_sum},"extract_ms":${r.extract_ms},"committed_at":"${r.committed_at}"}"""
     }.mkString("[\n", ",\n", "\n]")
     atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
+    val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
+      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount}}"""
+    }.mkString("[", ",", "]")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s""""committed_at":"${java.time.Instant.now()}"}"""
+        s""""files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
@@ -118,6 +156,10 @@ object ExtractionJob {
     var committed = already
     var snapshotId = latestSnapshot(config.outDir).getOrElse(-1)
     var doneThisRun = Set.empty[Int]
+    // carry forward only files of buckets still verified-committed; stale
+    // entries of recomputed buckets are dropped and replaced by this run's
+    var committedFiles: Vector[FileEntry] = readManifest(config.outDir)
+      .map(_.files.filter(f => already.contains(f.bucket))).getOrElse(Vector.empty)
 
     val withBucket = turns
       .withColumn("bucket", bucketOf(config.buckets))
@@ -141,15 +183,26 @@ object ExtractionJob {
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
 
-      // per-partition lineage from the staged output
+      // per-file manifest entries + per-partition lineage from one staged
+      // read (file paths are preserved by the promote's directory move)
       val extractMs = (System.nanoTime() - t0) / 1000000
       val now = java.time.Instant.now().toString
-      val lineage = spark.read.parquet(staging)
-        .groupBy("bucket")
+      val perFile = spark.read.parquet(staging)
+        .groupBy(col("bucket"), input_file_name().as("file"))
         .agg(count(lit(1)).as("rows"), sum("field_count").as("fsum"))
         .collect()
-        .map(r => LineageRow(snapshotId + 1, r.getAs[Any]("bucket").toString.toLong,
-          r.getAs[Long]("rows"), r.getAs[Long]("fsum"), extractMs, now))
+        .map { r =>
+          val full = r.getAs[String]("file")
+          val name = full.substring(full.lastIndexOf('/') + 1)
+          val bucket = r.getAs[Any]("bucket").toString.toInt
+          (FileEntry(bucket, s"bucket=$bucket/$name", r.getAs[Long]("rows")),
+            r.getAs[Long]("fsum"))
+        }
+      val waveFiles = perFile.map(_._1).toVector
+      val lineage = perFile.groupBy(_._1.bucket).map { case (bucket, fs) =>
+        LineageRow(snapshotId + 1, bucket.toLong, fs.map(_._1.rowCount).sum,
+          fs.map(_._2).sum, extractMs, now)
+      }.toVector
 
       // promote staged bucket dirs into data/ then commit the snapshot
       val dataDir = Paths.get(config.outDir, "data")
@@ -170,7 +223,8 @@ object ExtractionJob {
       snapshotId += 1
       committed = committed ++ waveBuckets
       doneThisRun = doneThisRun ++ waveBuckets
-      commitSnapshot(config.outDir, snapshotId, committed, lineage.toSeq)
+      committedFiles = committedFiles ++ waveFiles
+      commitSnapshot(config.outDir, snapshotId, committed, committedFiles, lineage)
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -178,15 +232,19 @@ object ExtractionJob {
     doneThisRun
   }
 
-  /** Read the committed table: only bucket dirs listed in the latest
+  /** Read the committed table: exactly the data files listed in the latest
     * committed manifest. A crash between bucket promotion and commitSnapshot
-    * can leave promoted-but-uncommitted dirs under data/ — readers must not
-    * see them (snapshot-isolation read semantics).
+    * can leave promoted-but-uncommitted dirs (or extra files) under data/ —
+    * readers must not see them (snapshot-isolation read semantics). Legacy
+    * manifests without a file list fall back to committed bucket dirs.
     */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
-    val buckets = committedBuckets(outDir)
-    require(buckets.nonEmpty, s"no committed snapshot under $outDir")
-    val paths = buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
+    val man = readManifest(outDir)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    val paths =
+      if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
+      else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
+    require(paths.nonEmpty, s"empty committed snapshot under $outDir")
     spark.read
       .option("basePath", s"$outDir/data")
       .parquet(paths: _*)

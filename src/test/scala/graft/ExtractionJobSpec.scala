@@ -153,4 +153,31 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(totalRows == turns.count(), "lineage row_count must sum to input size")
   }
+
+  test("manifest lists exact files with row counts; missing file => bucket recomputed on resume") {
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graft-manifest").toString
+    val turns = Transcripts.generate(spark, 25)
+    ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
+
+    val man = ExtractionJob.readManifest(out).get
+    assert(man.files.nonEmpty, "manifest must list data files")
+    man.files.foreach(f => assert(Files.exists(Paths.get(out, "data", f.path)), f.path))
+    val expected = ExtractionJob.readCommitted(spark, out).count()
+    assert(man.files.map(_.rowCount).sum == expected, "per-file row counts must sum to table size")
+
+    // delete one committed data file -> its bucket must no longer count as
+    // committed, and a resume run must recompute exactly that bucket
+    val victim = man.files.head
+    Files.delete(Paths.get(out, "data", victim.path))
+    assert(!ExtractionJob.committedBuckets(out).contains(victim.bucket))
+    val recomputed = ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
+    assert(recomputed == Set(victim.bucket), s"resume must recompute only bucket ${victim.bucket}")
+
+    // after repair: all files present again and the committed read is whole
+    val man2 = ExtractionJob.readManifest(out).get
+    man2.files.foreach(f => assert(Files.exists(Paths.get(out, "data", f.path)), f.path))
+    assert(ExtractionJob.readCommitted(spark, out).count() == turns.count())
+    assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 2, 3))
+  }
 }
