@@ -49,20 +49,21 @@ object Extractor {
     // converter (consent_converter.py) vs the main monolith
     // (pdf_to_json_converter.py); the payload tag selects the profile, the
     // main profile then routes internally by detected form type.
-    val (formType, fields, json) =
+    val (formType, formSubtype, fields, json) =
       if (profile == "docx") {
         val (fis, json) = EnhancedDocxConsent.convertFields(lines)
-        (FormClassifier.detectFormType(lines), fis, json)
+        val (ft, sub) = FormClassifier.classify(lines)
+        (ft, sub, fis, json)
       } else if (profile == "docling_md" || profile == "main") {
         val (ft, spec) = MainExtractor.convertToSpec(lines)
         val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,
           q.optional, q.control, q.lineIdx))
-        (ft, fis, Json.render(JArr(spec.map(_.render))))
+        (ft, FormClassifier.detectFormSubtype(lines), fis, Json.render(JArr(spec.map(_.render))))
       } else {
-        val ft = FormClassifier.detectFormType(lines)
+        val (ft, sub) = FormClassifier.classify(lines)
         val fis = ConsentExtractor.validateAndNormalize(
           ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
-        (ft, fis, Spec.render(fis, includeOptional = false))
+        (ft, sub, fis, Spec.render(fis, includeOptional = false))
       }
     val spans = fields.map { f =>
       if (f.fieldType == "text") Span(f.key, 0, mainText.length)
@@ -73,7 +74,7 @@ object Extractor {
     }
     Extracted(
       formType = formType,
-      formSubtype = FormClassifier.detectFormSubtype(lines),
+      formSubtype = formSubtype,
       mainText = mainText,
       spans = spans,
       fieldsJson = json,

@@ -64,31 +64,50 @@ object FormClassifier {
     ("implant_consent", Vector("implant", "implant supported"), Vector("consent")),
     ("denture_consent", Vector("denture", "dentures", "partial denture", "complete denture"), Vector("consent")))
 
-  def detectFormSubtype(textLines: Seq[String]): String = {
-    val fullText = textLines.mkString(" ").toLowerCase
-    def bank(patterns: Vector[Regex]): Int =
-      patterns.map(_.findAllIn(fullText).size).sum
+  def detectFormSubtype(textLines: Seq[String]): String =
+    detectFormSubtype(textLines.mkString(" ").toLowerCase, textLines.length)
+
+  /** Hot-path variant taking the pre-joined lowercase text (one join +
+    * lowercase per turn, shared with detectFormType). Only pattern presence
+    * matters, so banks short-circuit on first hit, and each regex bank is
+    * gated behind a cheap substring precheck.
+    */
+  def detectFormSubtype(fullText: String, nLines: Int): String = {
+    def bankHit(patterns: Vector[Regex], gate: String => Boolean): Boolean =
+      gate(fullText) && patterns.exists(_.findFirstIn(fullText).isDefined)
     if (patientInfoIndicators.count(fullText.contains) >= 3) return "patient_info"
-    if (bank(recordsRelease) > 0 && recordsKeywords.count(fullText.contains) >= 2)
+    if (bankHit(recordsRelease, t => t.contains("release") || t.contains("section")) &&
+        recordsKeywords.count(fullText.contains) >= 2)
       return "records_release"
-    if (bank(structuredConsent) > 0 && consentSubKeywords.count(fullText.contains) >= 2)
+    if (bankHit(structuredConsent, _.contains("consent")) &&
+        consentSubKeywords.count(fullText.contains) >= 2)
       return "structured_consent"
-    if (bank(narrativeConsent) > 0 && narrativeSubKeywords.count(fullText.contains) >= 1)
+    if (bankHit(narrativeConsent,
+        t => t.contains("risk") || t.contains("complication") || t.contains("side")) &&
+        narrativeSubKeywords.count(fullText.contains) >= 1)
       return "narrative_consent"
     if (npfIndicators.count(fullText.contains) >= 2) return "patient_info"
     subtypeBanks.foreach { case (label, anyOf, companions) =>
       if (anyOf.exists(fullText.contains) && companions.exists(fullText.contains))
         return label
     }
-    if (textLines.length > 100) "detailed_consent"
-    else if (textLines.length > 50) "structured_form"
+    if (nLines > 100) "detailed_consent"
+    else if (nLines > 50) "structured_form"
     else "simple_form"
   }
 
-  def detectFormType(textLines: Seq[String]): String = {
+  /** Compute (form_type, form_subtype) with one text join + lowercase. */
+  def classify(textLines: Seq[String]): (String, String) = {
+    val fullText = textLines.mkString(" ").toLowerCase
+    (detectFormType(fullText, textLines), detectFormSubtype(fullText, textLines.length))
+  }
+
+  def detectFormType(textLines: Seq[String]): String =
+    detectFormType(textLines.mkString(" ").toLowerCase, textLines)
+
+  private def detectFormType(fullText: String, textLines: Seq[String]): String = {
     // the first-50-line window is a prefix of the full join (same separator):
     // build/lowercase once, slice the window — halves the string allocations
-    val fullText = textLines.mkString(" ").toLowerCase
     val analysisText =
       if (textLines.lengthCompare(50) <= 0) fullText
       else fullText.substring(0,

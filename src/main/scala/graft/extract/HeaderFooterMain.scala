@@ -9,26 +9,29 @@ import scala.util.matching.Regex
   */
 object HeaderFooterMain {
 
-  private val practicePatterns: Vector[Regex] = Vector(
-    ".*\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b.*",
-    ".*@.*\\.(com|org|net|edu).*",
-    ".*www\\..*\\.com.*",
-    ".*\\b\\d+\\s+[A-Za-z\\s]+(?:street|st|avenue|ave|road|rd|drive|dr|lane|ln|blvd|boulevard)\\b.*",
-    ".*\\b[A-Za-z\\s]+,\\s*[A-Z]{2}\\s+\\d{5}.*",
-    ".*\\b(family\\s+dental|cosmetic\\s+dentistry|pediatric\\s+dentistry|general\\s+dentistry)\\b.*",
-    ".*\\b(orthodontic\\s+office|endodontic\\s+practice|periodontal\\s+office)\\b.*",
-    ".*\\b(clinic|center|associates|group|practice|office|care|solutions)\\b.*",
-    ".*•.*•.*•.*",
-    ".*[Ss]mile.*[Dd]ental.*",
-    ".*[Kk]ingery.*[Dd]ental.*",
-    ".*[Dd]arien.*IL.*",
-    "^[^a-zA-Z]*$",
-    "^\\s*•\\s*$",
-    ".*page\\s+\\d+.*",
-    ".*©.*\\d{4}.*",
-    ".*all\\s+rights\\s+reserved.*",
-    ".*form\\s*(id|number|version).*",
-    ".*revised.*\\d{4}.*").map(p => ("(?i)" + p).r)
+  // The reference's .*-wrapped pattern.match() checks reduce to "line
+  // contains a match of the inner pattern" — each regex below is the
+  // unwrapped inner pattern, gated behind a cheap substring/char precheck so
+  // ordinary content lines skip the regex engine entirely. Semantics are
+  // identical: isPracticeInformation is an order-independent any-match.
+  private val phoneRe = "(?i)\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b".r
+  private val emailRe = "(?i)@.*\\.(com|org|net|edu)".r
+  private val wwwRe = "(?i)www\\..*\\.com".r
+  private val streetAddrRe = "(?i)\\b\\d+\\s+[A-Za-z\\s]+(?:street|st|avenue|ave|road|rd|drive|dr|lane|ln|blvd|boulevard)\\b".r
+  private val cityStateZipRe = "(?i)\\b[A-Za-z\\s]+,\\s*[A-Z]{2}\\s+\\d{5}".r
+  private val dentistryRe = "(?i)\\b(family\\s+dental|cosmetic\\s+dentistry|pediatric\\s+dentistry|general\\s+dentistry)\\b".r
+  private val specialtyRe = "(?i)\\b(orthodontic\\s+office|endodontic\\s+practice|periodontal\\s+office)\\b".r
+  private val facilityWords = Vector("clinic", "center", "associates", "group", "practice", "office", "care", "solutions")
+  private val facilityRe = "(?i)\\b(clinic|center|associates|group|practice|office|care|solutions)\\b".r
+  private val tripleBulletRe = "•.*•.*•".r
+  private val smileDentalRe = "(?i)smile.*dental".r
+  private val kingeryRe = "(?i)kingery.*dental".r
+  private val darienRe = "(?i)darien.*il".r
+  private val pageNumRe = "(?i)page\\s+\\d+".r
+  private val copyrightRe = "©.*\\d{4}".r
+  private val rightsRe = "(?i)all\\s+rights\\s+reserved".r
+  private val formIdRe = "(?i)form\\s*(id|number|version)".r
+  private val revisedRe = "(?i)revised.*\\d{4}".r
 
   private val practiceKeywords = Vector(
     "smile solutions", "dental office", "family dentistry", "cosmetic dentistry",
@@ -52,11 +55,40 @@ object HeaderFooterMain {
 
   def isPracticeInformation(line0: String): Boolean = {
     val line = line0.trim
-    if (isFormContent(line)) return false
-    // pattern.match in Python anchors at the start; these patterns are
-    // .*-wrapped so findPrefix via regex matches(start) == findFirstIn at 0
-    if (practicePatterns.exists(p => p.findPrefixOf(line).isDefined)) return true
     val lower = line.toLowerCase
+    if (formContentWhitelist.exists(lower.contains)) return false
+    // anchored specials: ^[^a-zA-Z]*$ (subsumes ^\s*•\s*$)
+    var hasLetter = false
+    var hasDigit = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c.isLetter) hasLetter = true
+      if (c.isDigit) hasDigit = true
+      i += 1
+    }
+    if (!hasLetter) return true
+    if (hasDigit) {
+      if (phoneRe.findFirstIn(line).isDefined) return true
+      if (streetAddrRe.findFirstIn(line).isDefined) return true
+      if (line.indexOf(',') >= 0 && cityStateZipRe.findFirstIn(line).isDefined) return true
+      if (lower.contains("page") && pageNumRe.findFirstIn(line).isDefined) return true
+      if (line.indexOf('©') >= 0 && copyrightRe.findFirstIn(line).isDefined) return true
+      if (lower.contains("revised") && revisedRe.findFirstIn(line).isDefined) return true
+    }
+    if (line.indexOf('@') >= 0 && emailRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("www.") && wwwRe.findFirstIn(line).isDefined) return true
+    if ((lower.contains("dental") || lower.contains("dentistry")) &&
+        dentistryRe.findFirstIn(line).isDefined) return true
+    if ((lower.contains("dontic") || lower.contains("periodont")) &&
+        specialtyRe.findFirstIn(line).isDefined) return true
+    if (facilityWords.exists(lower.contains) && facilityRe.findFirstIn(line).isDefined) return true
+    if (line.indexOf('•') >= 0 && tripleBulletRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("smile") && smileDentalRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("kingery") && kingeryRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("darien") && darienRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("rights") && rightsRe.findFirstIn(line).isDefined) return true
+    if (lower.contains("form") && formIdRe.findFirstIn(line).isDefined) return true
     practiceKeywords.exists(lower.contains)
   }
 

@@ -87,31 +87,35 @@ object PatientInfoMachine {
   private def opts(pairs: (String, JVal)*): JArr =
     JArr(pairs.toVector.map { case (n, v) => JObj.of("name" -> JStr(n), "value" -> v) })
 
-  private val radioBanks: Vector[(Regex, String, JArr)] = Vector(
-    ("sex.*?(?:male|female)".r, "Sex",
+  // each bank carries a required substring gate — the cheap contains check
+  // skips the backtracking-prone lazy-dot regexes on ordinary lines
+  private val radioBanks: Vector[(String, Regex, String, JArr)] = Vector(
+    ("sex", "sex.*?(?:male|female)".r, "Sex",
       opts("Male" -> JStr("male"), "Female" -> JStr("female"))),
-    ("marital.*?status".r, "Marital Status",
+    ("marital", "marital.*?status".r, "Marital Status",
       opts("Married" -> JStr("Married"), "Single" -> JStr("Single"),
         "Divorced" -> JStr("Divorced"), "Separated" -> JStr("Separated"),
         "Widowed" -> JStr("Widowed"))),
-    ("is.*?patient.*?minor".r, "Is the Patient a Minor?",
+    ("minor", "is.*?patient.*?minor".r, "Is the Patient a Minor?",
       opts("Yes" -> JBool(true), "No" -> JBool(false))),
-    ("full.*?time.*?student".r, "Full-time Student",
+    ("student", "full.*?time.*?student".r, "Full-time Student",
       opts("Yes" -> JBool(true), "No" -> JBool(false))),
-    ("preferred.*?method.*?contact".r, "What Is Your Preferred Method Of Contact",
+    ("contact", "preferred.*?method.*?contact".r, "What Is Your Preferred Method Of Contact",
       opts("Mobile Phone" -> JStr("Mobile Phone"), "Home Phone" -> JStr("Home Phone"),
         "Work Phone" -> JStr("Work Phone"), "E-mail" -> JStr("E-mail"))),
-    ("relationship.*?to.*?patient.*(?:self|spouse|parent)".r, "Relationship To Patient",
+    ("relationship", "relationship.*?to.*?patient.*(?:self|spouse|parent)".r, "Relationship To Patient",
       opts("Self" -> JStr("Self"), "Spouse" -> JStr("Spouse"),
         "Parent" -> JStr("Parent"), "Other" -> JStr("Other"))),
-    ("primary.*?residence".r, "If Patient Is A Minor, Primary Residence",
+    ("residence", "primary.*?residence".r, "If Patient Is A Minor, Primary Residence",
       opts("Both Parents" -> JStr("Both Parents"), "Mom" -> JStr("Mom"),
         "Dad" -> JStr("Dad"), "Step Parent" -> JStr("Step Parent"),
         "Shared Custody" -> JStr("Shared Custody"), "Guardian" -> JStr("Guardian"))))
 
   def detectRadioQuestion(line: String): Option[(String, JArr)] = {
     val lower = line.toLowerCase
-    radioBanks.collectFirst { case (re, t, o) if re.findFirstIn(lower).isDefined => (t, o) }
+    radioBanks.collectFirst {
+      case (gate, re, t, o) if lower.contains(gate) && re.findFirstIn(lower).isDefined => (t, o)
+    }
   }
 
   // ---- radio key mapping (pdf_to_json_converter.py:3642-3670) ----
@@ -319,6 +323,7 @@ object PatientInfoMachine {
 
     while (i < textLines.length) {
       val line = textLines(i)
+      val lineLower = line.toLowerCase // shared by every handler below
       var consumed = false
 
       if (line.length < 3) { i += 1; consumed = true }
@@ -373,18 +378,14 @@ object PatientInfoMachine {
 
       // long policy-text skip (processed in second pass)
       if (!consumed && line.length > 200 &&
-          Vector("responsibility", "payment", "benefit", "insurance").exists(line.toLowerCase.contains)) {
+          policyWords1.exists(lineLower.contains)) {
         i += 1; consumed = true
       }
 
       // section header transitions
       if (!consumed) {
         val upper = line.toUpperCase
-        val isHeader = line.startsWith("##") || Vector(
-          "PATIENT INFORMATION FORM", "PATIENT INFORMATION", "FOR CHILDREN/MINORS ONLY",
-          "CHILDREN/MINORS", "DENTAL BENEFIT PLAN", "PRIMARY DENTAL PLAN",
-          "SECONDARY DENTAL PLAN", "MEDICAL HISTORY", "HEALTH HISTORY",
-          "SIGNATURE", "CONSENT").exists(upper.contains)
+        val isHeader = line.startsWith("##") || headerPhrases.exists(upper.contains)
         if (isHeader) {
           if (upper.contains("PATIENT INFORMATION")) currentSection = "Patient Information Form"
           else if (upper.contains("CHILDREN") || upper.contains("MINOR")) currentSection = "FOR CHILDREN/MINORS ONLY"
@@ -418,8 +419,8 @@ object PatientInfoMachine {
       }
 
       // consent paragraphs with risks/side effects (pdf_to_json_converter.py:4294-4310)
-      if (!consumed && Set("Signature", "Consent").contains(currentSection) && line.length > 50 &&
-          Vector("risks", "side effects", "complications", "potential").exists(line.toLowerCase.contains)) {
+      if (!consumed && sigConsentSections.contains(currentSection) && line.length > 50 &&
+          riskWords.exists(lineLower.contains)) {
         val consentLines = mutable.ArrayBuffer(line)
         var j = i + 1
         while (j < textLines.length && textLines(j).length > 30) {
@@ -436,8 +437,7 @@ object PatientInfoMachine {
       // fires only for 100-200 char lines (longer ones were policy-skipped);
       // the second pass rebuilds text_3 and reference ordering keeps the last
       if (!consumed && line.length > 100 && currentSection == "Signature" &&
-          Vector("responsibility", "payment", "benefit", "authorize", "consent")
-            .exists(line.toLowerCase.contains) &&
+          policyWords2.exists(lineLower.contains) &&
           "(?i)YES\\s+N\\s*O?\\s*\\(Check One\\)".r.findFirstIn(
             line.replaceAll("[\\uf031\\uf020\\u2003\\u2002\\u2000-\\u200b\\ufeff]+", " ")).isEmpty) {
         val content = mutable.ArrayBuffer(line)
@@ -465,7 +465,7 @@ object PatientInfoMachine {
       }
 
       // (initial) handler -> text_4 + initials (first pass)
-      if (!consumed && line.toLowerCase.contains("(initial)")) {
+      if (!consumed && lineLower.contains("(initial)")) {
         val textPart = initialSplitRe.split(line)(0).trim
         if (textPart.nonEmpty) {
           if (!processedKeys.contains("text_4")) {
@@ -490,8 +490,8 @@ object PatientInfoMachine {
       }
 
       // long authorization skip (second pass)
-      if (!consumed && line.length > 100 && line.toLowerCase.contains("authorize") &&
-          line.toLowerCase.contains("personal information")) {
+      if (!consumed && line.length > 100 && lineLower.contains("authorize") &&
+          lineLower.contains("personal information")) {
         i += 1; consumed = true
       }
 
@@ -579,8 +579,7 @@ object PatientInfoMachine {
           val potential = fieldName.substring(3).trim
           if (potential.length > 5 && !potential.toLowerCase.startsWith("name")) fieldName = potential
         }
-        if (Vector("patient name", "address", "phone", "work address")
-            .exists(fieldName.toLowerCase.contains)) {
+        if (skipStandaloneNames.exists(fieldName.toLowerCase.contains)) {
           i += 1; consumed = true
         } else if (fieldName.length > 2 && fieldName.length < 80) {
           var fieldType = detectFieldType(fieldName)
@@ -610,18 +609,28 @@ object PatientInfoMachine {
 
       // inline multi-field parse (the NPF bread and butter)
       if (!consumed) {
-        parseInlineFields(line).foreach { case (fieldName0, fullLine) =>
+        val inline = parseInlineFields(line)
+        // context windows depend only on i — join + lowercase once per line,
+        // not once per parsed field
+        lazy val context10Lower = textLines
+          .slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
+          .take(10).mkString(" ").toLowerCase
+        lazy val context5 = textLines
+          .slice(math.max(0, i - 5), math.min(textLines.length, i + 5))
+          .mkString(" ").toLowerCase
+        // context-only section verdict is field-independent: one scan per line
+        lazy val ctxVerdict = contextSectionVerdict(context10Lower)
+        inline.foreach { case (fieldName0, fullLine) =>
+          val fullLower = fullLine.toLowerCase
           var fieldName = fieldName0
           var baseKey = Slugify.slugify(fieldName)
-          if (Set("middle initial", "mi").contains(fieldName.toLowerCase)) baseKey = "mi"
+          if (miNames.contains(fieldName.toLowerCase)) baseKey = "mi"
           var fieldType = detectFieldType(fieldName)
-          val context10 = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
-          var detectedSection = detectSection(fieldName, context10, currentSection)
-          val context5 = textLines.slice(math.max(0, i - 5), math.min(textLines.length, i + 5))
-            .mkString(" ").toLowerCase
+          var detectedSection = ctxVerdict.getOrElse(
+            detectSectionTextPhase(fieldName, context10Lower, currentSection))
 
-          if (Set("phone", "street", "city", "state", "zip").contains(fieldName.toLowerCase) &&
-              (fullLine.toLowerCase.contains("insurance company") || context5.contains("insurance company"))) {
+          if (addrFieldNames.contains(fieldName.toLowerCase) &&
+              (fullLower.contains("insurance company") || context5.contains("insurance company"))) {
             detectedSection =
               if (context5.contains("secondary") || currentSection == "Secondary Dental Plan")
                 "Secondary Dental Plan"
@@ -630,8 +639,7 @@ object PatientInfoMachine {
 
           var finalKey = baseKey
           if (currentSection == "FOR CHILDREN/MINORS ONLY") {
-            if (Set("first_name", "last_name", "date_of_birth", "mobile", "home", "work", "occupation")
-                .contains(baseKey)) finalKey = baseKey + "_2"
+            if (minorNumbered.contains(baseKey)) finalKey = baseKey + "_2"
             else if (baseKey == "street")
               finalKey = if (context5.contains("if different from patient")) "if_different_from_patient_street" else "street_3"
             else if (baseKey == "city")
@@ -661,9 +669,9 @@ object PatientInfoMachine {
             else if (baseKey == "zip" && finalKey == "zip") finalKey = "zip_6"
             else if (baseKey == "phone" && finalKey == "phone") finalKey = "phone_2"
           }
-          if (Set("street_3", "city_2_2", "state5", "zip_4").contains(finalKey))
+          if (minorAddrKeys.contains(finalKey))
             detectedSection = "FOR CHILDREN/MINORS ONLY"
-          else if (Set("street_5", "city_6", "state_7", "zip_6").contains(finalKey))
+          else if (secondaryAddrKeys.contains(finalKey))
             detectedSection = "Secondary Dental Plan"
 
           if (!processedKeys.contains(finalKey)) {
@@ -679,20 +687,20 @@ object PatientInfoMachine {
                 case "phone" | "street_4" | "city_5" | "zip_5" => Some("Insurance Company")
                 case _ =>
                   if (detectedSection == "FOR CHILDREN/MINORS ONLY") {
-                    if (Set("first name", "last name").contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
+                    if (firstLastNames.contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
                     else if (fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
-                    else if (fullLine.toLowerCase.contains("if different from patient")) Some("If different from patient")
-                    else if (fullLine.toLowerCase.contains("if different from above") ||
+                    else if (fullLower.contains("if different from patient")) Some("If different from patient")
+                    else if (fullLower.contains("if different from above") ||
                              context5.contains("employer")) Some("(if different from above)")
                     else None
-                  } else if (Set("Primary Dental Plan", "Secondary Dental Plan").contains(detectedSection)) {
-                    if ((fullLine.toLowerCase.contains("insurance company") || context5.contains("insurance company")) &&
-                        Set("phone", "street", "city", "zip").contains(fieldName.toLowerCase)) Some("Insurance Company")
+                  } else if (planSections.contains(detectedSection)) {
+                    if ((fullLower.contains("insurance company") || context5.contains("insurance company")) &&
+                        insAddrNames.contains(fieldName.toLowerCase)) Some("Insurance Company")
                     else None
-                  } else if (fullLine.toLowerCase.contains("if different from patient")) Some("If different from patient")
-                  else if (fullLine.toLowerCase.contains("if different from above")) Some("(if different from above)")
+                  } else if (fullLower.contains("if different from patient")) Some("If different from patient")
+                  else if (fullLower.contains("if different from above")) Some("(if different from above)")
                   else if (context5.contains("responsible party") &&
-                           Set("first name", "last name").contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
+                           firstLastNames.contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
                   else if (context5.contains("responsible party") &&
                            fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
                   else None
@@ -822,49 +830,95 @@ object PatientInfoMachine {
     out
   }
 
+  // hot-loop literal banks (hoisted: Set/Vector literals in method bodies
+  // allocate per evaluation — these run per line / per field)
+  private val miNames = Set("middle initial", "mi")
+  private val addrFieldNames = Set("phone", "street", "city", "state", "zip")
+  private val minorNumbered = Set("first_name", "last_name", "date_of_birth", "mobile", "home", "work", "occupation")
+  private val minorAddrKeys = Set("street_3", "city_2_2", "state5", "zip_4")
+  private val secondaryAddrKeys = Set("street_5", "city_6", "state_7", "zip_6")
+  private val firstLastNames = Set("first name", "last name")
+  private val planSections = Set("Primary Dental Plan", "Secondary Dental Plan")
+  private val insAddrNames = Set("phone", "street", "city", "zip")
+  private val sigConsentSections = Set("Signature", "Consent")
+  private val policyWords1 = Vector("responsibility", "payment", "benefit", "insurance")
+  private val policyWords2 = Vector("responsibility", "payment", "benefit", "authorize", "consent")
+  private val riskWords = Vector("risks", "side effects", "complications", "potential")
+  private val skipStandaloneNames = Vector("patient name", "address", "phone", "work address")
+  private val headerPhrases = Vector(
+    "PATIENT INFORMATION FORM", "PATIENT INFORMATION", "FOR CHILDREN/MINORS ONLY",
+    "CHILDREN/MINORS", "DENTAL BENEFIT PLAN", "PRIMARY DENTAL PLAN",
+    "SECONDARY DENTAL PLAN", "MEDICAL HISTORY", "HEALTH HISTORY",
+    "SIGNATURE", "CONSENT")
+  // detectSection text-phase banks
+  private val dsInsurance = Vector("insurance", "dental plan", "group number", "id number", "plan/group",
+    "name of insured", "patient relationship to insured")
+  private val dsMedical = Vector("medical", "health", "history", "condition", "medication", "allerg", "surgery")
+  private val dsEmergency = Vector("emergency", "notify")
+  private val dsMinor = Vector("minor", "children", "parent", "guardian", "custody", "school", "responsible party")
+  private val dsSignature = Vector("signature", "consent", "terms", "agree", "responsibilities", "payment", "scheduling")
+  private val dsBasicInfo = Vector("first name", "last name", "nickname", "date of birth", "birthdate", "sex",
+    "marital", "ssn", "social security")
+  private val dsAddress = Vector("street", "city", "state", "zip", "address", "phone", "mobile", "home",
+    "work", "e-mail", "email")
+  private val dsEmployment = Vector("employed", "employer", "occupation")
+
   // ---- detect_section (pdf_to_json_converter.py:1002-1083) ----
-  def detectSection(text: String, contextLines: Seq[String], currentSection: String): String = {
-    val textLower = text.toLowerCase
-    val contextLower = contextLines.take(10).mkString(" ").toLowerCase
-    val sectionIndicators = Vector(
-      "FOR CHILDREN/MINORS ONLY" -> Vector("for children/minors only", "minor", "children", "responsible party"),
-      "Primary Dental Plan" -> Vector("primary dental plan", "dental benefit plan information primary", "primary dental"),
-      "Secondary Dental Plan" -> Vector("secondary dental plan"),
-      "Signature" -> Vector("patient responsibilities", "payment", "dental benefit plans", "scheduling",
-        "authorization", "signature", "initial", "agree"))
+  private val sectionIndicators = Vector(
+    "FOR CHILDREN/MINORS ONLY" -> Vector("for children/minors only", "minor", "children", "responsible party"),
+    "Primary Dental Plan" -> Vector("primary dental plan", "dental benefit plan information primary", "primary dental"),
+    "Secondary Dental Plan" -> Vector("secondary dental plan"),
+    "Signature" -> Vector("patient responsibilities", "payment", "dental benefit plans", "scheduling",
+      "authorization", "signature", "initial", "agree"))
+  private val initialWordRe = "\\binitial\\b".r
+  private val midInitialRe = "\\b(middle|mi)\\s+initial\\b".r
+
+  def detectSection(text: String, contextLines: Seq[String], currentSection: String): String =
+    detectSectionJoined(text, contextLines.take(10).mkString(" ").toLowerCase, currentSection)
+
+  /** The context-only first phase: section-indicator scan over the joined
+    * 10-line window. Depends only on the context, so callers processing
+    * several fields on one line compute it once. */
+  def contextSectionVerdict(contextLower: String): Option[String] = {
     sectionIndicators.foreach { case (name, indicators) =>
       if (indicators.exists(contextLower.contains)) {
-        if (name == "Primary Dental Plan") { if (!contextLower.contains("secondary")) return name }
-        else if (name == "Secondary Dental Plan") { if (contextLower.contains("secondary")) return name }
-        else return name
+        if (name == "Primary Dental Plan") { if (!contextLower.contains("secondary")) return Some(name) }
+        else if (name == "Secondary Dental Plan") { if (contextLower.contains("secondary")) return Some(name) }
+        else return Some(name)
       }
     }
-    if (Vector("insurance", "dental plan", "group number", "id number", "plan/group",
-        "name of insured", "patient relationship to insured").exists(textLower.contains))
+    None
+  }
+
+  /** Hot-path variant taking the pre-joined lowercase 10-line context (the
+    * join is loop-invariant per source line — hoisted by the caller). */
+  def detectSectionJoined(text: String, contextLower: String, currentSection: String): String =
+    contextSectionVerdict(contextLower)
+      .getOrElse(detectSectionTextPhase(text, contextLower, currentSection))
+
+  /** The text-dependent fallback phase (context verdict was None). */
+  def detectSectionTextPhase(text: String, contextLower: String, currentSection: String): String = {
+    val textLower = text.toLowerCase
+    if (dsInsurance.exists(textLower.contains))
       return if (contextLower.contains("secondary") || contextLower.contains("second"))
         "Secondary Dental Plan" else "Primary Dental Plan"
-    if (Vector("medical", "health", "history", "condition", "medication", "allerg", "surgery")
-        .exists(textLower.contains)) return "Medical History"
-    if (Vector("emergency", "notify").exists(textLower.contains) && !contextLower.contains("minor"))
+    if (dsMedical.exists(textLower.contains)) return "Medical History"
+    if (dsEmergency.exists(textLower.contains) && !contextLower.contains("minor"))
       return "Patient Information Form"
-    if (Vector("minor", "children", "parent", "guardian", "custody", "school", "responsible party")
-        .exists(textLower.contains)) return "FOR CHILDREN/MINORS ONLY"
-    if (Vector("signature", "consent", "terms", "agree", "responsibilities", "payment", "scheduling")
-        .exists(textLower.contains) ||
-        ("\\binitial\\b".r.findFirstIn(textLower).isDefined &&
-          "\\b(middle|mi)\\s+initial\\b".r.findFirstIn(textLower).isEmpty)) return "Signature"
-    if (Vector("first name", "last name", "nickname", "date of birth", "birthdate", "sex",
-        "marital", "ssn", "social security").exists(textLower.contains))
+    if (dsMinor.exists(textLower.contains)) return "FOR CHILDREN/MINORS ONLY"
+    if (dsSignature.exists(textLower.contains) ||
+        (initialWordRe.findFirstIn(textLower).isDefined &&
+          midInitialRe.findFirstIn(textLower).isEmpty)) return "Signature"
+    if (dsBasicInfo.exists(textLower.contains))
       return "Patient Information Form"
-    if (Vector("street", "city", "state", "zip", "address", "phone", "mobile", "home",
-        "work", "e-mail", "email").exists(textLower.contains)) {
+    if (dsAddress.exists(textLower.contains)) {
       if (contextLower.contains("minor") || contextLower.contains("children") ||
           contextLower.contains("responsible party")) return "FOR CHILDREN/MINORS ONLY"
       else if (contextLower.contains("insurance") || contextLower.contains("dental plan"))
         return if (contextLower.contains("secondary")) "Secondary Dental Plan" else "Primary Dental Plan"
       else return "Patient Information Form"
     }
-    if (Vector("employed", "employer", "occupation").exists(textLower.contains))
+    if (dsEmployment.exists(textLower.contains))
       return if (contextLower.contains("different from above") || contextLower.contains("minor"))
         "FOR CHILDREN/MINORS ONLY" else "Patient Information Form"
     if (currentSection.nonEmpty) currentSection else "Patient Information Form"

@@ -124,9 +124,12 @@ object SpecNormalization {
   def normalizeFieldKeys(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
       q.key = directKeyMappings.getOrElse(q.key, {
-        var k = possessive1.replaceAllIn(q.key, "$1_$2")
-        k = possessive2.replaceAllIn(k, "$1")
-        k
+        if (q.key.indexOf("_s") < 0) q.key // both patterns need a literal "_s"
+        else {
+          var k = possessive1.replaceAllIn(q.key, "$1_$2")
+          k = possessive2.replaceAllIn(k, "$1")
+          k
+        }
       })
     }
     spec
@@ -135,19 +138,45 @@ object SpecNormalization {
   private val escapedUnicodeRe = "\\\\u[0-9a-fA-F]{4}".r
   private val unicodeBlockRe = "[\\uf000-\\uffff]".r
 
+  /** split("\\s+").filter(nonEmpty).mkString(" ") without the regex engine:
+    * collapse ASCII \s runs to one space, trim edges. */
+  private def collapseWs(s: String): String = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var needs = s.isEmpty || isWs(s.charAt(0)) || isWs(s.charAt(s.length - 1))
+    var i = 0
+    while (!needs && i < s.length) {
+      val c = s.charAt(i)
+      if (c != ' ' && isWs(c)) needs = true
+      else if (c == ' ' && i + 1 < s.length && s.charAt(i + 1) == ' ') needs = true
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var inWs = true // leading whitespace dropped
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (!inWs) { sb.append(' '); inWs = true } }
+      else { sb.append(c); inWs = false }
+      i += 1
+    }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == ' ') sb.setLength(n - 1)
+    sb.toString
+  }
+
   def normalizeTextContent(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
       Vector("html_text", "temporary_html_text").foreach { tk =>
         q.control.get(tk).collect { case JStr(t0) =>
           var text = t0.replace("\\_", "")
-          if (q.key == "text_3") {
+          if (text.indexOf("\\u") >= 0) // gate: the regex needs a literal \u
             text = escapedUnicodeRe.replaceAllIn(text, "")
-          } else {
-            text = escapedUnicodeRe.replaceAllIn(text, "")
+          if (q.key != "text_3") {
             text = text.replace("", "").replace("’", "'")
               .replace("“", "\"").replace("”", "\"")
           }
-          text = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+          text = collapseWs(text)
           // golden-derived: the OCR "IS N OT" artifact is fixed only in the
           // final html_text; temporary_html_text keeps it as extracted
           if (q.key == "text_3" && tk == "html_text") text = text.replace("IS N OT", "IS NOT")
@@ -160,9 +189,19 @@ object SpecNormalization {
     spec
   }
 
-  def normalizeTitle(title: String): String =
-    unicodeBlockRe.replaceAllIn(title, "").replace("", "")
-      .replaceAll("\\s+$", "")
+  def normalizeTitle(title: String): String = {
+    // [\uf000-\uffff] strip (gated) + \uf071 strip + trailing-\s trim,
+    // regex-free: titles are short and this runs once per field
+    var t = title
+    var hasHigh = false
+    var i = 0
+    while (i < t.length && !hasHigh) { if (t.charAt(i) >= '\uf000') hasHigh = true; i += 1 }
+    if (hasHigh) t = t.filterNot(c => c >= '\uf000')
+    var end = t.length
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (end > 0 && isWs(t.charAt(end - 1))) end -= 1
+    if (end == t.length) t else t.substring(0, end)
+  }
 
   private val authKey = "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_"
 
