@@ -30,27 +30,53 @@ object Json {
     * chars (<0x20) are escaped; \b \f \n \r \t get short forms.
     */
   def escape(s: String): String = {
+    if (!needsEscape(s)) return s // fast path: typical field text
     val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case '\b' => sb.append("\\b")
-      case '\f' => sb.append("\\f")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
+    escapeInto(s, sb)
     sb.toString
+  }
+
+  private def needsEscape(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') return true
+      i += 1
+    }
+    false
+  }
+
+  /** Escape directly into the render buffer (no per-string allocation). */
+  private def escapeInto(s: String, sb: StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  private def appendStr(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    if (needsEscape(s)) escapeInto(s, sb) else sb.append(s)
+    sb.append('"')
   }
 
   /** Render like json.dump(..., indent=2, ensure_ascii=False). */
   def render(v: JVal, indent: Int = 2): String = {
     val sb = new StringBuilder(estimateSize(v) + 256)
-    def pad(level: Int): Unit = sb.append(" " * (indent * level))
+    def pad(level: Int): Unit = { var n = indent * level; while (n > 0) { sb.append(' '); n -= 1 } }
     def go(v: JVal, level: Int): Unit = v match {
-      case JStr(s)  => sb.append('"').append(escape(s)).append('"')
+      case JStr(s)  => appendStr(s, sb)
       case JBool(b) => sb.append(if (b) "true" else "false")
       case JInt(i)  => sb.append(i.toString)
       case JNum(d)  => sb.append(pyFloat(d))
@@ -72,7 +98,7 @@ object Json {
           sb.append("{\n")
           fields.zipWithIndex.foreach { case ((k, fv), i) =>
             pad(level + 1)
-            sb.append('"').append(escape(k)).append("\": ")
+            appendStr(k, sb); sb.append(": ")
             go(fv, level + 1)
             if (i < fields.length - 1) sb.append(',')
             sb.append('\n')
@@ -89,7 +115,7 @@ object Json {
   def renderCompact(v: JVal): String = {
     val sb = new StringBuilder(estimateSize(v) + 256)
     def go(v: JVal): Unit = v match {
-      case JStr(s)  => sb.append('"').append(escape(s)).append('"')
+      case JStr(s)  => appendStr(s, sb)
       case JBool(b) => sb.append(if (b) "true" else "false")
       case JInt(i)  => sb.append(i.toString)
       case JNum(d)  => sb.append(pyFloat(d))
@@ -103,7 +129,7 @@ object Json {
         sb.append('{')
         fields.zipWithIndex.foreach { case ((k, fv), i) =>
           if (i > 0) sb.append(',')
-          sb.append('"').append(escape(k)).append("\":"); go(fv) }
+          appendStr(k, sb); sb.append(':'); go(fv) }
         sb.append('}')
     }
     go(v)

@@ -266,6 +266,12 @@ object Queries {
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame =
     graft.functions.AnnLsh.annTopK(spark, dir)
 
+  /** IVF-bucketed ANN — the data-adaptive coarse-quantizer scale path
+    * (complements q23's distribution-oblivious LSH buckets; recall vs brute
+    * force asserted in AnnRecallSpec). */
+  def q30AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.AnnIvf.annTopK(spark, dir)
+
   /** Multimodal binary-column plumbing: blob -> stubbed decode -> metadata +
     * feature vector, batched via mapPartitions (rows-only check). */
   def q24Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -332,6 +338,18 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** Event-time tumbling windows (the batch face of the streaming windowed
+    * aggregation): epoch-aligned 1-hour buckets per user. Map-side partial
+    * agg on (user_id, window) — scales like any low-cardinality groupBy. */
+  def q29EventWindows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        // ts is TIMESTAMP_NTZ; session TZ is UTC so unix seconds == DuckDB epoch()
+        unix_timestamp(col("window.start")).as("win_start"), col("n_events"))
+      .orderBy("user_id", "win_start")
+
   /** Per-turn bucket assignment dump (companion to q22): materializes the
     * engine-defined salt/bucket function's output so the q22 histogram can be
     * DuckDB-oracled downstream of it (the hash itself is engine-defined). */
@@ -369,7 +387,9 @@ object Queries {
     "q18_lang_id" -> q18LangId _,
     "q19_extract_fields" -> q19ExtractFields _,
     "q20_bpe_tokens" -> q20BpeTokens _,
-    "q28_bucket_assign" -> q28BucketAssign _
+    "q28_bucket_assign" -> q28BucketAssign _,
+    "q29_event_windows" -> q29EventWindows _,
+    "q30_ann_ivf" -> q30AnnIvf _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -401,6 +421,8 @@ object Queries {
       // given the dumped simhash values (engine-defined), the 16-bit band
       // blocking + Hamming<=6 verify join is recomputed in pure SQL.
       """WITH s AS (SELECT doc_id, simhash FROM read_parquet('__OUT__/q15_simhash/*.parquet')), bb AS (SELECT doc_id, simhash, i AS band, (simhash >> (i * 16)) & 65535 AS bkey FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)), p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb FROM bb l JOIN bb r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id) SELECT a, b FROM p WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY a, b""",
+    "q29_event_windows" ->
+      """SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q2_top_customers" ->

@@ -27,6 +27,16 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("IVF ANN recall@5 >= 0.6 vs brute force on sf0.001") {
+    val brute = graft.queries.Queries.q16AnnCosine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.functions.AnnIvf.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"IVF recall=$recall (|brute|=${brute.size}, |ivf|=${ivf.size})")
+    assert(recall >= 0.6, s"IVF recall $recall too low (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
   test("multimodal pipeline decodes every blob with sane metadata") {
     import graft.functions.Multimodal
     val texts = spark.read.parquet(s"$dir/documents.parquet")
