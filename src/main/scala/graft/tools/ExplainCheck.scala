@@ -36,6 +36,17 @@ object ExplainCheck {
       // pruning through the typed map (big string cols never serialize)
       ("fused object chain (single serialize)", p => "SerializeFromObject".r.findAllIn(p).length == 1),
       ("pruned serialize (no main_text col)", p => !p.contains("main_text")))
+    plan("q13_quality_signals", graft.queries.Queries.q13QualitySignals(spark, dir),
+      // the round-2 fix: one split() via a single aggregate() fold
+      ("single split in plan", p => "split\\(".r.findAllIn(p).length <= 1))
+    plan("q25_embed_neardup", graft.queries.Queries.q25EmbedNeardup(spark, dir),
+      // top-20 via TakeOrdered, not a partition-less window over all pairs
+      ("TakeOrdered for top-k", _.contains("TakeOrdered")),
+      ("no window over full pair set", p => !p.contains("WindowExec")))
+    plan("q29_event_windows", graft.queries.Queries.q29EventWindows(spark, dir),
+      ("partial agg (map-side combine)", _.contains("partial_")))
+    plan("q30_ann_ivf", graft.queries.Queries.q30AnnIvf(spark, dir),
+      ("broadcast query side", _.contains("Broadcast")))
     // scan pruning check: a 2-col projection must not read all lineitem cols
     val pruned = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
     val rs = pruned.queryExecution.executedPlan.toString
