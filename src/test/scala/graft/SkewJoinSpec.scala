@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** AQE skew-join evidence (north rule: "partitioning / shuffle / skew
+  * handled explicitly"): beyond the salted repartition in ExtractionJob,
+  * a skewed shuffle join must be split at runtime by AQE's
+  * OptimizeSkewedJoin. Thresholds are lowered so the sandbox-sized input
+  * exhibits the behavior the defaults give at 100 TB.
+  */
+class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // set at runtime: getOrCreate may reuse a prior suite's session, which
+    // would silently drop builder configs
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // sandbox-scale thresholds: at 100 TB the 256MB defaults fire the same way
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("AQE splits the skewed partition of a hot-key join at runtime") {
+    // heavy-tailed fact: one hot key owns 90% of rows (a hot conversation)
+    val fact = spark.range(0, 200000)
+      .select((when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 1000)).as("k"),
+        concat(lit("payload-"), col("id")).as(("payload")))
+    val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val joined = fact.join(dim, "k")
+    // collect() executes THIS dataset's queryExecution (count()/foreach()
+    // would build a separate one and leave this plan unexecuted)
+    assert(joined.collect().length == 200000)
+    // after execution AQE has finalized the plan; the skewed side must show
+    // the skew=true marker (OptimizeSkewedJoin split the hot partition)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(finalPlan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin marker in final plan:\n${finalPlan.take(2000)}")
+  }
+}
