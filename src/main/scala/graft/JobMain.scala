@@ -22,6 +22,7 @@ object JobMain {
     val Array(input, outDir) = args.take(2)
     val buckets = if (args.length > 2) args(2).toInt else 256
     val waves = if (args.length > 3) args(3).toInt else 8
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("graft-extraction")
       .config("spark.sql.adaptive.enabled", "true")
@@ -32,6 +33,6 @@ object JobMain {
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves))
     println(s"""{"committed_buckets_this_run":${done.size},"out":"$outDir"}""")
-    spark.stop()
+    if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
 }

@@ -113,9 +113,15 @@ object FormClassifier {
       else fullText.substring(0,
         textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0))
 
-    if (recordsRelease.exists(_.findFirstIn(analysisText).isDefined)) return "records_release"
-    if (structuredConsent.exists(_.findFirstIn(analysisText).isDefined)) return "structured_consent"
-    if (narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
+    // regex banks gated behind cheap substring prechecks (pattern presence
+    // only; the gates are necessary conditions of the inner patterns)
+    if ((analysisText.contains("release") || analysisText.contains("section")) &&
+        recordsRelease.exists(_.findFirstIn(analysisText).isDefined)) return "records_release"
+    if (analysisText.contains("consent") &&
+        structuredConsent.exists(_.findFirstIn(analysisText).isDefined)) return "structured_consent"
+    if ((analysisText.contains("risk") || analysisText.contains("complication") ||
+         analysisText.contains("side")) &&
+        narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
 
     var consent = 0
     var patientInfo = 0
@@ -123,11 +129,38 @@ object FormClassifier {
     patientInfoKeywords.foreach(k => if (analysisText.contains(k)) patientInfo += 2)
     consentKeywords.foreach(k => if (fullText.contains(k)) consent += 1)
     patientInfoKeywords.foreach(k => if (fullText.contains(k)) patientInfo += 1)
-    consent += signaturePatternRe.findAllIn(fullText).size * 2
-    if (fieldPatternRe.findAllIn(fullText).size > 10) patientInfo += 3
+    if (fullText.contains("signature") && fullText.contains("date"))
+      consent += signaturePatternRe.findAllIn(fullText).size * 2
+    if (countFieldPatterns(fullText, stopAfter = 11) > 10) patientInfo += 3
 
     if (consent > patientInfo && consent >= 3) "consent"
     else if (patientInfo > consent && patientInfo >= 5) "patient_info"
     else "patient_info"
+  }
+
+  /** Manual count of `_+` | `\.\.\.+` | `\[\s*\]` runs (the fill-in-field
+    * pattern) with early exit — equivalent to fieldPatternRe.findAllIn.size
+    * capped at stopAfter, without the regex engine. */
+  private[graft] def countFieldPatterns(s: String, stopAfter: Int): Int = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n && count < stopAfter) {
+      val c = s.charAt(i)
+      if (c == '_') {
+        count += 1
+        while (i < n && s.charAt(i) == '_') i += 1
+      } else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        count += 1
+        i += 3
+        while (i < n && s.charAt(i) == '.') i += 1
+      } else if (c == '[') {
+        var j = i + 1
+        while (j < n && isWs(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == ']') { count += 1; i = j + 1 } else i += 1
+      } else i += 1
+    }
+    count
   }
 }

@@ -45,6 +45,19 @@ class FormSubtypeSpec extends AnyFunSuite {
     assert(FormClassifier.detectFormSubtype(Vector.fill(120)("filler line")) == "detailed_consent")
   }
 
+  test("manual field-pattern counter equals the regex on edge cases") {
+    val re = "_+|\\.\\.\\.+|\\[\\s*\\]".r
+    val cases = Vector(
+      "", "_", "___ __ _", "..", "...", "....", ".. ... ....", "[]", "[  ]", "[x]",
+      "[___]", "name: ___ date: ... [ ] sig", "a.b..c...d", "[ [ ] ]", "...[...]_",
+      "_" * 30, "plain text with no fields at all", "[\t]", "[\n ]")
+    cases.foreach { s =>
+      val want = math.min(re.findAllIn(s).size, 11)
+      val got = graft.extract.FormClassifier.countFieldPatterns(s, stopAfter = 11)
+      assert(got == want, s"mismatch on ${s.take(30)}: got $got want $want")
+    }
+  }
+
   test("subtype priority: implant listed before denture wins on combined text") {
     // "implant supported denture" hits implant first (reference order)
     assert(sub("implant supported denture", "consent") == "implant_consent")

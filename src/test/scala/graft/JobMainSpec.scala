@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** The spark-submit entry end-to-end: parquet turns in -> committed
+  * snapshot table out, resumable (second invocation commits nothing). */
+class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("JobMain extracts a parquet transcript table into a committed resumable snapshot") {
+    val in = Files.createTempDirectory("graft-jobmain-in").toString + "/turns"
+    val out = Files.createTempDirectory("graft-jobmain-out").toString
+    val turns = graft.spark.Transcripts.generate(spark, 20)
+    turns.write.parquet(in)
+
+    JobMain.main(Array(in, out, "4", "2"))
+    val committed = graft.spark.ExtractionJob.readCommitted(spark, out)
+    assert(committed.count() == turns.count())
+    assert(committed.columns.contains("form_subtype"))
+    assert(graft.spark.ExtractionJob.committedBuckets(out) == Set(0, 1, 2, 3))
+
+    // resume: everything committed -> nothing recomputed
+    val s = spark
+    import s.implicits._
+    val again = graft.spark.ExtractionJob.run(s,
+      s.read.parquet(in).as[graft.spark.Turn],
+      graft.spark.ExtractionJob.Config(out, buckets = 4, waves = 2))
+    assert(again.isEmpty)
+  }
+}
