@@ -75,14 +75,16 @@ object FieldOrdering {
     "i_authorize_the_release_of_my_personal_information_necessary_to_process_my_dental_benefit_claims,_including_health_information,_",
     "initials_3", "signature", "date_signed")
 
+  private val referenceOrderSet: Set[String] = referenceFieldOrder.toSet
+
   def orderFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
     val fields = fields0.sortBy(_.lineIdx)
     val keys = fields.map(_.key).toSet
-    val overlap = keys.intersect(referenceFieldOrder.toSet).size
+    val overlap = keys.intersect(referenceOrderSet).size
     if (overlap > keys.size * 0.5) {
       val lookup = fields.map(f => f.key -> f).toMap
       referenceFieldOrder.flatMap(lookup.get) ++
-        fields.filterNot(f => referenceFieldOrder.contains(f.key))
+        fields.filterNot(f => referenceOrderSet.contains(f.key))
     } else {
       val (sig, other) = fields.partition(_.fieldType == "signature")
       other ++ sig
@@ -305,8 +307,14 @@ object MainValidator {
   def ensureUniqueKeys(spec0: Vector[SpecQ]): Vector[SpecQ] = {
     val spec = mutable.ArrayBuffer[SpecQ](spec0: _*)
 
-    def isNumbered(key: String): Boolean =
-      key.contains("_") && key.split("_").last.forall(_.isDigit) && key.split("_").last.nonEmpty
+    def isNumbered(key: String): Boolean = {
+      // key ends in "_<digits>" (no split/array allocation)
+      val u = key.lastIndexOf('_')
+      if (u < 0 || u == key.length - 1) return false
+      var i = u + 1
+      while (i < key.length) { if (!key.charAt(i).isDigit) return false; i += 1 }
+      true
+    }
 
     def shouldMergeOrRemove(currentIdx: Int): Option[Int] = {
       val current = spec(currentIdx)
