@@ -55,10 +55,12 @@ object Extractor {
         val (ft, sub) = FormClassifier.classify(lines)
         (ft, sub, fis, json)
       } else if (profile == "docling_md" || profile == "main") {
-        val (ft, spec) = MainExtractor.convertToSpec(lines)
+        // subtype comes from the same joined lowercase text as the form type
+        // inside convertToSpecFull — no second whole-document join per turn
+        val (ft, sub, spec) = MainExtractor.convertToSpecFull(lines)
         val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,
           q.optional, q.control, q.lineIdx))
-        (ft, FormClassifier.detectFormSubtype(lines), fis, Json.render(JArr(spec.map(_.render))))
+        (ft, sub, fis, Json.render(JArr(spec.map(_.render))))
       } else {
         val (ft, sub) = FormClassifier.classify(lines)
         val fis = ConsentExtractor.validateAndNormalize(

@@ -557,7 +557,17 @@ object MainExtractor {
 
   // ---------- routing (pdf_to_json_converter.py:2874-2904) ----------
   def extractFieldsFromText(textLines: Seq[String]): (String, Vector[FieldInfo]) = {
-    val formType = FormClassifier.detectFormType(textLines)
+    val (ft, _, fields) = extractFieldsAndClassify(textLines)
+    (ft, fields)
+  }
+
+  /** Routing plus the modular subtype classification, sharing ONE joined
+    * lowercase view of the document (the join is ~the whole cost of
+    * classification on large forms; computing it twice per turn was the
+    * dominant avoidable allocation in the docling_md route).
+    */
+  def extractFieldsAndClassify(textLines: Seq[String]): (String, String, Vector[FieldInfo]) = {
+    val (formType, formSubtype) = FormClassifier.classify(textLines)
     val fields = formType match {
       case "structured_consent" | "narrative_consent" => extractConsentFormFieldsEnhanced(textLines)
       case "records_release" => RecordsRelease.extract(textLines)
@@ -565,7 +575,8 @@ object MainExtractor {
       case "consent" => extractConsentFormFields(textLines)
       case _ => UniversalExtractor.extract(textLines)
     }
-    (formType, applyFormTypeFiltering(consolidateConsentSections(fields, formType), formType))
+    (formType, formSubtype,
+      applyFormTypeFiltering(consolidateConsentSections(fields, formType), formType))
   }
 
   // ---------- full pipeline ----------
@@ -575,11 +586,20 @@ object MainExtractor {
   }
 
   def convertToSpec(textLines0: Seq[String]): (String, Vector[SpecQ]) = {
+    val (ft, _, spec) = convertToSpecFull(textLines0)
+    (ft, spec)
+  }
+
+  /** Full pipeline variant that also surfaces the modular form_subtype,
+    * classified from the same joined lowercase text as the form type (no
+    * second join per turn — ExtractionJob's hot path).
+    */
+  def convertToSpecFull(textLines0: Seq[String]): (String, String, Vector[SpecQ]) = {
     // main-pipeline line cleaning (scan-stage analog,
     // pdf_to_json_converter.py:792-793): header/footer manager with the
     // form-content whitelist
     val textLines = HeaderFooterMain.removePracticeHeadersFooters(textLines0)
-    val (formType, fields0) = extractFieldsFromText(textLines)
+    val (formType, formSubtype, fields0) = extractFieldsAndClassify(textLines)
     var fields = FieldOrdering.ensureRequiredSignatureFields(fields0)
     fields = FieldOrdering.ensureDateSignedField(fields)
     fields = FieldOrdering.orderFields(fields)
@@ -591,6 +611,6 @@ object MainExtractor {
     spec = MainValidator.validateAndNormalize(spec)
     spec = MainValidator.ensureSignatureCompliance(spec)
     spec = MainValidator.applyFinalCleanup(spec)
-    (formType, spec)
+    (formType, formSubtype, spec)
   }
 }

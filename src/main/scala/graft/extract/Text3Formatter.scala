@@ -173,7 +173,10 @@ object Text3Formatter {
     var pos = 0
     val cuts = anchors.flatMap { case (a, br) =>
       val idx = src.indexOf(a, pos)
-      if (idx > 0) { pos = idx; Some((idx, br)) } else None
+      // idx == 0 is a genuine match (document starting at an anchor): the
+      // duplicate (0, _) bound produces an empty leading paragraph which is
+      // skipped, while the anchor's blank-paragraph flag is preserved
+      if (idx >= 0) { pos = idx; Some((idx, br)) } else None
     }
     val bounds = ((0, false) +: cuts) :+ ((src.length, false))
     bounds.sliding(2).foreach { case Seq((a, _), (b, _)) =>
@@ -190,7 +193,7 @@ object Text3Formatter {
   private def splitAtAnchors(text: String, anchors: Vector[String]): Vector[String] = {
     val cuts = anchors.flatMap { a =>
       val idx = text.indexOf(a)
-      if (idx > 0) Some(idx) else None
+      if (idx >= 0) Some(idx) else None
     }.sorted
     val bounds = (0 +: cuts) :+ text.length
     bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b).trim }.filter(_.nonEmpty).toVector

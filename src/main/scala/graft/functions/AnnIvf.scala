@@ -87,16 +87,22 @@ object AnnIvf {
   // corpus — the hardest case for a data-adaptive quantizer) this measures
   // recall@5 0.8 vs brute force; on real clustered embeddings the same
   // ratio probes far less of the data for the same recall.
-  def annTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-              cells: Int = 16, nprobe: Int = 6, sampleSize: Int = 256): DataFrame = {
-    import spark.implicits._
+  /** Scored candidate set (query_id, vec_id, cosine). Deterministic: the
+    * training sample is collected in vec_id order (k-means seeding is
+    * order-sensitive, and parquet collect order is not guaranteed), so the
+    * companion dump query (q32) and the top-k ranker recompute the identical
+    * set — which lets the DuckDB oracle re-rank the dumped candidates and
+    * verify the top-k stage independently.
+    */
+  def candidates(spark: SparkSession, dir: String, numQueries: Int = 10,
+                 cells: Int = 16, nprobe: Int = 6, sampleSize: Int = 256): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
         expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
 
     // 1. train: deterministic sample to the driver (tiny, O(sample) not O(N))
     val sample = emb.where(col("vec_id") < sampleSize)
-      .select("embedding").collect()
+      .orderBy("vec_id").select("embedding").collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
     val centroids = spark.sparkContext.broadcast(trainCentroids(sample, cells))
 
@@ -110,13 +116,20 @@ object AnnIvf {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm2").as("q_norm2"), explode(probeUdf(col("embedding"))).as("cell")))
 
-    val candidates = assigned.join(queries, "cell")
+    assigned.join(queries, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("dot",
         expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
       .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
+    // no dedup needed (unlike LSH multi-table): every vector lives in exactly
+    // one cell and a query's probe list is distinct, so (query_id, vec_id)
+    // pairs are unique by construction — skipping the extra exchange
+  }
+
+  def annTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+              cells: Int = 16, nprobe: Int = 6, sampleSize: Int = 256): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    candidates
+    candidates(spark, dir, numQueries, cells, nprobe, sampleSize)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         row_number().over(w).as("rank"))
       .where(col("rank") <= k)

@@ -51,9 +51,14 @@ object AnnLsh {
     * (query_id, neighbor_id, rank). bits scales with log2(N) on real data;
     * tables trade recall for candidate volume.
     */
-  def annTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-              bits: Int = 5, tables: Int = 6): DataFrame = {
-    import spark.implicits._
+  /** Scored candidate set (query_id, vec_id, cosine): bucket join + exact
+    * cosine on bucket-mates only. Deterministic (seeded hyperplanes), so the
+    * companion dump query (q31) and the top-k ranker below recompute the
+    * identical set — which lets the DuckDB oracle re-rank the dumped
+    * candidates independently and verify the top-k stage end-to-end.
+    */
+  def candidates(spark: SparkSession, dir: String, numQueries: Int = 10,
+                 bits: Int = 5, tables: Int = 6): DataFrame = {
     val allPlanes = (0 until tables).map(t => hyperplanes(dim = 64, bits = bits, seed = 42L + t)).toArray
     val planes = spark.sparkContext.broadcast(allPlanes)
     val codesUdf = udf { v: Seq[Float] =>
@@ -74,14 +79,18 @@ object AnnLsh {
         col("norm2").as("q_norm2"), explode(probesUdf(col("embedding"))).as("code"))
       .dropDuplicates("query_id", "code"))
 
-    val candidates = bucketed.join(queries, "code")
+    bucketed.join(queries, "code")
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("dot",
         expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
       .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
       .dropDuplicates("query_id", "vec_id")
+  }
+
+  def annTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+              bits: Int = 5, tables: Int = 6): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    candidates
+    candidates(spark, dir, numQueries, bits, tables)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
         row_number().over(w).as("rank"))
       .where(col("rank") <= k)

@@ -293,15 +293,18 @@ object Queries {
       // top-20 via sort+limit = TakeOrderedAndProject: no partition-less
       // window over the full pair set (which would single-partition it).
       // Spark 4 eliminates foldable window partition specs, so even a
-      // partitionBy(lit) window would degrade — rank the 20 survivors with
-      // a per-partition id over a single locally-sorted partition instead.
+      // partitionBy(lit) window would degrade.
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(20)
-    top
-      .coalesce(1)
-      .sortWithinPartitions(col("cosine").desc, col("a").asc, col("b").asc)
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .select("a", "b", "rank")
+    // rank the 20 survivors driver-side: 20 rows is trivially driver-sized,
+    // and this keeps the rank independent of projection/sort evaluation
+    // order (a monotonically_increasing_id over a coalesced sort was correct
+    // but fragile against future optimizer reorderings)
+    val ranked = top.select("a", "b", "cosine").collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0), r.getLong(1)))
+      .zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i + 1) }
+    spark.createDataFrame(ranked.toSeq).toDF("a", "b", "rank")
       .orderBy("rank")
   }
 
@@ -359,6 +362,35 @@ object Queries {
         graft.spark.ExtractionJob.bucketOf(32).as("bucket"))
       .orderBy("conv_id", "turn_idx")
 
+  /** LSH ANN candidate-set dump (companion to q23): materializes the
+    * engine-defined bucket-join candidate pairs so the DuckDB oracle can
+    * independently recompute cosine + top-k over them (same pattern as
+    * q28 -> q22 and q15 -> q26). */
+  def q31AnnLshCands(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.AnnLsh.candidates(spark, dir)
+      .select("query_id", "vec_id").orderBy("query_id", "vec_id")
+
+  /** IVF ANN candidate-set dump (companion to q30). */
+  def q32AnnIvfCands(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.AnnIvf.candidates(spark, dir)
+      .select("query_id", "vec_id").orderBy("query_id", "vec_id")
+
+  /** Per-field extraction dump (companion to q19): one row per extracted
+    * field so the (field_count, section_count) aggregation of q19 can be
+    * oracled downstream of the engine-defined extraction. */
+  def q33FieldDump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val fields = graft.extract.ConsentExtractor.convertFields(
+          Option(text).getOrElse("").split("\n", -1).toSeq)
+        fields.zipWithIndex.map { case (f, i) => (id, i, f.key, f.section) }
+      }
+      .toDF("doc_id", "field_idx", "field_key", "section")
+      .orderBy("doc_id", "field_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -389,7 +421,10 @@ object Queries {
     "q20_bpe_tokens" -> q20BpeTokens _,
     "q28_bucket_assign" -> q28BucketAssign _,
     "q29_event_windows" -> q29EventWindows _,
-    "q30_ann_ivf" -> q30AnnIvf _
+    "q30_ann_ivf" -> q30AnnIvf _,
+    "q31_ann_lsh_cands" -> q31AnnLshCands _,
+    "q32_ann_ivf_cands" -> q32AnnIvfCands _,
+    "q33_field_dump" -> q33FieldDump _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -453,6 +488,27 @@ object Queries {
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS a, b.vec_id AS b, row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, a.vec_id ASC, b.vec_id ASC) AS rank FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) SELECT a, b, CAST(rank AS INT) AS rank FROM p WHERE rank <= 20 ORDER BY rank""",
     "q27_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 40 AND len(regexp_split_to_array(trim(text), '\s+')) >= 3)) SELECT a.doc_id AS a, b.doc_id AS b, CAST((1000 * len(list_intersect(a.sh, b.sh))) // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_x1000 FROM d a CROSS JOIN d b WHERE a.doc_id < b.doc_id ORDER BY 1, 2""",
+    "q19_extract_fields" ->
+      // per-doc (field_count, section_count) oracled downstream of the
+      // dumped per-field rows (q33): the counting/aggregation stage is
+      // recomputed independently in SQL; the fields themselves are pinned
+      // by the byte-exact goldens in sbt test.
+      """WITH f AS (SELECT doc_id, field_key, section FROM read_parquet('__OUT__/q33_field_dump/*.parquet')) SELECT d.doc_id, CAST(count(f.field_key) AS INTEGER) AS field_count, CAST(count(DISTINCT f.section) AS INTEGER) AS section_count FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q23_ann_lsh" ->
+      // candidate pairs are engine-defined (seeded hyperplane buckets, dumped
+      // as q31); the scoring + top-k stage is recomputed independently:
+      // DuckDB computes cosine from the embeddings table and re-ranks.
+      """WITH c AS (SELECT query_id, vec_id FROM read_parquet('__OUT__/q31_ann_lsh_cands/*.parquet')), s AS (SELECT c.query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY c.query_id ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id ASC) AS rank FROM c JOIN embeddings e ON e.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM s WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_ann_ivf" ->
+      // same downstream pattern over the dumped IVF candidate set (q32).
+      """WITH c AS (SELECT query_id, vec_id FROM read_parquet('__OUT__/q32_ann_ivf_cands/*.parquet')), s AS (SELECT c.query_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY c.query_id ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id ASC) AS rank FROM c JOIN embeddings e ON e.vec_id = c.vec_id JOIN embeddings q ON q.vec_id = c.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM s WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q24_multimodal" ->
+      // width/height/channels/payload_bytes are pure functions of doc_id
+      // (dimension formulas; payload = decoded RGB byte count w*h*3) —
+      // recomputed entirely in SQL; the feature checksum requires the actual
+      // pixel decode, so it is taken from the dumped output (its row/schema/
+      // hash still participates in the compare).
+      """WITH m AS (SELECT doc_id, feature_checksum FROM read_parquet('__OUT__/q24_multimodal/*.parquet')) SELECT d.doc_id, CAST(64 + (d.doc_id % 8) * 16 AS INTEGER) AS width, CAST(48 + (d.doc_id % 5) * 16 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + (d.doc_id % 8) * 16) * (48 + (d.doc_id % 5) * 16) * 3 AS INTEGER) AS payload_bytes, m.feature_checksum FROM documents d JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q16_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank"""
   )

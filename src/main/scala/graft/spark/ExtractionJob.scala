@@ -51,7 +51,11 @@ object ExtractionJob {
     * and exact-file snapshot reads). */
   final case class FileEntry(bucket: Int, path: String, rowCount: Long)
 
-  final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry])
+  /** hasFilesList distinguishes a manifest that genuinely lists zero files
+    * (all-empty buckets) from a legacy manifest written before file
+    * granularity existed — the two need different resume verification. */
+  final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry],
+                            hasFilesList: Boolean)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -98,22 +102,29 @@ object ExtractionJob {
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
     val files = fileEntryRe.findAllMatchIn(manifest)
       .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
-    Manifest(k, buckets, files)
+    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
     * bucket is still present on disk. A bucket whose files were lost (or a
     * legacy partial promote) is treated as uncommitted and recomputed on
-    * resume. Buckets with zero rows legitimately list no files.
+    * resume. Buckets with zero rows legitimately list no files — but ONLY
+    * when the manifest carries a files list at all; a legacy manifest
+    * (pre-file-granularity, no "files" key) can't distinguish lost files
+    * from empty buckets, so it falls back to bucket-directory existence.
     */
   def committedBuckets(outDir: String): Set[Int] = readManifest(outDir) match {
     case None => Set.empty
     case Some(man) =>
       val dataDir = Paths.get(outDir, "data")
-      val byBucket = man.files.groupBy(_.bucket)
-      man.buckets.filter { b =>
-        byBucket.getOrElse(b, Vector.empty)
-          .forall(f => Files.exists(dataDir.resolve(f.path)))
+      if (!man.hasFilesList)
+        man.buckets.filter(b => Files.isDirectory(dataDir.resolve(s"bucket=$b")))
+      else {
+        val byBucket = man.files.groupBy(_.bucket)
+        man.buckets.filter { b =>
+          byBucket.getOrElse(b, Vector.empty)
+            .forall(f => Files.exists(dataDir.resolve(f.path)))
+        }
       }
   }
 

@@ -45,13 +45,32 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Multimodal.pipeline(spark, dir).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 48)
-      assert(r.getAs[Int]("channels") == 3)
-      // checksum matches an independent row-local recomputation from source
       val docId = r.getAs[Long]("doc_id")
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 64 && h >= 48)
+      assert(r.getAs[Int]("channels") == 3)
+      // payload = decoded RGB bytes, container-independent
+      assert(r.getAs[Int]("payload_bytes") == w * h * 3)
+      // checksum matches an independent row-local decode from source
       val expected = Multimodal.featureChecksum(
-        Multimodal.featuresStub(Multimodal.synthesizeBlob(docId, texts(docId))))
+        Multimodal.features(Multimodal.decode(Multimodal.synthesizeBlob(docId, texts(docId)))))
       assert(r.getAs[Long]("feature_checksum") == expected)
     }
+  }
+
+  test("PPM and BMP codecs round-trip pixel data exactly") {
+    import graft.functions.Multimodal
+    // width NOT divisible by 4 => BMP row padding is exercised
+    val w = 5; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val ppm = Multimodal.decode(Multimodal.encodePpm(w, h, rgb))
+    assert((ppm.width, ppm.height, ppm.channels) == ((w, h, 3)))
+    assert(ppm.pixels.sameElements(rgb), "PPM round-trip mismatch")
+    val bmp = Multimodal.decode(Multimodal.encodeBmp24(w, h, rgb))
+    assert((bmp.width, bmp.height, bmp.channels) == ((w, h, 3)))
+    assert(bmp.pixels.sameElements(rgb), "BMP round-trip (padding + bottom-up flip) mismatch")
+    // features depend on decoded pixels, not on the container encoding
+    assert(Multimodal.featureChecksum(Multimodal.features(ppm)) ==
+      Multimodal.featureChecksum(Multimodal.features(bmp)))
   }
 }
