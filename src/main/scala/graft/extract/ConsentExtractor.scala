@@ -15,24 +15,24 @@ import scala.collection.mutable
 object ConsentExtractor {
 
   // ---- header/footer removal (consent_converter.py:278-321) ----
-  private val practicePatterns: Vector[Regex] = Vector(
-    "(?i)www\\.\\w+\\.com",
-    "(?i)\\w+@\\w+\\.com",
-    "(?i)\\(\\d{3}\\)\\s*\\d{3}-?\\d{4}",
-    "(?i)\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}",
-    "(?i)Route\\s+\\d+.*\\d{5}",
-    "(?i)Smile@.*\\.com"
-  ).map(_.r)
+  // Of the reference's six practice-info patterns, the www/email/Route/Smile@
+  // regexes are fully subsumed by the cheap markers below ('@' covers both
+  // email forms, 'route' covers Route, 'www.' covers www): only the
+  // parenthesized-phone and street-city-zip patterns add coverage, and each
+  // is gated on its required literal char so ordinary digit lines skip the
+  // regex engine entirely.
+  private val parenPhoneRe = "\\(\\d{3}\\)\\s*\\d{3}-?\\d{4}".r
+  private val streetCityZipConsentRe = "\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}".r
 
   private val practiceMarkers = Vector("www.", "@", "route", "office:", "phone:", "fax:")
+  private val practiceMarkersAC = MultiSubstring(practiceMarkers)
 
   def isPracticeInformation(line: String): Boolean = {
     val lower = line.toLowerCase.trim
-    // markers subsume the www/@/route/Smile@ regexes; only the phone and
-    // street-address patterns add coverage, and both require a digit
-    if (practiceMarkers.exists(lower.contains)) return true
+    if (practiceMarkersAC.containsAny(lower)) return true
     if (!line.exists(_.isDigit)) return false
-    practicePatterns.exists(_.findFirstIn(line).isDefined)
+    (line.indexOf('(') >= 0 && parenPhoneRe.findFirstIn(line).isDefined) ||
+    (line.indexOf(',') >= 0 && streetCityZipConsentRe.findFirstIn(line).isDefined)
   }
 
   def removePracticeHeadersFooters(lines: Seq[String]): Seq[String] =

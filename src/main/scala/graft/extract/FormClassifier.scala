@@ -36,6 +36,7 @@ object FormClassifier {
     "emergency contact", "ssn", "social security")
 
   private val signaturePatternRe = "signature.*date|date.*signature".r
+
   private val fieldPatternRe = "_+|\\.\\.\\.+|\\[\\s*\\]".r
 
   // ---- modular subtype classifier ----
@@ -64,6 +65,20 @@ object FormClassifier {
     ("implant_consent", Vector("implant", "implant supported"), Vector("consent")),
     ("denture_consent", Vector("denture", "dentures", "partial denture", "complete denture"), Vector("consent")))
 
+  // one-pass Aho-Corasick DFAs over the keyword banks: classification used
+  // to scan the full joined document text once per keyword (26+ scans of a
+  // multi-KB string per turn); each DFA does its whole bank in one pass
+  private val consentKeywordsAC = MultiSubstring(consentKeywords)
+  private val patientInfoKeywordsAC = MultiSubstring(patientInfoKeywords)
+  private val patientInfoIndicatorsAC = MultiSubstring(patientInfoIndicators)
+  private val recordsKeywordsAC = MultiSubstring(recordsKeywords)
+  private val consentSubKeywordsAC = MultiSubstring(consentSubKeywords)
+  private val narrativeSubKeywordsAC = MultiSubstring(narrativeSubKeywords)
+  private val npfIndicatorsAC = MultiSubstring(npfIndicators)
+  private val subtypeBanksAC = subtypeBanks.map { case (label, anyOf, companions) =>
+    (label, MultiSubstring(anyOf), MultiSubstring(companions))
+  }
+
   def detectFormSubtype(textLines: Seq[String]): String =
     detectFormSubtype(textLines.mkString(" ").toLowerCase, textLines.length)
 
@@ -75,20 +90,20 @@ object FormClassifier {
   def detectFormSubtype(fullText: String, nLines: Int): String = {
     def bankHit(patterns: Vector[Regex], gate: String => Boolean): Boolean =
       gate(fullText) && patterns.exists(_.findFirstIn(fullText).isDefined)
-    if (patientInfoIndicators.count(fullText.contains) >= 3) return "patient_info"
+    if (patientInfoIndicatorsAC.countDistinct(fullText) >= 3) return "patient_info"
     if (bankHit(recordsRelease, t => t.contains("release") || t.contains("section")) &&
-        recordsKeywords.count(fullText.contains) >= 2)
+        recordsKeywordsAC.countDistinct(fullText) >= 2)
       return "records_release"
     if (bankHit(structuredConsent, _.contains("consent")) &&
-        consentSubKeywords.count(fullText.contains) >= 2)
+        consentSubKeywordsAC.countDistinct(fullText) >= 2)
       return "structured_consent"
     if (bankHit(narrativeConsent,
         t => t.contains("risk") || t.contains("complication") || t.contains("side")) &&
-        narrativeSubKeywords.count(fullText.contains) >= 1)
+        narrativeSubKeywordsAC.countDistinct(fullText) >= 1)
       return "narrative_consent"
-    if (npfIndicators.count(fullText.contains) >= 2) return "patient_info"
-    subtypeBanks.foreach { case (label, anyOf, companions) =>
-      if (anyOf.exists(fullText.contains) && companions.exists(fullText.contains))
+    if (npfIndicatorsAC.countDistinct(fullText) >= 2) return "patient_info"
+    subtypeBanksAC.foreach { case (label, anyOf, companions) =>
+      if (anyOf.containsAny(fullText) && companions.containsAny(fullText))
         return label
     }
     if (nLines > 100) "detailed_consent"
@@ -108,10 +123,11 @@ object FormClassifier {
   private def detectFormType(fullText: String, textLines: Seq[String]): String = {
     // the first-50-line window is a prefix of the full join (same separator):
     // build/lowercase once, slice the window — halves the string allocations
+    val prefixEnd =
+      if (textLines.lengthCompare(50) <= 0) fullText.length
+      else textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0)
     val analysisText =
-      if (textLines.lengthCompare(50) <= 0) fullText
-      else fullText.substring(0,
-        textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0))
+      if (prefixEnd == fullText.length) fullText else fullText.substring(0, prefixEnd)
 
     // regex banks gated behind cheap substring prechecks (pattern presence
     // only; the gates are necessary conditions of the inner patterns)
@@ -123,12 +139,11 @@ object FormClassifier {
          analysisText.contains("side")) &&
         narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
 
-    var consent = 0
-    var patientInfo = 0
-    consentKeywords.foreach(k => if (analysisText.contains(k)) consent += 2)
-    patientInfoKeywords.foreach(k => if (analysisText.contains(k)) patientInfo += 2)
-    consentKeywords.foreach(k => if (fullText.contains(k)) consent += 1)
-    patientInfoKeywords.foreach(k => if (fullText.contains(k)) patientInfo += 1)
+    // one DFA pass per bank yields both window scores (prefix + full)
+    val (cPre, cFull) = consentKeywordsAC.countDistinctPrefixAndFull(fullText, prefixEnd)
+    val (pPre, pFull) = patientInfoKeywordsAC.countDistinctPrefixAndFull(fullText, prefixEnd)
+    var consent = 2 * cPre + cFull
+    var patientInfo = 2 * pPre + pFull
     if (fullText.contains("signature") && fullText.contains("date"))
       consent += signaturePatternRe.findAllIn(fullText).size * 2
     if (countFieldPatterns(fullText, stopAfter = 11) > 10) patientInfo += 3

@@ -48,15 +48,19 @@ object HeaderFooterMain {
     "personal information necessary to process", "yes  n o (check one)",
     "check one", "(initial)", "contracted provider")
 
-  def isFormContent(line: String): Boolean = {
-    val lower = line.trim.toLowerCase
-    formContentWhitelist.exists(lower.contains)
-  }
+  // one-pass Aho-Corasick DFAs over the per-line keyword banks (the
+  // per-line exists(contains) scans were the hottest part of line cleaning)
+  private val formContentAC = MultiSubstring(formContentWhitelist)
+  private val practiceKeywordsAC = MultiSubstring(practiceKeywords)
+  private val facilityWordsAC = MultiSubstring(facilityWords)
+
+  def isFormContent(line: String): Boolean =
+    formContentAC.containsAny(line.trim.toLowerCase)
 
   def isPracticeInformation(line0: String): Boolean = {
     val line = line0.trim
     val lower = line.toLowerCase
-    if (formContentWhitelist.exists(lower.contains)) return false
+    if (formContentAC.containsAny(lower)) return false
     // anchored specials: ^[^a-zA-Z]*$ (subsumes ^\s*•\s*$)
     var hasLetter = false
     var hasDigit = false
@@ -82,14 +86,14 @@ object HeaderFooterMain {
         dentistryRe.findFirstIn(line).isDefined) return true
     if ((lower.contains("dontic") || lower.contains("periodont")) &&
         specialtyRe.findFirstIn(line).isDefined) return true
-    if (facilityWords.exists(lower.contains) && facilityRe.findFirstIn(line).isDefined) return true
+    if (facilityWordsAC.containsAny(lower) && facilityRe.findFirstIn(line).isDefined) return true
     if (line.indexOf('•') >= 0 && tripleBulletRe.findFirstIn(line).isDefined) return true
     if (lower.contains("smile") && smileDentalRe.findFirstIn(line).isDefined) return true
     if (lower.contains("kingery") && kingeryRe.findFirstIn(line).isDefined) return true
     if (lower.contains("darien") && darienRe.findFirstIn(line).isDefined) return true
     if (lower.contains("rights") && rightsRe.findFirstIn(line).isDefined) return true
     if (lower.contains("form") && formIdRe.findFirstIn(line).isDefined) return true
-    practiceKeywords.exists(lower.contains)
+    practiceKeywordsAC.containsAny(lower)
   }
 
   private val mixedConsentRe = "(?i)(informed\\s+consent[^•]*)".r

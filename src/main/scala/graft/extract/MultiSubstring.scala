@@ -1,0 +1,147 @@
+package graft.extract
+
+import scala.collection.mutable
+
+/** Aho–Corasick multi-substring matcher (Aho & Corasick 1975), specialized
+  * for the extraction hot path: the keyword banks (form-content whitelist,
+  * practice keywords, classifier keyword sets) were each scanned with
+  * `bank.exists(text.contains)` / `bank.count(text.contains)` — O(|bank| ×
+  * |text|) per line or per document. A precompiled DFA does all patterns in
+  * ONE pass over the text: O(|text|) with a single array index per char.
+  *
+  * Patterns are expected lowercase ASCII (all banks are); inputs are the
+  * already-lowercased views the call sites maintain. Chars >= 127 map to a
+  * catch-all class that matches no pattern char (correct: it just walks the
+  * failure chain to root).
+  */
+final class MultiSubstring private (
+    next: Array[Int],          // flattened DFA: state*128 + charClass -> state
+    out: Array[Array[Int]],    // state -> pattern ids ending here (failure-closed)
+    val size: Int) {           // number of patterns
+
+  @inline private def cls(c: Char): Int = if (c < 127) c else 127
+
+  /** Any pattern occurs in s (early exit on first hit). */
+  def containsAny(s: String): Boolean = {
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      st = next((st << 7) + cls(s.charAt(i)))
+      if (out(st).length != 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** One pass computing BOTH counts the classifier needs: distinct patterns
+    * occurring within the prefix s[0, prefixEnd) and within all of s. An
+    * occurrence lies in the prefix iff its end offset is <= prefixEnd.
+    * Equivalent to (bank.count(s.take(prefixEnd).contains), bank.count(s.contains)).
+    */
+  def countDistinctPrefixAndFull(s: String, prefixEnd: Int): (Int, Int) = {
+    if (size == 0) return (0, 0)
+    val seenPre = new Array[Boolean](size)
+    val seenFull = new Array[Boolean](size)
+    var cntPre = 0
+    var cntFull = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && (cntFull < size || (cntPre < size && i < prefixEnd))) {
+      st = next((st << 7) + cls(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
+        if (i + 1 <= prefixEnd && !seenPre(id)) { seenPre(id) = true; cntPre += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    (cntPre, cntFull)
+  }
+
+  /** Number of DISTINCT patterns occurring in s (early exit once all seen).
+    * Equivalent to bank.count(s.contains). */
+  def countDistinct(s: String): Int = {
+    if (size == 0) return 0
+    val seen = new Array[Boolean](size)
+    var cnt = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && cnt < size) {
+      st = next((st << 7) + cls(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seen(id)) { seen(id) = true; cnt += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+object MultiSubstring {
+
+  def apply(patterns: Seq[String]): MultiSubstring = {
+    val pats = patterns.toArray
+    // trie build (edges: node -> 128-wide child table, -1 = absent)
+    val edges = mutable.ArrayBuffer(Array.fill(128)(-1))
+    val ends = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    var p = 0
+    while (p < pats.length) {
+      var st = 0
+      val s = pats(p)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        require(c < 127, s"MultiSubstring patterns must be ASCII: '$s'")
+        if (edges(st)(c) == -1) {
+          edges += Array.fill(128)(-1)
+          ends += mutable.ArrayBuffer.empty[Int]
+          edges(st)(c) = edges.length - 1
+        }
+        st = edges(st)(c)
+        i += 1
+      }
+      ends(st) += p
+      p += 1
+    }
+    // BFS failure links; convert edges to a complete DFA in place and close
+    // the output sets over the failure chain
+    val nStates = edges.length
+    val fail = new Array[Int](nStates)
+    val queue = mutable.Queue.empty[Int]
+    var c = 0
+    while (c < 128) {
+      val ch = edges(0)(c)
+      if (ch == -1) edges(0)(c) = 0
+      else { fail(ch) = 0; queue.enqueue(ch) }
+      c += 1
+    }
+    while (queue.nonEmpty) {
+      val st = queue.dequeue()
+      ends(st) ++= ends(fail(st))
+      var c2 = 0
+      while (c2 < 128) {
+        val ch = edges(st)(c2)
+        if (ch == -1) edges(st)(c2) = edges(fail(st))(c2)
+        else { fail(ch) = edges(fail(st))(c2); queue.enqueue(ch) }
+        c2 += 1
+      }
+    }
+    val next = new Array[Int](nStates << 7)
+    var st = 0
+    while (st < nStates) {
+      System.arraycopy(edges(st), 0, next, st << 7, 128)
+      st += 1
+    }
+    new MultiSubstring(next, ends.map(_.toArray.sorted).toArray, pats.length)
+  }
+}

@@ -18,14 +18,79 @@ object PatientInfoMachine {
 
   private val checkboxSymbols = "[□■☐☑✅◉●○•\\-–\\*\\[\\]\\(\\)]"
   private val checkboxCharClass = "□■☐☑✅◉●○•\\-–\\*\\[\\]\\(\\)"
-  private val hasCheckboxRe = checkboxSymbols.r
-  private val optionExtractRe =
+
+  /** Reference regex for option extraction (kept as the specification; the
+    * hand-rolled scanner below is property-tested equivalent — the regex's
+    * reluctant-capture + lookahead was a per-line hot spot). */
+  private[graft] val optionExtractRe =
     (checkboxSymbols + "\\s*([A-Za-z0-9][A-Za-z0-9\\s\\-/&\\(\\)']+?)(?=\\s*" + checkboxSymbols + "|\\s*$)").r
 
-  def hasCheckboxSymbol(s: String): Boolean = hasCheckboxRe.findFirstIn(s).isDefined
+  @inline private def isSym(c: Char): Boolean = c match {
+    case '□' | '■' | '☐' | '☑' | '✅' | '◉' | '●' | '○' | '•' |
+         '-' | '–' | '*' | '[' | ']' | '(' | ')' => true
+    case _ => false
+  }
+  @inline private def isWsCh(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+  @inline private def isAlnumCh(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+  @inline private def isOptionChar(c: Char): Boolean =
+    isAlnumCh(c) || isWsCh(c) || c == '-' || c == '/' || c == '&' ||
+      c == '(' || c == ')' || c == '\''
 
-  def extractCheckboxOptions(line: String): Vector[String] =
-    optionExtractRe.findAllMatchIn(line).map(_.group(1).trim).filter(_.nonEmpty).toVector
+  def hasCheckboxSymbol(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (isSym(s.charAt(i))) return true; i += 1 }
+    false
+  }
+
+  // lookahead (?=\s*SYM|\s*$): skip whitespace; succeed at a symbol or at end
+  @inline private def optionEndsAt(line: String, e: Int): Boolean = {
+    var i = e
+    val n = line.length
+    while (i < n && isWsCh(line.charAt(i))) i += 1
+    i >= n || isSym(line.charAt(i))
+  }
+
+  /** Hand-rolled equivalent of optionExtractRe.findAllMatchIn: at a symbol,
+    * skip whitespace, require an alphanumeric start, then extend the
+    * reluctant capture one option-char at a time until the lookahead
+    * succeeds (shortest capture of length >= 2 wins, exactly like `+?`).
+    */
+  def extractCheckboxOptions(line: String): Vector[String] = {
+    val n = line.length
+    var out: Vector[String] = null
+    var p = 0
+    while (p < n) {
+      var advanced = false
+      if (isSym(line.charAt(p))) {
+        var q = p + 1
+        while (q < n && isWsCh(line.charAt(q))) q += 1
+        if (q < n && isAlnumCh(line.charAt(q))) {
+          var e = q + 1
+          var matched = -1
+          var ok = true
+          while (ok && matched < 0) {
+            if (e >= n || !isOptionChar(line.charAt(e))) ok = false
+            else {
+              e += 1
+              if (optionEndsAt(line, e)) matched = e
+            }
+          }
+          if (matched >= 0) {
+            val s = line.substring(q, matched).trim
+            if (s.nonEmpty) {
+              if (out == null) out = Vector(s) else out = out :+ s
+            }
+            p = matched
+            advanced = true
+          }
+        }
+      }
+      if (!advanced) p += 1
+    }
+    if (out == null) Vector.empty else out
+  }
 
   // ---- checkbox-run collection (pdf_to_json_converter.py:544-569, 1443-1476, 1628-1635) ----
   private val unifiedBulletRe = ("^\\s*(?:[•\\-–\\*]|[□■☐☑✅]|[◉●○]|\\d+[\\.\\)]\\s*|" +
@@ -275,6 +340,23 @@ object PatientInfoMachine {
     "Dental Plan Name" -> (("dental_plan_name", "Dental Plan Name", "input", JObj.of("input_type" -> JStr("name")))),
     "Plan/Group Number" -> (("plan_group_number", "Plan/Group Number", "input", JObj.of("input_type" -> JStr("number")))))
 
+  // first-match-wins hash views of the dictionary (the sequential find with
+  // per-key quote normalization was a per-line hot spot); normalization is
+  // applied to the stored keys once
+  private val standaloneByKey: Map[String, (String, String, String, JObj)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String, JObj)]
+    standaloneFields.foreach { case (k, e) => if (!m.contains(k)) m(k) = e }
+    m.toMap
+  }
+  private val standaloneByNorm: Map[String, (String, String, String, JObj)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String, JObj)]
+    standaloneFields.foreach { case (k, e) =>
+      val n = k.replace(" '", "'").replace("’", "'")
+      if (!m.contains(n)) m(n) = e
+    }
+    m.toMap
+  }
+
   private def sectionNumberedKey(baseKey: String, section: String): String = baseKey match {
     case "ssn" => section match {
       case "Primary Dental Plan" => "ssn_2"
@@ -316,6 +398,10 @@ object PatientInfoMachine {
 
   def extract(textLines0: Seq[String]): Vector[FieldInfo] = {
     val textLines = textLines0.toIndexedSeq
+    // one lowercase view per line, shared by the main loop, the context
+    // windows and the second pass (Java lowercases per codepoint, so joining
+    // lowered lines == lowering the joined window)
+    val lowers: IndexedSeq[String] = textLines.map(_.toLowerCase)
     val fields = mutable.ArrayBuffer[FieldInfo]()
     var currentSection = "Patient Information Form"
     val processedKeys = mutable.Set[String]()
@@ -323,7 +409,7 @@ object PatientInfoMachine {
 
     while (i < textLines.length) {
       val line = textLines(i)
-      val lineLower = line.toLowerCase // shared by every handler below
+      val lineLower = lowers(i) // shared by every handler below
       var consumed = false
 
       if (line.length < 3) { i += 1; consumed = true }
@@ -404,10 +490,9 @@ object PatientInfoMachine {
       if (!consumed) {
         val lineStripped = line.trim
         val lineNormalized = lineStripped.replace(" '", "'").replace("’", "'")
-        val matched = standaloneFields.find { case (k, _) =>
-          k == lineStripped || k.replace(" '", "'").replace("’", "'") == lineNormalized
-        }
-        matched.foreach { case (_, (baseKey, title, fieldType, control)) =>
+        val matched = standaloneByKey.get(lineStripped)
+          .orElse(standaloneByNorm.get(lineNormalized))
+        matched.foreach { case (baseKey, title, fieldType, control) =>
           val finalKey = sectionNumberedKey(baseKey, currentSection)
           if (!processedKeys.contains(finalKey)) {
             fields += FieldInfo(finalKey, title, fieldType, currentSection,
@@ -612,12 +697,12 @@ object PatientInfoMachine {
         val inline = parseInlineFields(line)
         // context windows depend only on i — join + lowercase once per line,
         // not once per parsed field
-        lazy val context10Lower = textLines
-          .slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
-          .take(10).mkString(" ").toLowerCase
-        lazy val context5 = textLines
-          .slice(math.max(0, i - 5), math.min(textLines.length, i + 5))
-          .mkString(" ").toLowerCase
+        lazy val context10Lower = lowers
+          .slice(math.max(0, i - 10), math.min(lowers.length, i + 10))
+          .take(10).mkString(" ")
+        lazy val context5 = lowers
+          .slice(math.max(0, i - 5), math.min(lowers.length, i + 5))
+          .mkString(" ")
         // context-only section verdict is field-independent: one scan per line
         lazy val ctxVerdict = contextSectionVerdict(context10Lower)
         inline.foreach { case (fieldName0, fullLine) =>
@@ -737,7 +822,7 @@ object PatientInfoMachine {
     val textBlocks = mutable.ArrayBuffer[(String, Int)]()
     var authLine: Option[Int] = None
     textLines.zipWithIndex.foreach { case (line, idx) =>
-      val lower = line.toLowerCase
+      val lower = lowers(idx)
       if (lower.contains("patient responsibilities") && line.trim.length > 30)
         textBlocks += (("text_3", idx))
       else if (lower.contains("read") && lower.contains("agree") && lower.contains("(initial)"))

@@ -22,6 +22,10 @@ final case class SpecQ(
 }
 
 object SpecAssembly {
+  // hoisted hot-loop literal sets (allocated once, not per field)
+  private val metaControlKeys = Set("temporary_html_text", "html_text", "text")
+  private val secondaryPhoneKeys = Set("mobile_2", "home_2", "work_2", "phone_2")
+  private val noInputTypeTypes = Set("states", "text")
   /** _convert_fields_to_json_spec + _normalize_control_by_type
     * (pdf_to_json_converter.py:5264-5288;
     * field_processing/field_normalization_manager.py:83-132). */
@@ -37,7 +41,7 @@ object SpecAssembly {
         val ordered = Vector("temporary_html_text", "html_text", "text")
           .flatMap(k => control.get(k).filter(_ != JNull).map(k -> _))
         val rest = control.fields.filter { case (k, v) =>
-          !Set("temporary_html_text", "html_text", "text").contains(k) && v != JNull
+          !metaControlKeys.contains(k) && v != JNull
         }
         JObj(ordered ++ rest)
       case _ => JObj(control.fields.filter(_._2 != JNull))
@@ -45,10 +49,10 @@ object SpecAssembly {
     // specific field fixes (field_normalization_manager.py:113-132)
     if (fieldKey == "if_different_from_patient_street")
       out = out.updated("input_type", JStr("address"))
-    if (Set("mobile_2", "home_2", "work_2", "phone_2").contains(fieldKey))
+    if (secondaryPhoneKeys.contains(fieldKey))
       out = out.updated("hint", JNull)
     if (fieldKey == "initials_3") out = out.without("hint")
-    if (Set("states", "text").contains(fieldType) || fieldKey.startsWith("initials"))
+    if (noInputTypeTypes.contains(fieldType) || fieldKey.startsWith("initials"))
       out = out.without("hint")
     out
   }
@@ -294,6 +298,11 @@ object ConsentShaping {
 
 object MainValidator {
   /** ModentoSchemaValidator, pdf_to_json_converter.py:49-541. */
+  // hoisted hot-loop literal sets (allocated once, not per field)
+  private val validInputTypes = Set("name", "email", "phone", "number", "ssn", "zip", "initials", "address")
+  private val dateInputTypes = Set("past", "future")
+  private val optionTypes = Set("radio", "checkbox", "dropdown")
+  private val unwantedDupKeys = Set("relationship_to_patient_2_2", "text_4_2")
   private val validTypes = Set("input", "radio", "checkbox", "dropdown", "states",
     "date", "signature", "initials", "text", "header")
   private val genericFieldWhitelist = Set(
@@ -384,19 +393,18 @@ object MainValidator {
         if (q.control.get("hint").contains(JNull)) q.control = q.control.without("hint")
         if (q.fieldType == "input") {
           val t = q.control.get("input_type")
-          val valid = Set("name", "email", "phone", "number", "ssn", "zip", "initials", "address")
-          if (!t.exists { case JStr(s) => valid.contains(s); case _ => false })
+          if (!t.exists { case JStr(s) => validInputTypes.contains(s); case _ => false })
             q.control = q.control.updated("input_type", JStr("name"))
           if (q.key == "if_different_from_patient_street")
             q.control = q.control.updated("input_type", JStr("address"))
         }
         if (q.fieldType == "date") {
           val t = q.control.get("input_type")
-          if (!t.exists { case JStr(s) => Set("past", "future").contains(s); case _ => false })
+          if (!t.exists { case JStr(s) => dateInputTypes.contains(s); case _ => false })
             q.control = q.control.without("input_type")
         }
         if (q.fieldType == "signature") q.control = JObj(Vector.empty)
-        if (Set("radio", "checkbox", "dropdown").contains(q.fieldType)) {
+        if (optionTypes.contains(q.fieldType)) {
           q.control.get("options").collect { case JArr(opts) =>
             val fixed = opts.map {
               case o: JObj =>
@@ -416,7 +424,7 @@ object MainValidator {
     spec = applyConsentShapingValidator(spec)
     spec = applyMedicalHistoryGrouping(spec)
     spec = applyStableOrdering(spec)
-    spec = spec.filterNot(q => Set("relationship_to_patient_2_2", "text_4_2").contains(q.key))
+    spec = spec.filterNot(q => unwantedDupKeys.contains(q.key))
     spec = ensureNoWitnessFields(spec)
     spec
   }
@@ -452,7 +460,7 @@ object MainValidator {
     var current = mutable.ArrayBuffer[Int]()
     spec.zipWithIndex.foreach { case (q, i) =>
       val isMedical = q.section == "Medical History" &&
-        Set("checkbox", "radio").contains(q.fieldType) &&
+        (q.fieldType == "checkbox" || q.fieldType == "radio") &&
         q.control.get("options").collect { case JArr(o) => o.length }.contains(1)
       if (isMedical) current += i
       else if (current.nonEmpty) { sequences += current.toVector; current = mutable.ArrayBuffer() }

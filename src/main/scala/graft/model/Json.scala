@@ -15,7 +15,15 @@ final case class JNum(d: Double) extends JVal
 case object JNull extends JVal
 final case class JArr(items: Vector[JVal]) extends JVal
 final case class JObj(fields: Vector[(String, JVal)]) extends JVal {
-  def get(k: String): Option[JVal] = fields.collectFirst { case (`k`, v) => v }
+  def get(k: String): Option[JVal] = {
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (f._1 == k) return Some(f._2)
+      i += 1
+    }
+    None
+  }
   def updated(k: String, v: JVal): JObj =
     if (fields.exists(_._1 == k)) JObj(fields.map { case (kk, vv) => if (kk == k) (kk, v) else (kk, vv) })
     else JObj(fields :+ (k -> v))
@@ -85,10 +93,12 @@ object Json {
         if (items.isEmpty) sb.append("[]")
         else {
           sb.append("[\n")
-          items.zipWithIndex.foreach { case (it, i) =>
-            pad(level + 1); go(it, level + 1)
+          var i = 0
+          while (i < items.length) {
+            pad(level + 1); go(items(i), level + 1)
             if (i < items.length - 1) sb.append(',')
             sb.append('\n')
+            i += 1
           }
           pad(level); sb.append(']')
         }
@@ -96,12 +106,15 @@ object Json {
         if (fields.isEmpty) sb.append("{}")
         else {
           sb.append("{\n")
-          fields.zipWithIndex.foreach { case ((k, fv), i) =>
+          var i = 0
+          while (i < fields.length) {
+            val f = fields(i)
             pad(level + 1)
-            appendStr(k, sb); sb.append(": ")
-            go(fv, level + 1)
+            appendStr(f._1, sb); sb.append(": ")
+            go(f._2, level + 1)
             if (i < fields.length - 1) sb.append(',')
             sb.append('\n')
+            i += 1
           }
           pad(level); sb.append('}')
         }
@@ -122,14 +135,22 @@ object Json {
       case JNull    => sb.append("null")
       case JArr(items) =>
         sb.append('[')
-        items.zipWithIndex.foreach { case (it, i) =>
-          if (i > 0) sb.append(','); go(it) }
+        var i = 0
+        while (i < items.length) {
+          if (i > 0) sb.append(',')
+          go(items(i))
+          i += 1
+        }
         sb.append(']')
       case JObj(fields) =>
         sb.append('{')
-        fields.zipWithIndex.foreach { case ((k, fv), i) =>
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
           if (i > 0) sb.append(',')
-          appendStr(k, sb); sb.append(':'); go(fv) }
+          appendStr(f._1, sb); sb.append(':'); go(f._2)
+          i += 1
+        }
         sb.append('}')
     }
     go(v)

@@ -59,20 +59,40 @@ object Slugify {
   def slugify(text: String, fallback: String = "field"): String = {
     if (text == null || text.trim.isEmpty) return fallback
     val norm = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFKD)
-    val noMarks = norm.filterNot(ch => Character.getType(ch) == Character.NON_SPACING_MARK ||
-      Character.getType(ch) == Character.COMBINING_SPACING_MARK ||
-      Character.getType(ch) == Character.ENCLOSING_MARK)
-    val slug = noMarks.replaceAll("[^a-zA-Z0-9]+", "_")
-      .replaceAll("^_+|_+$", "").toLowerCase
-    if (slug.isEmpty) fallback else slug
+    // single pass, equivalent to: drop marks, [^a-zA-Z0-9]+ -> "_", trim "_",
+    // lowercase (only ASCII alphanumerics survive, so per-char lowercase is
+    // exact) — this runs once per extracted field, so no per-call regexes
+    val sb = new java.lang.StringBuilder(norm.length)
+    var pendingSep = false
+    var i = 0
+    while (i < norm.length) {
+      val ch = norm.charAt(i)
+      val alnum = (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+        (ch >= '0' && ch <= '9')
+      if (alnum) {
+        if (pendingSep && sb.length() > 0) sb.append('_')
+        pendingSep = false
+        sb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+      } else {
+        val t = Character.getType(ch)
+        if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK)
+          pendingSep = true
+      }
+      i += 1
+    }
+    if (sb.length() == 0) fallback else sb.toString
   }
 
   /** Detector slugify (/root/reference/field_detection/field_detector.py:170-177):
     * keeps `\w` (digits + underscore), different regex — both semantics exist
     * in the reference and both are needed (SURVEY.md §2.5 #39).
     */
+  private val nonWordRe = java.util.regex.Pattern.compile("[^\\w\\s-]")
+  private val wsDashRe = java.util.regex.Pattern.compile("[-\\s]+")
+
   def slugifyDetector(text: String): String = {
-    val cleaned = text.replaceAll("[^\\w\\s-]", "").trim.toLowerCase
-    cleaned.replaceAll("[-\\s]+", "_")
+    val cleaned = nonWordRe.matcher(text).replaceAll("").trim.toLowerCase
+    wsDashRe.matcher(cleaned).replaceAll("_")
   }
 }

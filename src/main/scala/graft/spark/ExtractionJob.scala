@@ -128,6 +128,37 @@ object ExtractionJob {
       }
   }
 
+  /** Per-file (bucket, relative path, row count) for a staged wave, with row
+    * counts taken from each parquet file's FOOTER metadata — a driver-side
+    * read of a few KB per file instead of a second scan of the wave's data.
+    * File count per wave is bounded by the write's partition count, so the
+    * driver-side loop is manifest-sized (the same loop a real Iceberg commit
+    * performs when it collects DataFile stats).
+    */
+  private[spark] def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val stagingPath = Paths.get(staging)
+    if (!Files.isDirectory(stagingPath)) return Seq.empty
+    Files.list(stagingPath).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .flatMap { bucketDir =>
+        val bucket = bucketDir.getFileName.toString.stripPrefix("bucket=").toInt
+        Files.list(bucketDir).iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val rows = try reader.getRecordCount finally reader.close()
+            FileEntry(bucket, s"bucket=$bucket/${f.getFileName}", rows)
+          }
+      }
+      .toVector.sortBy(f => (f.bucket, f.path))
+  }
+
   private def atomicWrite(path: Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
@@ -187,32 +218,37 @@ object ExtractionJob {
         ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
           e.fieldsJson, e.fieldCount, e.sectionCount, t.bucket)
       }
+      // lineage metrics ride the write itself: observe() collects per-bucket
+      // field sums exactly once during the write action (CollectMetrics is
+      // retry-safe, unlike accumulators) — no post-write re-read of the data
+      val obs = org.apache.spark.sql.Observation(s"wave-$waveIdx")
+      val fieldSumMetrics = waveBuckets.map(b =>
+        sum(when(col("bucket") === b, col("field_count")).otherwise(lit(0L)))
+          .as(s"fsum_$b"))
       // write-locality exchange: co-locate each bucket, restore stable order
       val staging = s"${config.outDir}/staging-wave-$waveIdx"
       extracted
+        .observe(obs, fieldSumMetrics.head, fieldSumMetrics.tail: _*)
         .repartition(waveBuckets.size, col("bucket"))
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
 
-      // per-file manifest entries + per-partition lineage from one staged
-      // read (file paths are preserved by the promote's directory move)
       val extractMs = (System.nanoTime() - t0) / 1000000
       val now = java.time.Instant.now().toString
-      val perFile = spark.read.parquet(staging)
-        .groupBy(col("bucket"), input_file_name().as("file"))
-        .agg(count(lit(1)).as("rows"), sum("field_count").as("fsum"))
-        .collect()
-        .map { r =>
-          val full = r.getAs[String]("file")
-          val name = full.substring(full.lastIndexOf('/') + 1)
-          val bucket = r.getAs[Any]("bucket").toString.toInt
-          (FileEntry(bucket, s"bucket=$bucket/$name", r.getAs[Long]("rows")),
-            r.getAs[Long]("fsum"))
-        }
-      val waveFiles = perFile.map(_._1).toVector
-      val lineage = perFile.groupBy(_._1.bucket).map { case (bucket, fs) =>
-        LineageRow(snapshotId + 1, bucket.toLong, fs.map(_._1.rowCount).sum,
-          fs.map(_._2).sum, extractMs, now)
+      val fieldSums: Map[Int, Long] = waveBuckets.map { b =>
+        b -> (obs.get(s"fsum_$b") match {
+          case null => 0L
+          case n: Number => n.longValue()
+        })
+      }.toMap
+      // per-file row counts come from the parquet FOOTERS (pure metadata
+      // reads — at 100 TB this replaces a second full-output scan with a few
+      // KB per file; file paths are preserved by the promote's directory move)
+      val perFile = listStagedFiles(spark, staging)
+      val waveFiles = perFile.toVector
+      val lineage = perFile.groupBy(_.bucket).map { case (bucket, fs) =>
+        LineageRow(snapshotId + 1, bucket.toLong, fs.map(_.rowCount).sum,
+          fieldSums.getOrElse(bucket, 0L), extractMs, now)
       }.toVector
 
       // promote staged bucket dirs into data/ then commit the snapshot

@@ -105,3 +105,19 @@ object ProfileLoop {
     println(s"done $n")
   }
 }
+
+/** Loop ONLY the heaviest payload (largest docling_md doc) for sampling. */
+object ProfileHot {
+  def main(args: Array[String]): Unit = {
+    val (tag, text) = graft.spark.Transcripts.payloads
+      .filter(_._1 == "docling_md").maxBy(_._2.length)
+    println(s"payload $tag ${text.length} chars")
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    var n = 0L
+    while (System.nanoTime() < deadline) {
+      graft.extract.Extractor.extractTurn(text, tag)
+      n += 1
+    }
+    println(s"done $n")
+  }
+}

@@ -180,4 +180,27 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.readCommitted(spark, out).count() == turns.count())
     assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 2, 3))
   }
+
+  test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graft-legacy").toString
+    val turns = Transcripts.generate(spark, 25)
+    ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
+
+    // rewrite the manifest in the legacy pre-file-granularity format
+    val k = ExtractionJob.latestSnapshot(out).get
+    val legacy = s"""{"snapshot_id":$k,"committed_buckets":[0,1,2,3],"committed_at":"x"}"""
+    Files.write(Paths.get(out, "snapshots", s"snap-$k.json"), legacy.getBytes)
+
+    // all bucket dirs present -> all committed (legacy fallback)
+    assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 2, 3))
+    // delete a whole bucket dir: with no file list, the old vacuous
+    // forall-over-empty would still have claimed it committed
+    val victimDir = Paths.get(out, "data", "bucket=2")
+    Files.walk(victimDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 3))
+    val recomputed = ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
+    assert(recomputed == Set(2), "legacy resume must recompute exactly the lost bucket")
+  }
 }

@@ -106,4 +106,34 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.parse.XYCut.toLines(perm) == lines)
     }
   }
+
+  test("hand-rolled checkbox option scanner == reference regex") {
+    import graft.extract.PatientInfoMachine
+    // alphabet biased toward the overlap cases: '-','(',')' are both symbol
+    // and option-content chars; include glyph symbols, ws, and plain words
+    val tokens = Gen.oneOf("□", "☐", "•", "-", "–", "*", "[", "]", "(", ")",
+      " ", "  ", "\t", "Yes", "No", "N/A", "full-time", "a", "Z9", "&", "/",
+      "'", "Mobile Phone", ".", ",", "_")
+    val lineGen = Gen.listOfN(12, tokens).map(_.mkString)
+    forAll(lineGen, n = 400) { line =>
+      val viaRegex = PatientInfoMachine.optionExtractRe.findAllMatchIn(line)
+        .map(_.group(1).trim).filter(_.nonEmpty).toVector
+      assert(PatientInfoMachine.extractCheckboxOptions(line) == viaRegex,
+        s"line=${line.map(c => if (c < 127) c.toString else f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("MultiSubstring == exists/count over contains") {
+    import graft.extract.MultiSubstring
+    val bank = Vector("dental office", "smile", "care", "all rights reserved",
+      "office", "x-ray", "a")
+    val ms = MultiSubstring(bank)
+    val words = Gen.oneOf("dental", "office", "dental office", "smile", "car",
+      "care", "all rights", "reserved", "all rights reserved", "x", "x-ray", "b", "")
+    val textGen = Gen.listOfN(8, words).map(_.mkString(" "))
+    forAll(textGen, n = 400) { t =>
+      assert(ms.containsAny(t) == bank.exists(t.contains), s"text=$t")
+      assert(ms.countDistinct(t) == bank.count(t.contains), s"text=$t")
+    }
+  }
 }
