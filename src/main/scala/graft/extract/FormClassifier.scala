@@ -145,12 +145,41 @@ object FormClassifier {
     var consent = 2 * cPre + cFull
     var patientInfo = 2 * pPre + pFull
     if (fullText.contains("signature") && fullText.contains("date"))
-      consent += signaturePatternRe.findAllIn(fullText).size * 2
+      consent += countSignatureDatePairs(fullText) * 2
     if (countFieldPatterns(fullText, stopAfter = 11) > 10) patientInfo += 3
 
     if (consent > patientInfo && consent >= 3) "consent"
     else if (patientInfo > consent && patientInfo >= 5) "patient_info"
     else "patient_info"
+  }
+
+  /** Exact emulation of `signaturePatternRe.findAllIn(s).size` ("signature
+    * .*date|date.*signature", greedy, no DOTALL — the classifier text is a
+    * space-joined single line) with indexOf arithmetic instead of regex
+    * backtracking. Leftmost match start is the first "signature" with a
+    * "date" after it or the first "date" with a "signature" after it,
+    * whichever is earlier; greedy `.*` extends each match to the LAST
+    * occurrence of its closing word; scanning resumes at the match end.
+    * Property-tested equivalent against the regex.
+    */
+  private[graft] def countSignatureDatePairs(s: String): Int = {
+    var count = 0
+    var pos = 0
+    var going = true
+    while (going) {
+      val iSig = s.indexOf("signature", pos)
+      val iDate = s.indexOf("date", pos)
+      val valid1 = iSig >= 0 && s.indexOf("date", iSig + 9) >= 0
+      val valid2 = iDate >= 0 && s.indexOf("signature", iDate + 4) >= 0
+      if (valid1 && (!valid2 || iSig < iDate)) {
+        count += 1
+        pos = s.lastIndexOf("date") + 4
+      } else if (valid2) {
+        count += 1
+        pos = s.lastIndexOf("signature") + 9
+      } else going = false
+    }
+    count
   }
 
   /** Manual count of `_+` | `\.\.\.+` | `\[\s*\]` runs (the fill-in-field

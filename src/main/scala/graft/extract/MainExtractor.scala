@@ -31,31 +31,54 @@ object MainExtractor {
 
   def detectFieldType(text: String): String = {
     val lower = text.toLowerCase
-    if (rePrintedName.findFirstIn(text).isDefined) return "input"
-    if (reDob.findFirstIn(text).isDefined || reConsentDate.findFirstIn(text).isDefined) return "date"
-    if (reRelationship.findFirstIn(text).isDefined) return "input"
-    if (reFpSignature.findFirstIn(text).isDefined) return "signature"
-    if (reFpDate.findFirstIn(text).isDefined) return "date"
-    if (reFpEmail.findFirstIn(text).isDefined) return "input"
-    if (reFpPhone.findFirstIn(text).isDefined) return "input"
-    if (reFpName.findFirstIn(text).isDefined || reFpAddress.findFirstIn(text).isDefined ||
-        reFpSsn.findFirstIn(text).isDefined) return "input"
-    if ((text.contains("?") && reYesNo.findFirstIn(lower).isDefined) ||
-        reYesNoTwice.findFirstIn(lower).isDefined) return "radio"
+    // each (?i) regex gated on a lowercase substring that is a necessary
+    // condition of the pattern — field names hit these detectors dozens of
+    // times per document
+    if (lower.contains("print") && rePrintedName.findFirstIn(text).isDefined) return "input"
+    if (((lower.contains("birth") || lower.contains("dob") || lower.contains("born")) &&
+          reDob.findFirstIn(text).isDefined) ||
+        ((lower.contains("consent") || lower.contains("today")) &&
+          reConsentDate.findFirstIn(text).isDefined)) return "date"
+    if ((lower.contains("relation") || lower.contains("guardian") ||
+         lower.contains("parent") || lower.contains("spouse")) &&
+        reRelationship.findFirstIn(text).isDefined) return "input"
+    if (lower.contains("signature") && reFpSignature.findFirstIn(text).isDefined) return "signature"
+    if ((lower.contains("date") || lower.contains("birth") || lower.contains("dob")) &&
+        reFpDate.findFirstIn(text).isDefined) return "date"
+    if (lower.contains("mail") && reFpEmail.findFirstIn(text).isDefined) return "input"
+    if ((lower.contains("phone") || lower.contains("mobile") || lower.contains("home") ||
+         lower.contains("work")) && reFpPhone.findFirstIn(text).isDefined) return "input"
+    if ((lower.contains("name") && reFpName.findFirstIn(text).isDefined) ||
+        ((lower.contains("address") || lower.contains("street") || lower.contains("city") ||
+          lower.contains("state") || lower.contains("zip")) &&
+          reFpAddress.findFirstIn(text).isDefined) ||
+        ((lower.contains("ssn") || lower.contains("social")) &&
+          reFpSsn.findFirstIn(text).isDefined)) return "input"
+    if (lower.contains("yes") || lower.contains("no")) {
+      if ((text.contains("?") && reYesNo.findFirstIn(lower).isDefined) ||
+          reYesNoTwice.findFirstIn(lower).isDefined) return "radio"
+    }
     "input"
   }
 
+  private val phoneWords = Vector("mobile", "home phone", "work phone", "cell")
+  private val initialAbbrevs = Set("mi", "m.i.", "middle initial", "middle init")
+  private val addressWords = Vector("street", "address", "apt", "unit", "suite")
+  private val numberWords = Vector("number", "id", "#")
+
   def detectInputType(text: String): String = {
     val lower = text.toLowerCase
-    if (reFpEmail.findFirstIn(text).isDefined || lower.contains("e-mail")) "email"
-    else if (reFpPhone.findFirstIn(text).isDefined ||
-      Seq("mobile", "home phone", "work phone", "cell").exists(lower.contains)) "phone"
+    if ((lower.contains("mail") && reFpEmail.findFirstIn(text).isDefined) ||
+      lower.contains("e-mail")) "email"
+    else if (((lower.contains("phone") || lower.contains("mobile") || lower.contains("home") ||
+      lower.contains("work")) && reFpPhone.findFirstIn(text).isDefined) ||
+      phoneWords.exists(lower.contains)) "phone"
     else if (lower.contains("ssn") || lower.contains("social security")) "ssn"
     else if (lower.contains("zip")) "zip"
     else if ((lower.contains("initial") ||
-      Set("mi", "m.i.", "middle initial", "middle init").contains(lower.trim)) && text.length < 25) "initials"
-    else if (Seq("street", "address", "apt", "unit", "suite").exists(lower.contains)) "name"
-    else if (Seq("number", "id", "#").exists(lower.contains) &&
+      initialAbbrevs.contains(lower.trim)) && text.length < 25) "initials"
+    else if (addressWords.exists(lower.contains)) "name"
+    else if (numberWords.exists(lower.contains) &&
       !lower.contains("license") && !lower.contains("phone")) "number"
     else "name"
   }

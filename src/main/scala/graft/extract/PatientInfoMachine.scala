@@ -176,11 +176,20 @@ object PatientInfoMachine {
         "Dad" -> JStr("Dad"), "Step Parent" -> JStr("Step Parent"),
         "Shared Custody" -> JStr("Shared Custody"), "Guardian" -> JStr("Guardian"))))
 
-  def detectRadioQuestion(line: String): Option[(String, JArr)] = {
-    val lower = line.toLowerCase
-    radioBanks.collectFirst {
-      case (gate, re, t, o) if lower.contains(gate) && re.findFirstIn(lower).isDefined => (t, o)
+  def detectRadioQuestion(line: String): Option[(String, JArr)] =
+    detectRadioQuestionLower(line.toLowerCase)
+
+  /** Variant taking the caller's already-lowercased line (the machine keeps
+    * one lowercase view per line); plain loop, no per-call closure. */
+  def detectRadioQuestionLower(lower: String): Option[(String, JArr)] = {
+    var i = 0
+    while (i < radioBanks.length) {
+      val b = radioBanks(i)
+      if (lower.contains(b._1) && b._2.findFirstIn(lower).isDefined)
+        return Some((b._3, b._4))
+      i += 1
     }
+    None
   }
 
   // ---- radio key mapping (pdf_to_json_converter.py:3642-3670) ----
@@ -205,20 +214,23 @@ object PatientInfoMachine {
     "full-time student", "name of school", "name of insured",
     "occupation", "employer", "street", "city", "state", "zip")
   private val optAfterCheckboxRe = (checkboxSymbols + "\\s*([^" + checkboxCharClass + "]+)").r
+  private val checkboxSplitPattern = java.util.regex.Pattern.compile("[" + checkboxCharClass + "]")
+  private val contactPhoneOptions = Set("mobile phone", "home phone", "work phone")
 
   /** Returns (question, options, nextIdx) or None. */
   def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int): Option[(String, JArr, Int)] = {
     if (startIdx >= lines.length) return None
     val line = lines(startIdx)
+    val lineLower = line.toLowerCase // shared by every pattern below
 
-    detectRadioQuestion(line).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
+    detectRadioQuestionLower(lineLower).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
 
     // Pattern 1: question + checkbox options on the same line
     if (line.indexOf('□') >= 0 || line.indexOf('☐') >= 0 || line.indexOf('!') >= 0)
     sameLineCheckboxRe.findFirstMatchIn(line).foreach { m =>
       val question = m.group(1).trim.replaceAll(":+$", "")
       if (question.length >= 5) {
-        val optionParts = line.split("[" + checkboxCharClass + "]").drop(1)
+        val optionParts = checkboxSplitPattern.split(line).drop(1)
         val options = optionParts.flatMap { part =>
           val t = part.trim.replaceAll("^[(),. ]+|[(),. ]+$", "")
           if (t.nonEmpty) {
@@ -236,13 +248,15 @@ object PatientInfoMachine {
 
     // Pattern 2: question line + options on following lines
     val stripped = line.trim
-    if ((stripped.endsWith("?") || stripped.toLowerCase.contains("preferred method of contact") ||
-        stripped.toLowerCase.contains("full-time student")) && !stripped.startsWith("##")) {
+    val strippedLower = lineLower.trim // lowercase commutes with ASCII trim
+    if ((stripped.endsWith("?") || strippedLower.contains("preferred method of contact") ||
+        strippedLower.contains("full-time student")) && !stripped.startsWith("##")) {
       val question = stripped.replaceAll("\\?+$", "").trim
+      val questionLower = question.toLowerCase
       if (question.length >= 5) {
         val options = mutable.ArrayBuffer[JObj]()
         var nextIdx = startIdx + 1
-        val maxLookahead = if (question.toLowerCase.contains("contact")) 10 else 5
+        val maxLookahead = if (questionLower.contains("contact")) 10 else 5
         var done = false
         while (!done && nextIdx < lines.length && nextIdx < startIdx + maxLookahead) {
           val next = lines(nextIdx).trim
@@ -253,16 +267,17 @@ object PatientInfoMachine {
               case Some(om) =>
                 val optionText = om.group(1).trim
                 if (optionText.nonEmpty) {
-                  var isEmbedded = embeddedQuestionIndicators.exists(optionText.toLowerCase.contains)
-                  if (optionText.toLowerCase.contains("phone") && question.toLowerCase.contains("contact") &&
-                      Set("mobile phone", "home phone", "work phone").contains(optionText.toLowerCase))
+                  val optionLower = optionText.toLowerCase
+                  var isEmbedded = embeddedQuestionIndicators.exists(optionLower.contains)
+                  if (optionLower.contains("phone") && questionLower.contains("contact") &&
+                      contactPhoneOptions.contains(optionLower))
                     isEmbedded = false
-                  if (isEmbedded && optionText.toLowerCase.startsWith("no ")) {
+                  if (isEmbedded && optionLower.startsWith("no ")) {
                     options += JObj.of("name" -> JStr("No"), "value" -> JBool(false))
                     done = true
                   } else if (isEmbedded) done = true
                   else {
-                    val v: JVal = optionText.toLowerCase match {
+                    val v: JVal = optionLower match {
                       case "yes" | "true" => JBool(true)
                       case "no" | "false" => JBool(false)
                       case _ => JStr(optionText)
@@ -280,7 +295,7 @@ object PatientInfoMachine {
     }
 
     // Pattern 3: "Full-time Student" with inline checkbox (mixed)
-    if (line.toLowerCase.contains("full-time student") && hasCheckboxSymbol(line)) {
+    if (lineLower.contains("full-time student") && hasCheckboxSymbol(line)) {
       val options = mutable.ArrayBuffer[JObj]()
       val noRe = noOptRe
       val yesRe = yesOptRe

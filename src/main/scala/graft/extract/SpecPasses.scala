@@ -237,16 +237,18 @@ object ConsentShaping {
     ("informed", "consent"))
   private val consentKeywords = Vector("consent", "acknowledge", "understand", "agree",
     "authorize", "risks", "benefits", "complications", "treatment", "procedure")
+  private val singleConsentMarkersAC = MultiSubstring(singleConsentMarkers)
+  private val consentKeywordsAC = MultiSubstring(consentKeywords)
 
   def isConsentContent(text: String): Boolean = {
     if (text == null || text.isEmpty) return false
     val lower = text.toLowerCase
-    if (singleConsentMarkers.exists(lower.contains)) return true
+    if (singleConsentMarkersAC.containsAny(lower)) return true
     if (orderedConsentMarkers.exists { case (a, b) =>
       val i = lower.indexOf(a)
       i >= 0 && lower.indexOf(b, i + a.length) >= 0
     }) return true
-    consentKeywords.count(lower.contains) >= 2
+    consentKeywordsAC.countDistinct(lower) >= 2
   }
 
   def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {

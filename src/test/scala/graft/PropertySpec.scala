@@ -123,6 +123,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("countSignatureDatePairs == reference regex findAll count") {
+    val re = "signature.*date|date.*signature".r
+    val tokens = Gen.oneOf("signature", "date", "dates", "signatures", " ",
+      "x", "patient ", "date of birth ", "sign here ")
+    val textGen = Gen.listOfN(10, tokens).map(_.mkString)
+    forAll(textGen, n = 400) { t =>
+      val viaRegex = re.findAllIn(t).size
+      assert(graft.extract.FormClassifier.countSignatureDatePairs(t) == viaRegex, s"text=$t")
+    }
+  }
+
   test("MultiSubstring == exists/count over contains") {
     import graft.extract.MultiSubstring
     val bank = Vector("dental office", "smile", "care", "all rights reserved",
