@@ -206,8 +206,12 @@ object MainExtractor {
   private val reUnderscoreSpaces = "^[_\\s]+$".r
 
   /** Returns (normalizedFieldName, fullLine) pairs. */
-  def parseInlineFields(line: String): Vector[(String, String)] = {
-    val lower = line.toLowerCase
+  def parseInlineFields(line: String): Vector[(String, String)] =
+    parseInlineFields(line, line.toLowerCase)
+
+  /** Variant taking the caller's lowercase view (the machine keeps one per
+    * line) — this runs on nearly every line of an NPF document. */
+  def parseInlineFields(line: String, lower: String): Vector[(String, String)] = {
     if (sectionHeaderSkips.exists(lower.contains)) return Vector.empty
     if (reSeparatorLine.findFirstIn(line).exists(_.length == line.length) || line.trim.length < 3)
       return Vector.empty

@@ -709,7 +709,7 @@ object PatientInfoMachine {
 
       // inline multi-field parse (the NPF bread and butter)
       if (!consumed) {
-        val inline = parseInlineFields(line)
+        val inline = parseInlineFields(line, lineLower)
         // context windows depend only on i — join + lowercase once per line,
         // not once per parsed field
         lazy val context10Lower = lowers
@@ -721,15 +721,16 @@ object PatientInfoMachine {
         // context-only section verdict is field-independent: one scan per line
         lazy val ctxVerdict = contextSectionVerdict(context10Lower)
         inline.foreach { case (fieldName0, fullLine) =>
-          val fullLower = fullLine.toLowerCase
+          val fullLower = lineLower // fullLine is always this line
           var fieldName = fieldName0
+          val fieldLower = fieldName.toLowerCase
           var baseKey = Slugify.slugify(fieldName)
-          if (miNames.contains(fieldName.toLowerCase)) baseKey = "mi"
+          if (miNames.contains(fieldLower)) baseKey = "mi"
           var fieldType = detectFieldType(fieldName)
           var detectedSection = ctxVerdict.getOrElse(
             detectSectionTextPhase(fieldName, context10Lower, currentSection))
 
-          if (addrFieldNames.contains(fieldName.toLowerCase) &&
+          if (addrFieldNames.contains(fieldLower) &&
               (fullLower.contains("insurance company") || context5.contains("insurance company"))) {
             detectedSection =
               if (context5.contains("secondary") || currentSection == "Secondary Dental Plan")

@@ -157,10 +157,17 @@ object Json {
     sb.toString
   }
 
-  private def estimateSize(v: JVal): Int = v match {
+  /** Upper-bound estimate of the rendered size INCLUDING indent-2 padding —
+    * an undersized builder re-doubles through ~3 copies on a large spec,
+    * which dominated the render's allocation (render of a 21 KB document
+    * allocated ~200 KB before depth was accounted for). */
+  private def estimateSize(v: JVal, depth: Int = 1): Int = v match {
     case JStr(s) => s.length + 8
-    case JArr(items) => 4 + items.foldLeft(0)(_ + estimateSize(_) + 8)
-    case JObj(fields) => 4 + fields.foldLeft(0) { case (a, (k, fv)) => a + k.length + estimateSize(fv) + 12 }
+    case JArr(items) =>
+      8 + 2 * depth + items.foldLeft(0)((a, it) => a + estimateSize(it, depth + 1) + 2 * depth + 6)
+    case JObj(fields) =>
+      8 + 2 * depth + fields.foldLeft(0) { case (a, (k, fv)) =>
+        a + k.length + estimateSize(fv, depth + 1) + 2 * depth + 10 }
     case _ => 8
   }
 

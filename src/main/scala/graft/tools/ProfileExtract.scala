@@ -121,3 +121,100 @@ object ProfileHot {
     println(s"done $n")
   }
 }
+
+/** Per-payload allocation profile (ThreadMXBean allocated-bytes counters). */
+object AllocProfile {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    graft.spark.Transcripts.payloads.foreach { case (tag, text) =>
+      (0 until 30).foreach(_ => graft.extract.Extractor.extractTurn(text, tag))
+      val n = 100
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      (0 until n).foreach(_ => graft.extract.Extractor.extractTurn(text, tag))
+      val perTurn = (mx.getThreadAllocatedBytes(tid) - a0) / n
+      println(f"$tag%-22s ${text.length}%7d chars  ${perTurn / 1024.0}%8.1f KB/turn")
+    }
+  }
+}
+
+/** Stage-level allocation breakdown for the heaviest docling_md payload. */
+object AllocStages {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val text = graft.spark.Transcripts.payloads.filter(_._1 == "docling_md").maxBy(_._2.length)._2
+    val rawLines = text.split("\n", -1).toSeq
+    val cleaned = graft.extract.ConsentExtractor.removePracticeHeadersFooters(rawLines)
+    val hfLines = graft.extract.HeaderFooterMain.removePracticeHeadersFooters(rawLines)
+    val (ft, sub, fields) = graft.extract.MainExtractor.extractFieldsAndClassify(hfLines)
+    def alloc(label: String)(f: => Any): Unit = {
+      (0 until 30).foreach(_ => f)
+      val n = 100
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      (0 until n).foreach(_ => f)
+      println(f"$label%-34s ${(mx.getThreadAllocatedBytes(tid) - a0) / n / 1024.0}%8.1f KB/turn")
+    }
+    alloc("full extractTurn")(graft.extract.Extractor.extractTurn(text, "docling_md"))
+    alloc("split lines")(text.split("\n", -1).toSeq)
+    alloc("consent hdr/ftr clean")(graft.extract.ConsentExtractor.removePracticeHeadersFooters(rawLines))
+    alloc("mainText join")(cleaned.map(_.trim).mkString("\n"))
+    alloc("hf-main clean")(graft.extract.HeaderFooterMain.removePracticeHeadersFooters(rawLines))
+    alloc("classify")(graft.extract.FormClassifier.classify(hfLines))
+    alloc("extractFieldsAndClassify")(graft.extract.MainExtractor.extractFieldsAndClassify(hfLines))
+    alloc("full convertToSpecFull")(graft.extract.MainExtractor.convertToSpecFull(rawLines))
+    alloc("PatientInfo.extract")(graft.extract.PatientInfo.extract(hfLines))
+  }
+}
+
+/** Allocation of machine helpers, summed over the heavy doc's lines. */
+object AllocMachine {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val text = graft.spark.Transcripts.payloads.filter(_._1 == "docling_md").maxBy(_._2.length)._2
+    val lines = graft.extract.HeaderFooterMain.removePracticeHeadersFooters(
+      text.split("\n", -1).toSeq).toIndexedSeq
+    println(s"lines=${lines.length}")
+    def alloc(label: String)(f: => Any): Unit = {
+      (0 until 20).foreach(_ => f)
+      val n = 50
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      (0 until n).foreach(_ => f)
+      println(f"$label%-34s ${(mx.getThreadAllocatedBytes(tid) - a0) / n / 1024.0}%8.1f KB/doc")
+    }
+    alloc("machine.extract")(graft.extract.PatientInfoMachine.extract(lines))
+    alloc("radioUniversal/all lines")(lines.indices.foreach(i =>
+      graft.extract.PatientInfoMachine.detectRadioOptionsUniversal(lines, i)))
+    alloc("parseInlineFields/all lines")(lines.foreach(graft.extract.MainExtractor.parseInlineFields))
+    alloc("lowers copy")(lines.map(_.toLowerCase))
+    alloc("collectCheckboxRun/all")(lines.indices.foreach(i =>
+      graft.extract.PatientInfoMachine.collectCheckboxRun(lines, i)))
+  }
+}
+
+/** Allocation of the tail stages: spec render + spans. */
+object AllocTail {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val text = graft.spark.Transcripts.payloads.filter(_._1 == "docling_md").maxBy(_._2.length)._2
+    val rawLines = text.split("\n", -1).toSeq
+    val (ft, sub, spec) = graft.extract.MainExtractor.convertToSpecFull(rawLines)
+    val tree = graft.model.JArr(spec.map(_.render))
+    def alloc(label: String)(f: => Any): Unit = {
+      (0 until 20).foreach(_ => f)
+      val n = 50
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      (0 until n).foreach(_ => f)
+      println(f"$label%-34s ${(mx.getThreadAllocatedBytes(tid) - a0) / n / 1024.0}%8.1f KB/doc")
+    }
+    alloc("spec.map(_.render) tree")(graft.model.JArr(spec.map(_.render)))
+    alloc("Json.render(tree)")(graft.model.Json.render(tree))
+    alloc("full extractTurn")(graft.extract.Extractor.extractTurn(text, "docling_md"))
+  }
+}
