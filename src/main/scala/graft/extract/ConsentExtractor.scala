@@ -55,21 +55,21 @@ object ConsentExtractor {
     "parent/guardian’s name", "parent/guardian's name")
   private val tagRe = "<[^>]+>".r
   private val brSplitRe = java.util.regex.Pattern.compile("<br>")
+  // one-pass DFAs over the witness/doctor banks (these run per <br> segment
+  // of every consent body)
+  private val witnessQuickTokens = Vector("witness", "doctor", "dr.", "dentist",
+    "physician", "practitioner", "provider", "clinician", "parent", "guardian",
+    "legally", "printed name", "_")
+  private val witnessQuickAC = MultiSubstring(witnessQuickTokens)
+  private val witnessIndicatorsAC = MultiSubstring(
+    witnessIndicators ++ doctorSignatures ++ parentGuardianSignatures)
+  private val parentGuardianNamesAC = MultiSubstring(parentGuardianNames)
 
   def isWitnessOrDoctorSignatureField(lineLower: String, filterParentGuardianNames: Boolean = true): Boolean = {
     // cheap token pre-check: every indicator requires one of these substrings
-    val quick = lineLower.contains("witness") || lineLower.contains("doctor") ||
-      lineLower.contains("dr.") || lineLower.contains("dentist") ||
-      lineLower.contains("physician") || lineLower.contains("practitioner") ||
-      lineLower.contains("provider") || lineLower.contains("clinician") ||
-      lineLower.contains("parent") || lineLower.contains("guardian") ||
-      lineLower.contains("legally") || lineLower.contains("printed name") ||
-      lineLower.indexOf('_') >= 0
-    if (!quick) return false
-    if (witnessIndicators.exists(lineLower.contains)) return true
-    if (doctorSignatures.exists(lineLower.contains)) return true
-    if (parentGuardianSignatures.exists(lineLower.contains)) return true
-    if (filterParentGuardianNames && parentGuardianNames.exists(lineLower.contains)) return true
+    if (!witnessQuickAC.containsAny(lineLower)) return false
+    if (witnessIndicatorsAC.containsAny(lineLower)) return true
+    if (filterParentGuardianNames && parentGuardianNamesAC.containsAny(lineLower)) return true
     if (lineLower.contains("patient/parent/guardian")) return true
     if (lineLower.contains("legally authorized representative")) return true
     if (lineLower.contains("printed name") &&
@@ -86,13 +86,7 @@ object ConsentExtractor {
   private def removeWitnessAndDoctorSignatures(content: String): String = {
     // quick-token scan: if no segment can possibly be filtered, skip the
     // split/rejoin entirely (saves two full-content copies per turn)
-    val cl = content.toLowerCase
-    val mayFilter = cl.contains("witness") || cl.contains("doctor") ||
-      cl.contains("dr.") || cl.contains("dentist") || cl.contains("physician") ||
-      cl.contains("practitioner") || cl.contains("provider") ||
-      cl.contains("clinician") || cl.contains("parent") || cl.contains("guardian") ||
-      cl.contains("legally") || cl.contains("printed name") || cl.indexOf('_') >= 0
-    if (!mayFilter) return content
+    if (!witnessQuickAC.containsAny(content.toLowerCase)) return content
     brSplitRe.split(content, -1).filter { seg =>
       val textContent =
         (if (seg.indexOf('<') >= 0) tagRe.replaceAllIn(seg, "") else seg).trim
@@ -149,12 +143,31 @@ object ConsentExtractor {
 
   private val wsCollapseRe = "\\s+".r
 
+  private def ciContains(s: String, needleLower: String): Boolean = {
+    val n = s.length - needleLower.length
+    val c0 = needleLower.charAt(0)
+    val c0U = Character.toUpperCase(c0)
+    var i = 0
+    while (i <= n) {
+      val c = s.charAt(i)
+      if ((c == c0 || c == c0U) &&
+          s.regionMatches(true, i, needleLower, 0, needleLower.length)) return true
+      i += 1
+    }
+    false
+  }
+
   private def removePracticeHeaderFooterContent(content0: String): String = {
     var content = content0
     val hasAt = content.indexOf('@') >= 0
     val hasWww = content.contains("www.")
     val hasDigit = content.exists(_.isDigit)
-    val guards = Array(hasWww, hasAt, hasDigit, hasDigit, hasDigit, hasAt)
+    // necessary-literal guards per pattern: paren-phone needs '(', the
+    // street-city-zip pattern needs ',', Route needs the word itself
+    val guards = Array(hasWww, hasAt,
+      hasDigit && content.indexOf('(') >= 0,
+      hasDigit && content.indexOf(',') >= 0,
+      hasDigit && ciContains(content, "route"), hasAt)
     practiceContentPatterns.zip(guards).foreach { case (p, g) =>
       if (g) content = p.replaceAllIn(content, "")
     }
@@ -179,7 +192,7 @@ object ConsentExtractor {
   // "authorize<br>Dr. {{provider}} and/or ...").
   // each substitution carries a lowercase literal anchor that any match must
   // contain — a substring check that skips the regex scan for absent fields
-  private val placeholderSubs: Vector[(String, Regex, String)] = Vector(
+  private[graft] val placeholderSubs: Vector[(String, Regex, String)] = Vector(
     ("dr.", "Dr\\.\\s+_+", "Dr. {{provider}}"),
     // remaining provider placeholder contexts (tab-separated / verbal)
     ("dr.", "Dr\\.\\s*\\t+", "Dr. {{provider}} "),
@@ -212,13 +225,58 @@ object ConsentExtractor {
     ("date", "(?<!of\\s)(?<!Birth\\s)(?<!Signed\\s)Date\\s*:(?!\\s*\\{\\{)", "Date: {{today_date}}")
   ).map { case (a, p, r) => (a, ("(?i)" + p).r, r) }
 
+  /** Exact equivalent of `re.replaceAllIn(content, repl)` for patterns whose
+    * every match STARTS with the literal `startAnchor` (case-insensitively):
+    * the regex is evaluated only at anchor occurrences (via a transparent-
+    * bounds region, so lookbehinds still see the preceding text) instead of
+    * being scanned position-by-position across the whole content. The
+    * replacements here are literal strings (no group references).
+    */
+  private def replaceAnchored(content: String, lower: String, re: Regex,
+                              startAnchor: String, repl: String): String = {
+    var p = lower.indexOf(startAnchor)
+    if (p < 0) return content
+    val m = re.pattern.matcher(content)
+    m.useTransparentBounds(true)
+    m.useAnchoringBounds(false)
+    var sb: java.lang.StringBuilder = null
+    var copied = 0
+    while (p >= 0) {
+      m.region(p, content.length)
+      if (m.lookingAt()) {
+        if (sb == null) sb = new java.lang.StringBuilder(content.length + 32)
+        sb.append(content, copied, p).append(repl)
+        copied = m.end()
+        p = lower.indexOf(startAnchor, math.max(copied, p + 1))
+      } else p = lower.indexOf(startAnchor, p + 1)
+    }
+    if (sb == null) content
+    else { sb.append(content, copied, content.length); sb.toString }
+  }
+
+  private val placeholderAnchors: Vector[String] =
+    placeholderSubs.map(_._1).distinct
+  private val placeholderAnchorIdx: Map[String, Int] =
+    placeholderAnchors.zipWithIndex.toMap
+  private val placeholderAnchorAC = MultiSubstring(placeholderAnchors)
+
   def applyPlaceholders(content0: String): String = {
     var c = content0
     var lower = c.toLowerCase
+    // which anchors occur at all — ONE pass instead of one contains per sub
+    var present = placeholderAnchorAC.matchedSet(lower)
     placeholderSubs.foreach { case (anchor, re, repl) =>
-      if (lower.contains(anchor)) {
-        val c2 = re.replaceAllIn(c, repl)
-        if (c2 != c) { c = c2; lower = c.toLowerCase }
+      if (present(placeholderAnchorIdx(anchor))) {
+        // all patterns except the "I, ___ (print name)" one begin with their
+        // anchor literal, so the anchored matcher applies (84% of the consent
+        // route's time was these full-content scans)
+        val c2 =
+          if (anchor == "print") re.replaceAllIn(c, repl)
+          else replaceAnchored(c, lower, re, anchor, repl)
+        if (c2 != c) {
+          c = c2; lower = c.toLowerCase
+          present = placeholderAnchorAC.matchedSet(lower)
+        }
       }
     }
     c

@@ -9,17 +9,21 @@ import scala.collection.mutable
   * |text|) per line or per document. A precompiled DFA does all patterns in
   * ONE pass over the text: O(|text|) with a single array index per char.
   *
-  * Patterns are expected lowercase ASCII (all banks are); inputs are the
-  * already-lowercased views the call sites maintain. Chars >= 127 map to a
-  * catch-all class that matches no pattern char (correct: it just walks the
-  * failure chain to root).
+  * The alphabet is ASCII (0..126) plus one extra class per distinct
+  * non-ASCII char appearing in the patterns (e.g. the curly apostrophe in
+  * the witness banks); any other input char maps to a catch-all class that
+  * matches no pattern char (it just walks the failure chain to root).
   */
 final class MultiSubstring private (
-    next: Array[Int],          // flattened DFA: state*128 + charClass -> state
+    next: Array[Int],          // flattened DFA: state*width + charClass -> state
     out: Array[Array[Int]],    // state -> pattern ids ending here (failure-closed)
+    width: Int,                // alphabet width: 128 + number of extra chars
+    extra: Map[Char, Int],     // non-ASCII pattern char -> class (>= 128)
     val size: Int) {           // number of patterns
 
-  @inline private def cls(c: Char): Int = if (c < 127) c else 127
+  @inline private def cls(c: Char): Int =
+    if (c < 127) c
+    else extra.getOrElse(c, 127) // 127 = catch-all (never a pattern char)
 
   /** Any pattern occurs in s (early exit on first hit). */
   def containsAny(s: String): Boolean = {
@@ -27,11 +31,32 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n) {
-      st = next((st << 7) + cls(s.charAt(i)))
+      st = next(st * width + cls(s.charAt(i)))
       if (out(st).length != 0) return true
       i += 1
     }
     false
+  }
+
+  /** Per-pattern presence flags: out(i) == bank(i) occurs in s. One pass. */
+  def matchedSet(s: String): Array[Boolean] = {
+    val seen = new Array[Boolean](size)
+    var cnt = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && cnt < size) {
+      st = next(st * width + cls(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seen(id)) { seen(id) = true; cnt += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    seen
   }
 
   /** One pass computing BOTH counts the classifier needs: distinct patterns
@@ -49,7 +74,7 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && (cntFull < size || (cntPre < size && i < prefixEnd))) {
-      st = next((st << 7) + cls(s.charAt(i)))
+      st = next(st * width + cls(s.charAt(i)))
       val o = out(st)
       var j = 0
       while (j < o.length) {
@@ -73,7 +98,7 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      st = next((st << 7) + cls(s.charAt(i)))
+      st = next(st * width + cls(s.charAt(i)))
       val o = out(st)
       var j = 0
       while (j < o.length) {
@@ -91,8 +116,17 @@ object MultiSubstring {
 
   def apply(patterns: Seq[String]): MultiSubstring = {
     val pats = patterns.toArray
-    // trie build (edges: node -> 128-wide child table, -1 = absent)
-    val edges = mutable.ArrayBuffer(Array.fill(128)(-1))
+    // assign classes to the distinct non-ASCII pattern chars
+    val extra = mutable.LinkedHashMap.empty[Char, Int]
+    pats.foreach(_.foreach { c =>
+      require(c != 127, "MultiSubstring patterns must not contain DEL")
+      if (c >= 127 && !extra.contains(c)) extra(c) = 128 + extra.size
+    })
+    val width = 128 + extra.size
+    def cls(c: Char): Int = if (c < 127) c else extra(c)
+
+    // trie build (edges: node -> width-wide child table, -1 = absent)
+    val edges = mutable.ArrayBuffer(Array.fill(width)(-1))
     val ends = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
     var p = 0
     while (p < pats.length) {
@@ -100,10 +134,9 @@ object MultiSubstring {
       val s = pats(p)
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        require(c < 127, s"MultiSubstring patterns must be ASCII: '$s'")
+        val c = cls(s.charAt(i))
         if (edges(st)(c) == -1) {
-          edges += Array.fill(128)(-1)
+          edges += Array.fill(width)(-1)
           ends += mutable.ArrayBuffer.empty[Int]
           edges(st)(c) = edges.length - 1
         }
@@ -119,7 +152,7 @@ object MultiSubstring {
     val fail = new Array[Int](nStates)
     val queue = mutable.Queue.empty[Int]
     var c = 0
-    while (c < 128) {
+    while (c < width) {
       val ch = edges(0)(c)
       if (ch == -1) edges(0)(c) = 0
       else { fail(ch) = 0; queue.enqueue(ch) }
@@ -129,19 +162,20 @@ object MultiSubstring {
       val st = queue.dequeue()
       ends(st) ++= ends(fail(st))
       var c2 = 0
-      while (c2 < 128) {
+      while (c2 < width) {
         val ch = edges(st)(c2)
         if (ch == -1) edges(st)(c2) = edges(fail(st))(c2)
         else { fail(ch) = edges(fail(st))(c2); queue.enqueue(ch) }
         c2 += 1
       }
     }
-    val next = new Array[Int](nStates << 7)
+    val next = new Array[Int](nStates * width)
     var st = 0
     while (st < nStates) {
-      System.arraycopy(edges(st), 0, next, st << 7, 128)
+      System.arraycopy(edges(st), 0, next, st * width, width)
       st += 1
     }
-    new MultiSubstring(next, ends.map(_.toArray.sorted).toArray, pats.length)
+    new MultiSubstring(next, ends.map(_.toArray.sorted).toArray, width,
+      extra.toMap, pats.length)
   }
 }

@@ -218,3 +218,40 @@ object AllocTail {
     alloc("full extractTurn")(graft.extract.Extractor.extractTurn(text, "docling_md"))
   }
 }
+
+/** Loop the heaviest consent_txt payload for sampling. */
+object ProfileHotConsent {
+  def main(args: Array[String]): Unit = {
+    val (tag, text) = graft.spark.Transcripts.payloads
+      .filter(_._1 == "consent_txt").maxBy(_._2.length)
+    println(s"payload $tag ${text.length} chars")
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    var n = 0L
+    while (System.nanoTime() < deadline) {
+      graft.extract.Extractor.extractTurn(text, tag)
+      n += 1
+    }
+    println(s"done $n")
+  }
+}
+
+/** Time applyPlaceholders and friends on the heavy consent content. */
+object ConsentStageBench {
+  def main(args: Array[String]): Unit = {
+    val text = graft.spark.Transcripts.payloads.filter(_._1 == "consent_txt").maxBy(_._2.length)._2
+    val lines = text.split("\n", -1).toSeq
+    // rebuild the content string the way createEnhancedConsentHtml does
+    val lower = text.toLowerCase
+    Seq("patient", "print", "dob", "date", "planned", "diagnosis", "alternative").foreach(a =>
+      println(s"anchor '$a' present: ${lower.contains(a)}"))
+    def time(label: String)(f: => Any): Unit = {
+      (0 until 50).foreach(_ => f)
+      val n = 200
+      val t0 = System.nanoTime()
+      (0 until n).foreach(_ => f)
+      println(f"$label%-36s ${(System.nanoTime() - t0) / 1000.0 / n}%8.1f us/call")
+    }
+    time("applyPlaceholders(text)")(graft.extract.ConsentExtractor.applyPlaceholders(text))
+    time("full extractTurn")(graft.extract.Extractor.extractTurn(text, "consent_txt"))
+  }
+}

@@ -123,6 +123,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("anchored placeholder matcher == plain replaceAllIn fold") {
+    val frags = Gen.oneOf(
+      "Patient's Name:", "Patient Name: ___", "Patient\u2019s Name: \t__",
+      "DOB:", "DOB: ____", "Date of Birth: __", "Date:", "Date: ___",
+      "of Date:", "Birth Date:", "Signed Date:", "Dr. ____", "Dr.\t",
+      "Tooth Number: __", "Tooth #: _", "Diagnosis: {{diagnosis}}",
+      "Planned Procedure:", "Alternative Treatment: ___", "{{patient_name}}",
+      " risks and benefits ", "date", "patient", "\n", " ")
+    val textGen = Gen.listOfN(8, frags).map(_.mkString(" "))
+    forAll(textGen, n = 300) { t =>
+      val ref = ConsentExtractor.placeholderSubs.foldLeft(t) { case (c, (a, re, repl)) =>
+        if (c.toLowerCase.contains(a)) re.replaceAllIn(c, repl) else c
+      }
+      assert(ConsentExtractor.applyPlaceholders(t) == ref, s"text=$t")
+    }
+  }
+
   test("countSignatureDatePairs == reference regex findAll count") {
     val re = "signature.*date|date.*signature".r
     val tokens = Gen.oneOf("signature", "date", "dates", "signatures", " ",
@@ -145,6 +162,16 @@ class PropertySpec extends AnyFunSuite {
     forAll(textGen, n = 400) { t =>
       assert(ms.containsAny(t) == bank.exists(t.contains), s"text=$t")
       assert(ms.countDistinct(t) == bank.count(t.contains), s"text=$t")
+    }
+    // non-ASCII pattern chars (curly apostrophe) get their own char class
+    val uni = Vector("witness’s", "parent's", "café")
+    val msU = MultiSubstring(uni)
+    val uniText = Gen.listOfN(6, Gen.oneOf("witness’s", "witness's",
+      "parent's", "parent’s", "cafe", "café", " ", "x")).map(_.mkString(" "))
+    forAll(uniText, n = 200) { t =>
+      assert(msU.containsAny(t) == uni.exists(t.contains), s"text=$t")
+      assert(msU.countDistinct(t) == uni.count(t.contains), s"text=$t")
+      assert(msU.matchedSet(t).toVector == uni.map(t.contains), s"text=$t")
     }
   }
 }
