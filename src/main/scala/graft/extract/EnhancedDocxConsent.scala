@@ -19,6 +19,27 @@ import scala.collection.mutable
   */
 object EnhancedDocxConsent {
 
+  /** Equivalent of the date-colon whole-line regex match without the
+    * per-call Pattern.compile: "date", then regex-whitespace chars, then
+    * ':', and no line terminator afterwards (`.` excludes them in a
+    * whole-string match). */
+  private def isDateColonLine(lower: String): Boolean = {
+    if (!lower.startsWith("date")) return false
+    var i = 4
+    while (i < lower.length && {
+      val c = lower.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    }) i += 1
+    if (i >= lower.length || lower.charAt(i) != ':') return false
+    var j = i + 1
+    while (j < lower.length) {
+      val c = lower.charAt(j)
+      if (c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029') return false
+      j += 1
+    }
+    true
+  }
+
   private case class Pat(anchor: String, key: String, title: String,
                          fieldType: String, inputType: Option[String])
   // ordered: most specific anchors first; all lowercase-contains matches
@@ -68,7 +89,7 @@ object EnhancedDocxConsent {
     def isFillIn(l: String): Boolean = {
       val lower = l.toLowerCase
       l.contains("_") && (patterns.exists(p => lower.contains(p.anchor)) ||
-        lower.contains("signature") || lower.matches("^date\\s*:.*"))
+        lower.contains("signature") || isDateColonLine(lower))
     }
     val sigStart = lines.indexWhere(isFillIn)
     val contentEnd = if (sigStart >= 0) sigStart else lines.length
@@ -118,7 +139,7 @@ object EnhancedDocxConsent {
               fields += FieldInfo("signature", "Signature", "signature", "Signature",
                 optional = false, control = JObj(Vector.empty), lineIdx = idx)
               processed += "signature"
-            } else if (lower.matches("^date\\s*:.*") && !processed.contains("date_signed")) {
+            } else if (isDateColonLine(lower) && !processed.contains("date_signed")) {
               fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
                 optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = idx)
               processed += "date_signed"

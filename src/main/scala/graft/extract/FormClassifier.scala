@@ -65,18 +65,40 @@ object FormClassifier {
     ("implant_consent", Vector("implant", "implant supported"), Vector("consent")),
     ("denture_consent", Vector("denture", "dentures", "partial denture", "complete denture"), Vector("consent")))
 
-  // one-pass Aho-Corasick DFAs over the keyword banks: classification used
-  // to scan the full joined document text once per keyword (26+ scans of a
-  // multi-KB string per turn); each DFA does its whole bank in one pass
-  private val consentKeywordsAC = MultiSubstring(consentKeywords)
-  private val patientInfoKeywordsAC = MultiSubstring(patientInfoKeywords)
-  private val patientInfoIndicatorsAC = MultiSubstring(patientInfoIndicators)
-  private val recordsKeywordsAC = MultiSubstring(recordsKeywords)
-  private val consentSubKeywordsAC = MultiSubstring(consentSubKeywords)
-  private val narrativeSubKeywordsAC = MultiSubstring(narrativeSubKeywords)
-  private val npfIndicatorsAC = MultiSubstring(npfIndicators)
-  private val subtypeBanksAC = subtypeBanks.map { case (label, anyOf, companions) =>
-    (label, MultiSubstring(anyOf), MultiSubstring(companions))
+  // ONE merged Aho-Corasick DFA per classification phase: classification
+  // used to scan the full joined document text once per keyword, then once
+  // per bank; a merged automaton computes per-pattern presence flags for
+  // every bank in a single pass over the text. Segments are concatenated
+  // pattern ranges; duplicate keywords across banks get distinct ids so
+  // per-bank counts stay exact.
+  private val typeSegments: Vector[Vector[String]] =
+    Vector(consentKeywords, patientInfoKeywords)
+  private val typeOffsets: Vector[Int] = typeSegments.scanLeft(0)(_ + _.length)
+  private val typeAC = MultiSubstring(typeSegments.flatten)
+
+  // subtype phase: indicator banks, the regex-bank gate tokens, and the
+  // per-procedure anyOf/companion word lists, all in one automaton
+  private val subtypeGateTokens = Vector("release", "section", "consent",
+    "risk", "complication", "side")
+  private val subtypeSegments: Vector[Vector[String]] =
+    Vector(patientInfoIndicators, recordsKeywords, consentSubKeywords,
+      narrativeSubKeywords, npfIndicators, subtypeGateTokens) ++
+      subtypeBanks.flatMap { case (_, anyOf, companions) => Vector(anyOf, companions) }
+  private val subtypeOffsets: Vector[Int] = subtypeSegments.scanLeft(0)(_ + _.length)
+  private val subtypeAC = MultiSubstring(subtypeSegments.flatten)
+
+  @inline private def segCount(flags: Array[Boolean], offsets: Vector[Int], seg: Int): Int = {
+    var i = offsets(seg)
+    val end = offsets(seg + 1)
+    var c = 0
+    while (i < end) { if (flags(i)) c += 1; i += 1 }
+    c
+  }
+  @inline private def segAny(flags: Array[Boolean], offsets: Vector[Int], seg: Int): Boolean = {
+    var i = offsets(seg)
+    val end = offsets(seg + 1)
+    while (i < end) { if (flags(i)) return true; i += 1 }
+    false
   }
 
   def detectFormSubtype(textLines: Seq[String]): String =
@@ -88,23 +110,26 @@ object FormClassifier {
     * gated behind a cheap substring precheck.
     */
   def detectFormSubtype(fullText: String, nLines: Int): String = {
-    def bankHit(patterns: Vector[Regex], gate: String => Boolean): Boolean =
-      gate(fullText) && patterns.exists(_.findFirstIn(fullText).isDefined)
-    if (patientInfoIndicatorsAC.countDistinct(fullText) >= 3) return "patient_info"
-    if (bankHit(recordsRelease, t => t.contains("release") || t.contains("section")) &&
-        recordsKeywordsAC.countDistinct(fullText) >= 2)
+    // one pass over the text yields presence flags for every bank
+    val flags = subtypeAC.matchedSet(fullText)
+    @inline def cnt(seg: Int) = segCount(flags, subtypeOffsets, seg)
+    @inline def any(seg: Int) = segAny(flags, subtypeOffsets, seg)
+    // gate tokens (segment 5): release, section, consent, risk, complication, side
+    @inline def gate(i: Int) = flags(subtypeOffsets(5) + i)
+    def bankHit(patterns: Vector[Regex], gateOk: Boolean): Boolean =
+      gateOk && patterns.exists(_.findFirstIn(fullText).isDefined)
+    if (cnt(0) >= 3) return "patient_info"
+    if (bankHit(recordsRelease, gate(0) || gate(1)) && cnt(1) >= 2)
       return "records_release"
-    if (bankHit(structuredConsent, _.contains("consent")) &&
-        consentSubKeywordsAC.countDistinct(fullText) >= 2)
+    if (bankHit(structuredConsent, gate(2)) && cnt(2) >= 2)
       return "structured_consent"
-    if (bankHit(narrativeConsent,
-        t => t.contains("risk") || t.contains("complication") || t.contains("side")) &&
-        narrativeSubKeywordsAC.countDistinct(fullText) >= 1)
+    if (bankHit(narrativeConsent, gate(3) || gate(4) || gate(5)) && cnt(3) >= 1)
       return "narrative_consent"
-    if (npfIndicatorsAC.countDistinct(fullText) >= 2) return "patient_info"
-    subtypeBanksAC.foreach { case (label, anyOf, companions) =>
-      if (anyOf.containsAny(fullText) && companions.containsAny(fullText))
-        return label
+    if (cnt(4) >= 2) return "patient_info"
+    var b = 0
+    while (b < subtypeBanks.length) {
+      if (any(6 + 2 * b) && any(7 + 2 * b)) return subtypeBanks(b)._1
+      b += 1
     }
     if (nLines > 100) "detailed_consent"
     else if (nLines > 50) "structured_form"
@@ -139,11 +164,10 @@ object FormClassifier {
          analysisText.contains("side")) &&
         narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
 
-    // one DFA pass per bank yields both window scores (prefix + full)
-    val (cPre, cFull) = consentKeywordsAC.countDistinctPrefixAndFull(fullText, prefixEnd)
-    val (pPre, pFull) = patientInfoKeywordsAC.countDistinctPrefixAndFull(fullText, prefixEnd)
-    var consent = 2 * cPre + cFull
-    var patientInfo = 2 * pPre + pFull
+    // ONE DFA pass yields both banks' prefix and full-window scores
+    val (preFlags, fullFlags) = typeAC.matchedSetPrefixAndFull(fullText, prefixEnd)
+    var consent = 2 * segCount(preFlags, typeOffsets, 0) + segCount(fullFlags, typeOffsets, 0)
+    var patientInfo = 2 * segCount(preFlags, typeOffsets, 1) + segCount(fullFlags, typeOffsets, 1)
     if (fullText.contains("signature") && fullText.contains("date"))
       consent += countSignatureDatePairs(fullText) * 2
     if (countFieldPatterns(fullText, stopAfter = 11) > 10) patientInfo += 3

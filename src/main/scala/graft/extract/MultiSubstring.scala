@@ -59,6 +59,30 @@ final class MultiSubstring private (
     seen
   }
 
+  /** Per-pattern presence flags for the prefix s[0, prefixEnd) AND for all
+    * of s, in one pass (occurrence in prefix iff its end offset <= prefixEnd). */
+  def matchedSetPrefixAndFull(s: String, prefixEnd: Int): (Array[Boolean], Array[Boolean]) = {
+    val seenPre = new Array[Boolean](size)
+    val seenFull = new Array[Boolean](size)
+    var cntFull = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && cntFull < size) {
+      st = next(st * width + cls(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
+        if (i + 1 <= prefixEnd) seenPre(id) = true
+        j += 1
+      }
+      i += 1
+    }
+    (seenPre, seenFull)
+  }
+
   /** One pass computing BOTH counts the classifier needs: distinct patterns
     * occurring within the prefix s[0, prefixEnd) and within all of s. An
     * occurrence lies in the prefix iff its end offset is <= prefixEnd.

@@ -54,28 +54,39 @@ object Json {
     false
   }
 
-  /** Escape directly into the render buffer (no per-string allocation). */
+  /** Escape directly into the render buffer: bulk-copies the (typically
+    * long) runs between escapable chars instead of appending per char. */
   private def escapeInto(s: String, sb: StringBuilder): Unit = {
+    val jsb = sb.underlying
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '"'  => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
+    var flushed = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') {
+        if (i > flushed) jsb.append(s, flushed, i)
+        c match {
+          case '"'  => jsb.append("\\\"")
+          case '\\' => jsb.append("\\\\")
+          case '\n' => jsb.append("\\n")
+          case '\r' => jsb.append("\\r")
+          case '\t' => jsb.append("\\t")
+          case '\b' => jsb.append("\\b")
+          case '\f' => jsb.append("\\f")
+          case _    => jsb.append(f"\\u${c.toInt}%04x")
+        }
+        flushed = i + 1
       }
       i += 1
     }
+    if (n > flushed) jsb.append(s, flushed, n)
   }
 
   private def appendStr(s: String, sb: StringBuilder): Unit = {
     sb.append('"')
-    if (needsEscape(s)) escapeInto(s, sb) else sb.append(s)
+    // escapeInto bulk-copies between escapes, so no needsEscape pre-scan:
+    // a clean string is one bulk append either way
+    escapeInto(s, sb)
     sb.append('"')
   }
 

@@ -255,3 +255,19 @@ object ConsentStageBench {
     time("full extractTurn")(graft.extract.Extractor.extractTurn(text, "consent_txt"))
   }
 }
+
+/** Loop the heaviest docx payload for sampling. */
+object ProfileHotDocx {
+  def main(args: Array[String]): Unit = {
+    val (tag, text) = graft.spark.Transcripts.payloads
+      .filter(_._1 == "docx").maxBy(_._2.length)
+    println(s"payload $tag ${text.length} chars")
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    var n = 0L
+    while (System.nanoTime() < deadline) {
+      graft.extract.Extractor.extractTurn(text, tag)
+      n += 1
+    }
+    println(s"done $n")
+  }
+}
