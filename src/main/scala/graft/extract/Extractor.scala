@@ -5,7 +5,10 @@ import graft.model._
 /** One extracted field span: character offsets into `mainText`. */
 final case class Span(field_key: String, start: Int, end: Int)
 
-/** The per-turn extraction result (FIXTURES.md §4 output schema). */
+/** The per-turn extraction result (FIXTURES.md §4 output schema).
+  * fieldSections carries the (key, section) pair per extracted field in
+  * output order — the granularity the per-field dump queries (q33/q34)
+  * expose so count aggregations can be oracled downstream. */
 final case class Extracted(
     formType: String,
     formSubtype: String,
@@ -13,7 +16,8 @@ final case class Extracted(
     spans: Vector[Span],
     fieldsJson: String,
     fieldCount: Int,
-    sectionCount: Int)
+    sectionCount: Int,
+    fieldSections: Vector[(String, String)])
 
 /** The fused per-turn extraction function — SURVEY.md §2's master rule: every
   * per-document operator composes into one pure Scala function applied inside
@@ -29,6 +33,16 @@ object Extractor {
     * occurrence of their title in main_text, (-1,-1) when the title is
     * synthetic (injected signature/date fields).
     */
+  /** Per-field view of one turn's extraction: (form_type, (key, section)
+    * pairs in output order). Runs the identical pipeline as extractTurn —
+    * used by the q34 per-field dump so the driver's DuckDB oracle can
+    * independently re-aggregate q21's field/section counts.
+    */
+  def extractTurnFields(text: String, tool: String = "consent_txt"): (String, Vector[(String, String)]) = {
+    val e = extractTurn(text, tool)
+    (e.formType, e.fieldSections)
+  }
+
   def extractTurn(text: String, tool: String = "consent_txt"): Extracted = {
     // payload tags: "<profile>" or "<wrapper>:<profile>" where wrapper is
     // html (boilerplate-wrapped markup -> streaming tokenizer + density
@@ -81,6 +95,7 @@ object Extractor {
       spans = spans,
       fieldsJson = json,
       fieldCount = fields.length,
-      sectionCount = fields.map(_.section).distinct.length)
+      sectionCount = fields.map(_.section).distinct.length,
+      fieldSections = fields.map(f => (f.key, f.section)))
   }
 }

@@ -391,6 +391,24 @@ object Queries {
       .orderBy("doc_id", "field_idx")
   }
 
+  /** Per-turn per-field dump (companion to q21, same pattern as q33 -> q19):
+    * one row per extracted field of every turn of the same deterministic
+    * 300-conversation table, so the flagship query's (field_count,
+    * section_count) aggregation and stable ordering can be recomputed
+    * independently by DuckDB. */
+  def q34TurnFieldDump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.spark.Transcripts.generate(spark, numConversations = 300)
+      .flatMap { t =>
+        val (formType, fields) = graft.extract.Extractor.extractTurnFields(t.text, t.tool)
+        fields.zipWithIndex.map { case ((key, section), i) =>
+          (t.conv_id, t.turn_idx, formType, i, key, section)
+        }
+      }
+      .toDF("conv_id", "turn_idx", "form_type", "field_idx", "field_key", "section")
+      .orderBy("conv_id", "turn_idx", "field_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -424,7 +442,8 @@ object Queries {
     "q30_ann_ivf" -> q30AnnIvf _,
     "q31_ann_lsh_cands" -> q31AnnLshCands _,
     "q32_ann_ivf_cands" -> q32AnnIvfCands _,
-    "q33_field_dump" -> q33FieldDump _
+    "q33_field_dump" -> q33FieldDump _,
+    "q34_turn_field_dump" -> q34TurnFieldDump _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -488,6 +507,20 @@ object Queries {
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT a.vec_id AS a, b.vec_id AS b, row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, a.vec_id ASC, b.vec_id ASC) AS rank FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) SELECT a, b, CAST(rank AS INT) AS rank FROM p WHERE rank <= 20 ORDER BY rank""",
     "q27_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents WHERE doc_id < 40 AND len(regexp_split_to_array(trim(text), '\s+')) >= 3)) SELECT a.doc_id AS a, b.doc_id AS b, CAST((1000 * len(list_intersect(a.sh, b.sh))) // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_x1000 FROM d a CROSS JOIN d b WHERE a.doc_id < b.doc_id ORDER BY 1, 2""",
+    "q21_transcript_extract" ->
+      // the flagship per-turn extraction: form_type and the per-field rows
+      // are engine-defined (dumped as q34); the per-turn count aggregation
+      // and the stable (conv_id, turn_idx) ordering are recomputed
+      // independently in SQL. The extracted text itself is pinned by the
+      // byte-exact reference goldens in sbt test.
+      """WITH f AS (SELECT conv_id, turn_idx, form_type, field_key, section FROM read_parquet('__OUT__/q34_turn_field_dump/*.parquet')) SELECT conv_id, turn_idx, form_type, CAST(count(*) AS INTEGER) AS field_count, CAST(count(DISTINCT section) AS INTEGER) AS section_count FROM f GROUP BY conv_id, turn_idx, form_type ORDER BY conv_id, turn_idx""",
+    "q21_transcript_extract" ->
+      // the flagship per-turn extraction: form_type and the per-field rows
+      // are engine-defined (dumped as q34); the per-turn count aggregation
+      // and the stable (conv_id, turn_idx) ordering are recomputed
+      // independently in SQL. The extracted text itself is pinned by the
+      // byte-exact reference goldens in sbt test.
+      """WITH f AS (SELECT conv_id, turn_idx, form_type, field_key, section FROM read_parquet('__OUT__/q34_turn_field_dump/*.parquet')) SELECT conv_id, turn_idx, form_type, CAST(count(*) AS INTEGER) AS field_count, CAST(count(DISTINCT section) AS INTEGER) AS section_count FROM f GROUP BY conv_id, turn_idx, form_type ORDER BY conv_id, turn_idx""",
     "q19_extract_fields" ->
       // per-doc (field_count, section_count) oracled downstream of the
       // dumped per-field rows (q33): the counting/aggregation stage is
