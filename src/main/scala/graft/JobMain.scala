@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** spark-submit entry point for the north-star extraction job:
   *
   *   spark-submit --class graft.JobMain <jar> <inputParquet> <outDir> \
-  *     [buckets] [waves]
+  *     [buckets] [waves] [--fingerprint-inputs]
+  *
+  * --fingerprint-inputs enables change-detection resume: committed buckets
+  * whose input content changed since their snapshot are recomputed (one
+  * extra narrow aggregation scan of the input per run).
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -18,10 +22,13 @@ import org.apache.spark.sql.SparkSession
   */
 object JobMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: JobMain <inputParquet> <outDir> [buckets] [waves]")
-    val Array(input, outDir) = args.take(2)
-    val buckets = if (args.length > 2) args(2).toInt else 256
-    val waves = if (args.length > 3) args(3).toInt else 8
+    require(args.length >= 2,
+      "usage: JobMain <inputParquet> <outDir> [buckets] [waves] [--fingerprint-inputs]")
+    val fingerprint = args.contains("--fingerprint-inputs")
+    val pos = args.filterNot(_.startsWith("--"))
+    val Array(input, outDir) = pos.take(2)
+    val buckets = if (pos.length > 2) pos(2).toInt else 256
+    val waves = if (pos.length > 3) pos(3).toInt else 8
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("graft-extraction")
@@ -31,7 +38,8 @@ object JobMain {
     import spark.implicits._
     val turns = spark.read.parquet(input).as[graft.spark.Turn]
     val done = graft.spark.ExtractionJob.run(spark, turns,
-      graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves))
+      graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
+        fingerprintInputs = fingerprint))
     println(s"""{"committed_buckets_this_run":${done.size},"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }

@@ -35,7 +35,13 @@ object ExtractionJob {
       buckets: Int = 32,
       waves: Int = 4,
       saltTurnsPerSplit: Int = 64,
-      failAfterWave: Int = -1 // test hook: simulate a kill after wave N commit
+      failAfterWave: Int = -1, // test hook: simulate a kill after wave N commit
+      // change-detection resume: fingerprint each bucket's INPUT content and
+      // recompute committed buckets whose input changed since their snapshot
+      // (upstream backfill/correction). Costs one narrow aggregation scan of
+      // the input per run, so it is opt-in; file-based inputs should prefer
+      // file-level manifest diff (the input table's own snapshot lineage).
+      fingerprintInputs: Boolean = false
   )
 
   final case class LineageRow(
@@ -55,7 +61,7 @@ object ExtractionJob {
     * (all-empty buckets) from a legacy manifest written before file
     * granularity existed — the two need different resume verification. */
   final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry],
-                            hasFilesList: Boolean)
+                            hasFilesList: Boolean, inputFps: Map[Int, Long])
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -78,6 +84,22 @@ object ExtractionJob {
 
   def bucketOf(buckets: Int) = pmod(xxhash64(col("conv_id")), lit(buckets)).cast("int")
 
+  /** Per-bucket content fingerprint of the INPUT: order-independent XOR of
+    * per-row xxhash64 over every input column, mixed with the row count
+    * (XOR alone would let duplicate rows cancel; ANSI mode forbids a
+    * wrapping sum). One narrow map-side-combined aggregation scan; used by
+    * change-detection resume. */
+  def inputFingerprints(spark: SparkSession, turns: Dataset[Turn], buckets: Int): Map[Int, Long] =
+    turns.toDF()
+      .groupBy(bucketOf(buckets).as("bucket"))
+      .agg(
+        expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool, ts))").as("x"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("x") ^ (r.getAs[Long]("n") * 0x9E3779B97F4A7C15L)))
+      .toMap
+
   // ---- snapshot manifest protocol ----
 
   def latestSnapshot(outDir: String): Option[Int] = {
@@ -85,6 +107,9 @@ object ExtractionJob {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
     else None
   }
+
+  private val fpEntryRe =
+    "\\{\"bucket\":(\\d+),\"fp\":(-?\\d+)\\}".r
 
   private val fileEntryRe =
     "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)\\}".r
@@ -102,7 +127,9 @@ object ExtractionJob {
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
     val files = fileEntryRe.findAllMatchIn(manifest)
       .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
-    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""))
+    val fps = fpEntryRe.findAllMatchIn(manifest)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""), inputFps = fps)
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -167,7 +194,8 @@ object ExtractionJob {
   }
 
   private def commitSnapshot(outDir: String, snapshotId: Int, buckets: Set[Int],
-                             files: Seq[FileEntry], lineage: Seq[LineageRow]): Unit = {
+                             files: Seq[FileEntry], lineage: Seq[LineageRow],
+                             inputFps: Map[Int, Long]): Unit = {
     val lineageJson = lineage.sortBy(_.bucket).map { r =>
       s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
         s""""field_count_sum":${r.field_count_sum},"extract_ms":${r.extract_ms},"committed_at":"${r.committed_at}"}"""
@@ -176,9 +204,13 @@ object ExtractionJob {
     val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
       s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount}}"""
     }.mkString("[", ",", "]")
+    val fpsJson =
+      if (inputFps.isEmpty) ""
+      else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
+        .mkString(""""input_fps":[""", ",", "],")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s""""files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
@@ -189,7 +221,18 @@ object ExtractionJob {
     */
   def run(spark: SparkSession, turns: Dataset[Turn], config: Config): Set[Int] = {
     import spark.implicits._
-    val already = committedBuckets(config.outDir)
+    // change-detection resume: a committed bucket whose INPUT fingerprint
+    // differs from the one recorded at commit time is treated as
+    // uncommitted and recomputed (upstream backfill semantics)
+    val currentFps: Map[Int, Long] =
+      if (config.fingerprintInputs) inputFingerprints(spark, turns, config.buckets)
+      else Map.empty
+    val verified = committedBuckets(config.outDir)
+    val manFps = readManifest(config.outDir).map(_.inputFps).getOrElse(Map.empty)
+    val already =
+      if (config.fingerprintInputs && manFps.nonEmpty)
+        verified.filter(b => manFps.get(b) == currentFps.get(b))
+      else verified
     val remaining = (0 until config.buckets).filterNot(already.contains)
     if (remaining.isEmpty) return Set.empty
 
@@ -271,7 +314,8 @@ object ExtractionJob {
       committed = committed ++ waveBuckets
       doneThisRun = doneThisRun ++ waveBuckets
       committedFiles = committedFiles ++ waveFiles
-      commitSnapshot(config.outDir, snapshotId, committed, committedFiles, lineage)
+      commitSnapshot(config.outDir, snapshotId, committed, committedFiles, lineage,
+        if (config.fingerprintInputs) currentFps else Map.empty)
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")

@@ -181,6 +181,39 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 2, 3))
   }
 
+  test("change-detection resume recomputes exactly the buckets whose input changed") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-fp").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, fingerprintInputs = true)
+    val first = ExtractionJob.run(spark, turns, cfg)
+    assert(first == Set(0, 1, 2, 3))
+
+    // unchanged input -> nothing recomputes
+    assert(ExtractionJob.run(spark, turns, cfg) == Set.empty)
+
+    // modify ONE conversation's text (an upstream correction); only the
+    // buckets of that conversation may recompute
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\ncorrected line") else t)
+    val expectedBuckets = changed.where(col("conv_id") === victim)
+      .select(ExtractionJob.bucketOf(4).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val recomputed = ExtractionJob.run(spark, changed, cfg)
+    assert(recomputed == expectedBuckets,
+      s"recomputed $recomputed, expected $expectedBuckets")
+
+    // the corrected content is what the committed table now serves
+    val served = ExtractionJob.readCommitted(spark, out)
+      .where(col("conv_id") === victim).count()
+    assert(served == changed.where(col("conv_id") === victim).count())
+    // and a rerun with the same (changed) input is again a no-op
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
