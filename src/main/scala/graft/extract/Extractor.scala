@@ -58,7 +58,7 @@ object Extractor {
       case _ => raw.split("\n", -1).toSeq
     }
     val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
-    val mainText = cleaned.map(_.trim).mkString("\n")
+    val mainText = StrUtil.joinTrimmed(cleaned, '\n')
     // profile dispatch mirrors the reference's entry points: the consent
     // converter (consent_converter.py) vs the main monolith
     // (pdf_to_json_converter.py); the payload tag selects the profile, the

@@ -102,7 +102,7 @@ object FormClassifier {
   }
 
   def detectFormSubtype(textLines: Seq[String]): String =
-    detectFormSubtype(textLines.mkString(" ").toLowerCase, textLines.length)
+    detectFormSubtype(StrUtil.join(textLines, ' ').toLowerCase, textLines.length)
 
   /** Hot-path variant taking the pre-joined lowercase text (one join +
     * lowercase per turn, shared with detectFormType). Only pattern presence
@@ -138,12 +138,12 @@ object FormClassifier {
 
   /** Compute (form_type, form_subtype) with one text join + lowercase. */
   def classify(textLines: Seq[String]): (String, String) = {
-    val fullText = textLines.mkString(" ").toLowerCase
+    val fullText = StrUtil.join(textLines, ' ').toLowerCase
     (detectFormType(fullText, textLines), detectFormSubtype(fullText, textLines.length))
   }
 
   def detectFormType(textLines: Seq[String]): String =
-    detectFormType(textLines.mkString(" ").toLowerCase, textLines)
+    detectFormType(StrUtil.join(textLines, ' ').toLowerCase, textLines)
 
   private def detectFormType(fullText: String, textLines: Seq[String]): String = {
     // the first-50-line window is a prefix of the full join (same separator):

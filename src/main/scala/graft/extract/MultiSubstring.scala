@@ -59,6 +59,48 @@ final class MultiSubstring private (
     seen
   }
 
+  /** Per-pattern presence flags over a VIRTUAL document: lines[from, until)
+    * joined by `sep`, scanned without building the joined string (matches
+    * spanning line boundaries still hit, exactly as in the joined form).
+    * Equivalent to matchedSet(lines.slice(from, until).mkString(sep.toString)).
+    */
+  def matchedSetLines(lines: IndexedSeq[String], from: Int, until: Int, sep: Char): Array[Boolean] = {
+    val seen = new Array[Boolean](size)
+    var cnt = 0
+    var st = 0
+    var li = math.max(0, from)
+    val lEnd = math.min(lines.length, until)
+    val sepCls = cls(sep)
+    while (li < lEnd && cnt < size) {
+      if (li > math.max(0, from)) {
+        st = next(st * width + sepCls)
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
+      }
+      val s = lines(li)
+      var i = 0
+      val n = s.length
+      while (i < n && cnt < size) {
+        st = next(st * width + cls(s.charAt(i)))
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      li += 1
+    }
+    seen
+  }
+
   /** Per-pattern presence flags for the prefix s[0, prefixEnd) AND for all
     * of s, in one pass (occurrence in prefix iff its end offset <= prefixEnd). */
   def matchedSetPrefixAndFull(s: String, prefixEnd: Int): (Array[Boolean], Array[Boolean]) = {

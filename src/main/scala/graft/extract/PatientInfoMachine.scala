@@ -710,16 +710,15 @@ object PatientInfoMachine {
       // inline multi-field parse (the NPF bread and butter)
       if (!consumed) {
         val inline = parseInlineFields(line, lineLower)
-        // context windows depend only on i — join + lowercase once per line,
-        // not once per parsed field
-        lazy val context10Lower = lowers
-          .slice(math.max(0, i - 10), math.min(lowers.length, i + 10))
-          .take(10).mkString(" ")
-        lazy val context5 = lowers
-          .slice(math.max(0, i - 5), math.min(lowers.length, i + 5))
-          .mkString(" ")
+        // context windows depend only on i — ONE DFA pass per window over the
+        // line slice (no joined window string at all)
+        lazy val ctx10 = {
+          val a = math.max(0, i - 10)
+          ctxAC.matchedSetLines(lowers, a, math.min(i + 10, a + 10), ' ')
+        }
+        lazy val ctx5 = ctxAC.matchedSetLines(lowers, math.max(0, i - 5), i + 5, ' ')
         // context-only section verdict is field-independent: one scan per line
-        lazy val ctxVerdict = contextSectionVerdict(context10Lower)
+        lazy val ctxVerdict = contextVerdictFlags(ctx10)
         inline.foreach { case (fieldName0, fullLine) =>
           val fullLower = lineLower // fullLine is always this line
           var fieldName = fieldName0
@@ -728,12 +727,12 @@ object PatientInfoMachine {
           if (miNames.contains(fieldLower)) baseKey = "mi"
           var fieldType = detectFieldType(fieldName)
           var detectedSection = ctxVerdict.getOrElse(
-            detectSectionTextPhase(fieldName, context10Lower, currentSection))
+            detectSectionTextPhaseFlags(fieldName, ctx10, currentSection))
 
           if (addrFieldNames.contains(fieldLower) &&
-              (fullLower.contains("insurance company") || context5.contains("insurance company"))) {
+              (fullLower.contains("insurance company") || ctx5(21))) {
             detectedSection =
-              if (context5.contains("secondary") || currentSection == "Secondary Dental Plan")
+              if (ctx5(16) || currentSection == "Secondary Dental Plan")
                 "Secondary Dental Plan"
               else "Primary Dental Plan"
           }
@@ -742,13 +741,13 @@ object PatientInfoMachine {
           if (currentSection == "FOR CHILDREN/MINORS ONLY") {
             if (minorNumbered.contains(baseKey)) finalKey = baseKey + "_2"
             else if (baseKey == "street")
-              finalKey = if (context5.contains("if different from patient")) "if_different_from_patient_street" else "street_3"
+              finalKey = if (ctx5(22)) "if_different_from_patient_street" else "street_3"
             else if (baseKey == "city")
-              finalKey = if (context5.contains("if different from patient")) "city_3" else "city_2_2"
+              finalKey = if (ctx5(22)) "city_3" else "city_2_2"
             else if (baseKey == "state")
-              finalKey = if (context5.contains("if different from patient")) "state4" else "state5"
+              finalKey = if (ctx5(22)) "state4" else "state5"
             else if (baseKey == "zip")
-              finalKey = if (context5.contains("if different from patient")) "zip_3" else "zip_4"
+              finalKey = if (ctx5(22)) "zip_3" else "zip_4"
           } else if (currentSection == "Patient Information Form") {
             if (baseKey == "state") finalKey = "state3"
           } else if (currentSection == "Primary Dental Plan") {
@@ -792,17 +791,17 @@ object PatientInfoMachine {
                     else if (fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
                     else if (fullLower.contains("if different from patient")) Some("If different from patient")
                     else if (fullLower.contains("if different from above") ||
-                             context5.contains("employer")) Some("(if different from above)")
+                             ctx5(23)) Some("(if different from above)")
                     else None
                   } else if (planSections.contains(detectedSection)) {
-                    if ((fullLower.contains("insurance company") || context5.contains("insurance company")) &&
+                    if ((fullLower.contains("insurance company") || ctx5(21)) &&
                         insAddrNames.contains(fieldName.toLowerCase)) Some("Insurance Company")
                     else None
                   } else if (fullLower.contains("if different from patient")) Some("If different from patient")
                   else if (fullLower.contains("if different from above")) Some("(if different from above)")
-                  else if (context5.contains("responsible party") &&
+                  else if (ctx5(3) &&
                            firstLastNames.contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
-                  else if (context5.contains("responsible party") &&
+                  else if (ctx5(3) &&
                            fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
                   else None
               }
@@ -964,13 +963,37 @@ object PatientInfoMachine {
     "work", "e-mail", "email")
   private val dsEmployment = Vector("employed", "employer", "occupation")
 
+  // ---- context-window token bank (one DFA pass per window, no joined
+  // string): indices 0-15 are the four sectionIndicators banks in order;
+  // 16+ are the text-phase / context5 tokens ----
+  private val ctxTokens: Vector[String] = Vector(
+    "for children/minors only", "minor", "children", "responsible party", // 0-3
+    "primary dental plan", "dental benefit plan information primary", "primary dental", // 4-6
+    "secondary dental plan",                                              // 7
+    "patient responsibilities", "payment", "dental benefit plans", "scheduling",
+    "authorization", "signature", "initial", "agree",                     // 8-15
+    "secondary",                 // 16
+    "second",                    // 17
+    "insurance",                 // 18
+    "dental plan",               // 19
+    "different from above",      // 20
+    "insurance company",         // 21
+    "if different from patient", // 22
+    "employer"                   // 23
+  )
+  private val ctxAC = MultiSubstring(ctxTokens)
+
+  private def contextVerdictFlags(f: Array[Boolean]): Option[String] = {
+    if (f(0) || f(1) || f(2) || f(3)) return Some("FOR CHILDREN/MINORS ONLY")
+    if ((f(4) || f(5) || f(6)) && !f(16)) return Some("Primary Dental Plan")
+    if (f(7) && f(16)) return Some("Secondary Dental Plan")
+    if (f(8) || f(9) || f(10) || f(11) || f(12) || f(13) || f(14) || f(15))
+      return Some("Signature")
+    None
+  }
+
   // ---- detect_section (pdf_to_json_converter.py:1002-1083) ----
-  private val sectionIndicators = Vector(
-    "FOR CHILDREN/MINORS ONLY" -> Vector("for children/minors only", "minor", "children", "responsible party"),
-    "Primary Dental Plan" -> Vector("primary dental plan", "dental benefit plan information primary", "primary dental"),
-    "Secondary Dental Plan" -> Vector("secondary dental plan"),
-    "Signature" -> Vector("patient responsibilities", "payment", "dental benefit plans", "scheduling",
-      "authorization", "signature", "initial", "agree"))
+  // (the four section-indicator banks live as ctxTokens indices 0-15 above)
   private val initialWordRe = "\\binitial\\b".r
   private val midInitialRe = "\\b(middle|mi)\\s+initial\\b".r
 
@@ -980,16 +1003,8 @@ object PatientInfoMachine {
   /** The context-only first phase: section-indicator scan over the joined
     * 10-line window. Depends only on the context, so callers processing
     * several fields on one line compute it once. */
-  def contextSectionVerdict(contextLower: String): Option[String] = {
-    sectionIndicators.foreach { case (name, indicators) =>
-      if (indicators.exists(contextLower.contains)) {
-        if (name == "Primary Dental Plan") { if (!contextLower.contains("secondary")) return Some(name) }
-        else if (name == "Secondary Dental Plan") { if (contextLower.contains("secondary")) return Some(name) }
-        else return Some(name)
-      }
-    }
-    None
-  }
+  def contextSectionVerdict(contextLower: String): Option[String] =
+    contextVerdictFlags(ctxAC.matchedSet(contextLower))
 
   /** Hot-path variant taking the pre-joined lowercase 10-line context (the
     * join is loop-invariant per source line — hoisted by the caller). */
@@ -998,13 +1013,17 @@ object PatientInfoMachine {
       .getOrElse(detectSectionTextPhase(text, contextLower, currentSection))
 
   /** The text-dependent fallback phase (context verdict was None). */
-  def detectSectionTextPhase(text: String, contextLower: String, currentSection: String): String = {
+  def detectSectionTextPhase(text: String, contextLower: String, currentSection: String): String =
+    detectSectionTextPhaseFlags(text, ctxAC.matchedSet(contextLower), currentSection)
+
+  /** Flags variant: ctx is a ctxAC.matchedSet/matchedSetLines result over
+    * the 10-line window (no joined window string on the hot path). */
+  def detectSectionTextPhaseFlags(text: String, ctx: Array[Boolean], currentSection: String): String = {
     val textLower = text.toLowerCase
     if (dsInsurance.exists(textLower.contains))
-      return if (contextLower.contains("secondary") || contextLower.contains("second"))
-        "Secondary Dental Plan" else "Primary Dental Plan"
+      return if (ctx(16) || ctx(17)) "Secondary Dental Plan" else "Primary Dental Plan"
     if (dsMedical.exists(textLower.contains)) return "Medical History"
-    if (dsEmergency.exists(textLower.contains) && !contextLower.contains("minor"))
+    if (dsEmergency.exists(textLower.contains) && !ctx(1))
       return "Patient Information Form"
     if (dsMinor.exists(textLower.contains)) return "FOR CHILDREN/MINORS ONLY"
     if (dsSignature.exists(textLower.contains) ||
@@ -1013,14 +1032,13 @@ object PatientInfoMachine {
     if (dsBasicInfo.exists(textLower.contains))
       return "Patient Information Form"
     if (dsAddress.exists(textLower.contains)) {
-      if (contextLower.contains("minor") || contextLower.contains("children") ||
-          contextLower.contains("responsible party")) return "FOR CHILDREN/MINORS ONLY"
-      else if (contextLower.contains("insurance") || contextLower.contains("dental plan"))
-        return if (contextLower.contains("secondary")) "Secondary Dental Plan" else "Primary Dental Plan"
+      if (ctx(1) || ctx(2) || ctx(3)) return "FOR CHILDREN/MINORS ONLY"
+      else if (ctx(18) || ctx(19))
+        return if (ctx(16)) "Secondary Dental Plan" else "Primary Dental Plan"
       else return "Patient Information Form"
     }
     if (dsEmployment.exists(textLower.contains))
-      return if (contextLower.contains("different from above") || contextLower.contains("minor"))
+      return if (ctx(20) || ctx(1))
         "FOR CHILDREN/MINORS ONLY" else "Patient Information Form"
     if (currentSection.nonEmpty) currentSection else "Patient Information Form"
   }

@@ -90,9 +90,31 @@ object Json {
     sb.append('"')
   }
 
+  // one reusable builder per thread: the render builder was one of the
+  // largest per-turn allocations (tens of KB per document). Re-entrancy
+  // (render inside render) falls back to a fresh builder via the in-use flag.
+  private val tlBuilder = ThreadLocal.withInitial[StringBuilder](() => new StringBuilder(1 << 16))
+  private val tlInUse = ThreadLocal.withInitial[java.lang.Boolean](() => java.lang.Boolean.FALSE)
+
+  private def withBuilder(sizeHint: Int)(f: StringBuilder => Unit): String = {
+    if (tlInUse.get()) { // re-entrant render: fresh builder
+      val sb = new StringBuilder(sizeHint)
+      f(sb)
+      sb.toString
+    } else {
+      tlInUse.set(true)
+      try {
+        val sb = tlBuilder.get()
+        sb.setLength(0)
+        sb.ensureCapacity(sizeHint)
+        f(sb)
+        sb.toString
+      } finally tlInUse.set(false)
+    }
+  }
+
   /** Render like json.dump(..., indent=2, ensure_ascii=False). */
-  def render(v: JVal, indent: Int = 2): String = {
-    val sb = new StringBuilder(estimateSize(v) + 256)
+  def render(v: JVal, indent: Int = 2): String = withBuilder(estimateSize(v) + 256) { sb =>
     def pad(level: Int): Unit = { var n = indent * level; while (n > 0) { sb.append(' '); n -= 1 } }
     def go(v: JVal, level: Int): Unit = v match {
       case JStr(s)  => appendStr(s, sb)
@@ -131,13 +153,11 @@ object Json {
         }
     }
     go(v, 0)
-    sb.toString
   }
 
   /** Render like json.dumps(..., separators=(",", ":"), ensure_ascii=False)
     * — the minified layout of the NPF golden. */
-  def renderCompact(v: JVal): String = {
-    val sb = new StringBuilder(estimateSize(v) + 256)
+  def renderCompact(v: JVal): String = withBuilder(estimateSize(v) + 256) { sb =>
     def go(v: JVal): Unit = v match {
       case JStr(s)  => appendStr(s, sb)
       case JBool(b) => sb.append(if (b) "true" else "false")
@@ -165,7 +185,6 @@ object Json {
         sb.append('}')
     }
     go(v)
-    sb.toString
   }
 
   /** Upper-bound estimate of the rendered size INCLUDING indent-2 padding —

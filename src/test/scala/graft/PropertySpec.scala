@@ -163,6 +163,16 @@ class PropertySpec extends AnyFunSuite {
       assert(ms.containsAny(t) == bank.exists(t.contains), s"text=$t")
       assert(ms.countDistinct(t) == bank.count(t.contains), s"text=$t")
     }
+    // line-window scan == scan of the joined slice (windows never build
+    // the joined string on the hot path)
+    val linesGen = Gen.listOfN(8, Gen.oneOf("dental", "office buy", "smile",
+      "all rights", "reserved", "x-r", "ay", "", "care a")).map(_.toIndexedSeq)
+    val winGen = Gen.zip(linesGen, Gen.choose(0, 8), Gen.choose(0, 9))
+    forAll(winGen, n = 300) { case (lines, from, until) =>
+      val joined = lines.slice(from, until).mkString(" ")
+      assert(ms.matchedSetLines(lines, from, until, ' ').toVector ==
+        ms.matchedSet(joined).toVector, s"lines=$lines from=$from until=$until")
+    }
     // non-ASCII pattern chars (curly apostrophe) get their own char class
     val uni = Vector("witness’s", "parent's", "café")
     val msU = MultiSubstring(uni)
