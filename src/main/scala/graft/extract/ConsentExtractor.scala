@@ -304,7 +304,7 @@ object ConsentExtractor {
       var rem = rest
       while (rem.nonEmpty && {
         val n = rem.head.trim
-        n.nonEmpty && n.length < 40 && n.split("\\s+").length <= 4 &&
+        n.nonEmpty && n.length < 40 && StrUtil.splitWsCount(n) <= 4 &&
           n.head.isUpper && !n.endsWith(".") && !n.endsWith(":") && !n.contains("_")
       }) { extra += "<br>" + rem.head.trim; rem = rem.tail }
       (extra, rem)

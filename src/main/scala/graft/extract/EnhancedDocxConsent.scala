@@ -99,7 +99,7 @@ object EnhancedDocxConsent {
     // multi-line title continuation: short capitalized unpunctuated next line
     while (contentFrom < contentEnd && {
       val n = lines(contentFrom).trim
-      n.nonEmpty && n.length < 40 && n.split("\\s+").length <= 4 &&
+      n.nonEmpty && n.length < 40 && StrUtil.splitWsCount(n) <= 4 &&
         n.head.isUpper && !n.endsWith(".") && !n.endsWith(":") && !n.contains("_")
     }) {
       titleParts = titleParts :+ stripBold(lines(contentFrom).trim)

@@ -190,11 +190,10 @@ object MainExtractor {
       "Patient Date of Birth" -> "patient_date_of_birth")),
     ("print", "Print\\s+patient\\s+name\\s*:", Vector("Print patient name" -> "printed_name")),
     ("signature", "Patient\\s+signature", Vector("Patient signature" -> "patient_signature"))
-  ).map { case (a, p, v) => (a, ("(?i)" + p).r, v) }
+  ).map { case (a, p, v) => (a, ("(?i)" + p).r, v.distinctBy(_._1)) }
 
   private val sectionHeaderSkips = Vector(
     "patient information form", "for children/minors only", "primary dental plan", "secondary dental plan")
-  private val reSeparatorLine = "^[_\\-\\s]*$".r
   private val rePatientNameHeader = "(?i)^Patient Name\\s*[:_]".r
   private val inlineSkipWords = Vector("patient name", "address", "phone", "work address",
     "insurance company", "today's date", "social security no", "date of birth")
@@ -213,35 +212,30 @@ object MainExtractor {
     * line) — this runs on nearly every line of an NPF document. */
   def parseInlineFields(line: String, lower: String): Vector[(String, String)] = {
     if (sectionHeaderSkips.exists(lower.contains)) return Vector.empty
-    if (reSeparatorLine.findFirstIn(line).exists(_.length == line.length) || line.trim.length < 3)
-      return Vector.empty
-    if (rePatientNameHeader.findFirstIn(line).isDefined) return Vector.empty
+    if (StrUtil.isSeparatorLine(line) || line.trim.length < 3) return Vector.empty
+    // anchored header pattern: cheap first-char gate before the regex
+    if ((line.length > 0 && (line.charAt(0) == 'P' || line.charAt(0) == 'p')) &&
+        rePatientNameHeader.findFirstIn(line).isDefined) return Vector.empty
 
-    val fields = mutable.ArrayBuffer[(String, String)]()
-    val seen = mutable.Set[String]()
+    // exact patterns: first match wins; the banks' titles are pre-deduped,
+    // so the result maps straight off the tuple list (no buffer, no Set)
     val it = exactPatterns.iterator
-    var matched = false
-    while (it.hasNext && !matched) {
+    while (it.hasNext) {
       val (anchor, re, tuples) = it.next()
-      if ((anchor.isEmpty || lower.contains(anchor)) && re.findFirstIn(line).isDefined) {
-        tuples.foreach { case (fieldTitle, _) =>
-          if (!seen.contains(fieldTitle)) {
-            fields += ((normalizeFieldName(fieldTitle, line), line))
-            seen += fieldTitle
-          }
-        }
-        matched = true // first exact pattern wins
-      }
+      if ((anchor.isEmpty || lower.contains(anchor)) && re.findFirstIn(line).isDefined)
+        return tuples.map { case (fieldTitle, _) => (normalizeFieldName(fieldTitle, line), line) }
     }
-    if (matched) return fields.toVector
     // restrictive single-field colon label
-    if (line.contains(":") && line.trim.length < 50 && !inlineSkipWords.exists(lower.contains)) {
-      val fieldName = line.split(":", 2)(0).trim
+    val colonIdx = line.indexOf(':')
+    if (colonIdx >= 0 && line.trim.length < 50 && !inlineSkipWords.exists(lower.contains)) {
+      val fieldName = line.substring(0, colonIdx).trim
       if (fieldName.length > 2 && !inlineSkipWords.contains(fieldName.toLowerCase))
-        fields += ((normalizeFieldName(fieldName, line), line))
+        return Vector((normalizeFieldName(fieldName, line), line))
     }
-    // underscore fallback
-    if (fields.isEmpty && line.indexOf('_') >= 0) {
+    // underscore fallback (only path that needs a buffer + dedup set)
+    if (line.indexOf('_') >= 0) {
+      val fields = mutable.ArrayBuffer[(String, String)]()
+      val seen = mutable.Set[String]()
       underscorePatterns.foreach { re =>
         re.findAllMatchIn(line).foreach { m =>
           val label = m.group(1).trim
@@ -253,8 +247,9 @@ object MainExtractor {
           }
         }
       }
+      return fields.toVector
     }
-    fields.toVector
+    Vector.empty
   }
 
   // ---------- header/footer + witness (pdf_to_json_converter.py:2531-2617) ----------

@@ -19,7 +19,10 @@ final class MultiSubstring private (
     out: Array[Array[Int]],    // state -> pattern ids ending here (failure-closed)
     width: Int,                // alphabet width: 128 + number of extra chars
     extra: Map[Char, Int],     // non-ASCII pattern char -> class (>= 128)
-    val size: Int) {           // number of patterns
+    val size: Int,             // number of patterns
+    patLens: Array[Int]) {     // pattern lengths (for positional queries)
+
+  @inline def patLen(p: Int): Int = patLens(p)
 
   @inline private def cls(c: Char): Int =
     if (c < 127) c
@@ -99,6 +102,41 @@ final class MultiSubstring private (
       li += 1
     }
     seen
+  }
+
+  /** ALL match end offsets (end-exclusive, ascending) per pattern over the
+    * virtual document lines.mkString(sep.toString), in the joined string's
+    * coordinates, without building it. One pass; feeds positional window
+    * queries (CtxIndex) that would otherwise rescan a window per line.
+    */
+  def matchEnds(lines: IndexedSeq[String], sep: Char): Array[Array[Int]] = {
+    val bufs = Array.fill(size)(new mutable.ArrayBuilder.ofInt)
+    var st = 0
+    var off = 0
+    var li = 0
+    val sepCls = cls(sep)
+    while (li < lines.length) {
+      if (li > 0) {
+        st = next(st * width + sepCls)
+        off += 1
+        val o = out(st)
+        var j = 0
+        while (j < o.length) { bufs(o(j)) += off; j += 1 }
+      }
+      val s = lines(li)
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        st = next(st * width + cls(s.charAt(i)))
+        off += 1
+        val o = out(st)
+        var j = 0
+        while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        i += 1
+      }
+      li += 1
+    }
+    bufs.map(_.result())
   }
 
   /** Per-pattern presence flags for the prefix s[0, prefixEnd) AND for all
@@ -242,6 +280,51 @@ object MultiSubstring {
       st += 1
     }
     new MultiSubstring(next, ends.map(_.toArray.sorted).toArray, width,
-      extra.toMap, pats.length)
+      extra.toMap, pats.length, pats.map(_.length))
+  }
+}
+
+/** Positional index over one document for a pattern bank: built with ONE
+  * DFA pass (MultiSubstring.matchEnds), then any line-window presence query
+  * [from, until) answers in O(patterns × log matches) — equivalent to
+  * ac.matchedSetLines(lines, from, until, sep) without rescanning the
+  * window's characters per query. A match counts iff it lies entirely
+  * inside the window's joined span (uniform separator makes the window's
+  * joined string a substring of the whole document's, so locality holds).
+  */
+final class CtxIndex(ac: MultiSubstring, lines: IndexedSeq[String], sep: Char) {
+  private val lineOff: Array[Int] = {
+    val a = new Array[Int](lines.length)
+    var off = 0
+    var l = 0
+    while (l < lines.length) { a(l) = off; off += lines(l).length + 1; l += 1 }
+    a
+  }
+  private val ends: Array[Array[Int]] = ac.matchEnds(lines, sep)
+
+  /** Equivalent to ac.matchedSetLines(lines, from, until, sep). */
+  def flags(from: Int, until: Int): Array[Boolean] = {
+    val res = new Array[Boolean](ac.size)
+    val a = math.max(0, from)
+    val b = math.min(lines.length, until)
+    if (a >= b) return res
+    val winStart = lineOff(a)
+    val winEnd = lineOff(b - 1) + lines(b - 1).length
+    var p = 0
+    while (p < ac.size) {
+      val es = ends(p)
+      if (es.length != 0) {
+        val need = winStart + ac.patLen(p) // smallest end fully inside
+        var lo = 0
+        var hi = es.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (es(m) < need) lo = m + 1 else hi = m
+        }
+        res(p) = lo < es.length && es(lo) <= winEnd
+      }
+      p += 1
+    }
+    res
   }
 }

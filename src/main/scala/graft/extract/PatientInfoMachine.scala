@@ -113,13 +113,13 @@ object PatientInfoMachine {
       if (line.isEmpty) j += 1
       else unifiedBulletRe.findFirstMatchIn(line) match {
         case Some(m) =>
-          val label = m.group(1).trim.replaceAll(":+$", "")
+          val label = StrUtil.stripTrailingRun(m.group(1).trim, ':')
           if (label.length > 2) out += JObj.of("name" -> JStr(label), "value" -> JStr(label))
           j += 1
         case None =>
           fallbackCheckRe.findFirstMatchIn(line) match {
             case Some(m) =>
-              val label = m.group(1).trim.replaceAll(":+$", "")
+              val label = StrUtil.stripTrailingRun(m.group(1).trim, ':')
               if (label.length > 2) out += JObj.of("name" -> JStr(label), "value" -> JStr(label))
               j += 1
             case None => done = true
@@ -228,11 +228,11 @@ object PatientInfoMachine {
     // Pattern 1: question + checkbox options on the same line
     if (line.indexOf('□') >= 0 || line.indexOf('☐') >= 0 || line.indexOf('!') >= 0)
     sameLineCheckboxRe.findFirstMatchIn(line).foreach { m =>
-      val question = m.group(1).trim.replaceAll(":+$", "")
+      val question = StrUtil.stripTrailingRun(m.group(1).trim, ':')
       if (question.length >= 5) {
         val optionParts = checkboxSplitPattern.split(line).drop(1)
         val options = optionParts.flatMap { part =>
-          val t = part.trim.replaceAll("^[(),. ]+|[(),. ]+$", "")
+          val t = StrUtil.trimCharSet(part.trim, "(),. ")
           if (t.nonEmpty) {
             val v: JVal = t.toLowerCase match {
               case "yes" | "true" => JBool(true)
@@ -251,7 +251,7 @@ object PatientInfoMachine {
     val strippedLower = lineLower.trim // lowercase commutes with ASCII trim
     if ((stripped.endsWith("?") || strippedLower.contains("preferred method of contact") ||
         strippedLower.contains("full-time student")) && !stripped.startsWith("##")) {
-      val question = stripped.replaceAll("\\?+$", "").trim
+      val question = StrUtil.stripTrailingRun(stripped, '?').trim
       val questionLower = question.toLowerCase
       if (question.length >= 5) {
         val options = mutable.ArrayBuffer[JObj]()
@@ -417,6 +417,9 @@ object PatientInfoMachine {
     // windows and the second pass (Java lowercases per codepoint, so joining
     // lowered lines == lowering the joined window)
     val lowers: IndexedSeq[String] = textLines.map(_.toLowerCase)
+    // positional context-token index: ONE DFA pass over the document; every
+    // ±N-line window query below is then a binary search, not a rescan
+    val ctxIdx = new CtxIndex(ctxAC, lowers, ' ')
     val fields = mutable.ArrayBuffer[FieldInfo]()
     var currentSection = "Patient Information Form"
     val processedKeys = mutable.Set[String]()
@@ -448,11 +451,10 @@ object PatientInfoMachine {
       if (!consumed && workAddressRe.findFirstIn(line).isDefined && i + 1 < textLines.length) {
         val next = textLines(i + 1).trim
         if (workAddrFieldsRe.findFirstIn(next).isDefined) {
-          val contextText = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 5))
-            .mkString(" ").toLowerCase
+          val ctxWa = ctxIdx.flags(i - 10, i + 5)
           val (mapping, sectionFor) =
             if (currentSection == "FOR CHILDREN/MINORS ONLY" &&
-                (contextText.contains("employer") || contextText.contains("different from above")))
+                (ctxWa(23) || ctxWa(20)))
               (Vector(
                 ("street_3", "Street", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
                 ("city_2_2", "City", "input", JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)"))),
@@ -538,8 +540,8 @@ object PatientInfoMachine {
       // the second pass rebuilds text_3 and reference ordering keeps the last
       if (!consumed && line.length > 100 && currentSection == "Signature" &&
           policyWords2.exists(lineLower.contains) &&
-          "(?i)YES\\s+N\\s*O?\\s*\\(Check One\\)".r.findFirstIn(
-            line.replaceAll("[\\uf031\\uf020\\u2003\\u2002\\u2000-\\u200b\\ufeff]+", " ")).isEmpty) {
+          policyYesNoRe.findFirstIn(
+            glyphSpaceRe.replaceAllIn(line, " ")).isEmpty) {
         val content = mutable.ArrayBuffer(line)
         var j = i + 1
         var stop = false
@@ -645,7 +647,7 @@ object PatientInfoMachine {
       if (!consumed) {
         val checkboxOptions = extractCheckboxOptions(line)
         if (checkboxOptions.length >= 2) {
-          val questionPart = line.split("[" + checkboxCharClass + "]")(0).trim
+          val questionPart = checkboxSplitPattern.split(line, 2)(0).trim
           if (questionPart.nonEmpty && questionPart.length > 3) {
             val key = Slugify.slugify(questionPart)
             if (!processedKeys.contains(key)) {
@@ -674,8 +676,8 @@ object PatientInfoMachine {
       // standalone label (ends with ':' or next line holds the underscores)
       if (!consumed && (line.trim.endsWith(":") ||
           (!line.contains("_") && i + 1 < textLines.length && textLines(i + 1).contains("_")))) {
-        var fieldName = line.trim.replaceAll(":+$", "").replaceAll("\\?+$", "")
-        if (fieldName.toLowerCase.startsWith("no ") && fieldName.split("\\s+").length > 2) {
+        var fieldName = StrUtil.stripTrailingRun(StrUtil.stripTrailingRun(line.trim, ':'), '?')
+        if (fieldName.toLowerCase.startsWith("no ") && StrUtil.splitWsCount(fieldName) > 2) {
           val potential = fieldName.substring(3).trim
           if (potential.length > 5 && !potential.toLowerCase.startsWith("name")) fieldName = potential
         }
@@ -683,8 +685,14 @@ object PatientInfoMachine {
           i += 1; consumed = true
         } else if (fieldName.length > 2 && fieldName.length < 80) {
           var fieldType = detectFieldType(fieldName)
-          val context = textLines.slice(math.max(0, i - 10), math.min(textLines.length, i + 10))
-          val detectedSection = detectSection(fieldName, context, currentSection)
+          // detectSection over the 10-line window, via one DFA pass on the
+          // line slice (take(10) of the slice == a..a+10 clamped)
+          val ctxFlags = {
+            val a = math.max(0, i - 10)
+            ctxIdx.flags(a, math.min(i + 10, a + 10))
+          }
+          val detectedSection = contextVerdictFlags(ctxFlags).getOrElse(
+            detectSectionTextPhaseFlags(fieldName, ctxFlags, currentSection))
           var control: JObj = fieldType match {
             case "input" => JObj.of("input_type" -> JStr(detectInputType(fieldName)))
             case "date" =>
@@ -714,9 +722,9 @@ object PatientInfoMachine {
         // line slice (no joined window string at all)
         lazy val ctx10 = {
           val a = math.max(0, i - 10)
-          ctxAC.matchedSetLines(lowers, a, math.min(i + 10, a + 10), ' ')
+          ctxIdx.flags(a, math.min(i + 10, a + 10))
         }
-        lazy val ctx5 = ctxAC.matchedSetLines(lowers, math.max(0, i - 5), i + 5, ' ')
+        lazy val ctx5 = ctxIdx.flags(i - 5, i + 5)
         // context-only section verdict is field-independent: one scan per line
         lazy val ctxVerdict = contextVerdictFlags(ctx10)
         inline.foreach { case (fieldName0, fullLine) =>
@@ -943,6 +951,8 @@ object PatientInfoMachine {
   private val sigConsentSections = Set("Signature", "Consent")
   private val policyWords1 = Vector("responsibility", "payment", "benefit", "insurance")
   private val policyWords2 = Vector("responsibility", "payment", "benefit", "authorize", "consent")
+  private val policyYesNoRe = "(?i)YES\\s+N\\s*O?\\s*\\(Check One\\)".r
+  private val glyphSpaceRe = "[\\uf031\\uf020\\u2003\\u2002\\u2000-\\u200b\\ufeff]+".r
   private val riskWords = Vector("risks", "side effects", "complications", "potential")
   private val skipStandaloneNames = Vector("patient name", "address", "phone", "work address")
   private val headerPhrases = Vector(

@@ -38,4 +38,74 @@ object StrUtil {
     }
     sb.toString
   }
+
+  /** s.replaceAll("c+$", "") for a literal char: drop the trailing run of
+    * `c` (no regex compile, no copy when there is nothing to strip). */
+  def stripTrailingRun(s: String, c: Char): String = {
+    var to = s.length
+    while (to > 0 && s.charAt(to - 1) == c) to -= 1
+    if (to == s.length) s else s.substring(0, to)
+  }
+
+  /** s.replaceAll("^[set]+|[set]+$", "") for a literal char set. */
+  def trimCharSet(s: String, set: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && set.indexOf(s.charAt(from)) >= 0) from += 1
+    while (to > from && set.indexOf(s.charAt(to - 1)) >= 0) to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+
+  /** Java regex \s (default mode: exactly [ \t\n\x0B\f\r]). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** s.split("\\s+").length without the regex or the array (Java split
+    * keeps a leading empty token and drops trailing empties). */
+  def splitWsCount(s: String): Int = {
+    val n = s.length
+    if (n == 0) return 1 // "".split -> [""]
+    var tokens = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) { tokens += 1; while (i < n && !isWs(s.charAt(i))) i += 1 }
+    }
+    // all-whitespace -> [] (trailing-empty trim eats the leading "" too);
+    // otherwise the leading empty token survives if s starts with whitespace
+    if (tokens == 0) 0
+    else if (isWs(s.charAt(0))) tokens + 1
+    else tokens
+  }
+
+  /** Whole line is underscores/dashes/whitespace (or empty): equivalent to
+    * reSeparatorLine("^[_\\-\\s]*$").findFirstIn(line).exists(_.length == line.length). */
+  def isSeparatorLine(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '_' && c != '-' && !isWs(c)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** s.matches("^[\\s_]*$") — only whitespace/underscore (empty ok). */
+  def allWsOrUnderscore(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '_' && !isWs(c)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** s.matches("^\\d+\\..*") — digits then a literal dot. */
+  def startsDigitsDot(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    i > 0 && i < n && s.charAt(i) == '.'
+  }
 }

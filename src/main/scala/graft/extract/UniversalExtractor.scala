@@ -78,6 +78,7 @@ object UniversalExtractor {
     "([A-Za-z\\s]+?)\\s*-:\\s*(?:\\\\_|_){2,}",
     "([A-Za-z\\s/\\(\\)#\\.]+?)\\s+(?:\\\\_|_){8,}").map(_.r)
   private val parenUnderscoreRe = "([A-Za-z\\s]+?)\\s*\\(\\s*(?:\\\\_|_)+\\s*\\)".r
+  private val labelStopWords = Set("and", "or", "the", "of", "to", "in", "for", "with")
   private val spaceFieldRe = "([A-Za-z\\s]+?)\\s{4,}".r
   private val sentenceWordRe = "(?i)\\b(the|there|are|is|was|were|have|has|had|will|would|shall|should)\\b".r
 
@@ -90,13 +91,13 @@ object UniversalExtractor {
       }
     }
     // Label: pattern
-    if (line.contains(":") && !line.trim.startsWith("##")) {
-      val parts = line.split(":", -1)
-      val label = parts(0).trim
+    val colonIdx = line.indexOf(':')
+    if (colonIdx >= 0 && !line.trim.startsWith("##")) {
+      val label = line.substring(0, colonIdx).trim
       if (label.nonEmpty && label.length < 50 && !label.toLowerCase.startsWith("http") &&
           (!label.contains(".") || label.count(_ == '.') <= 1)) {
-        val remainder = parts.drop(1).mkString(":").trim
-        if (remainder.isEmpty || remainder.length < 10 || remainder.matches("^[\\s_]*$"))
+        val remainder = line.substring(colonIdx + 1).trim
+        if (remainder.isEmpty || remainder.length < 10 || StrUtil.allWsOrUnderscore(remainder))
           fields += ((label, line))
       }
     }
@@ -108,8 +109,9 @@ object UniversalExtractor {
           if (label.length > 1 && label.length < 60 && !label.startsWith("_") &&
               !label.toLowerCase.startsWith("page") && !label.toLowerCase.startsWith("form") &&
               !label.toLowerCase.startsWith("see ") && !label.toLowerCase.startsWith("the ") &&
-              !label.matches("^[_\\s]+$") && !label.trim.matches("^\\d+\\..*") &&
-              !Set("and", "or", "the", "of", "to", "in", "for", "with").contains(label.toLowerCase.trim))
+              !(label.nonEmpty && StrUtil.allWsOrUnderscore(label)) &&
+              !StrUtil.startsDigitsDot(label.trim) &&
+              !labelStopWords.contains(label.toLowerCase.trim))
             fields += ((label, line))
         }
       }

@@ -172,6 +172,11 @@ class PropertySpec extends AnyFunSuite {
       val joined = lines.slice(from, until).mkString(" ")
       assert(ms.matchedSetLines(lines, from, until, ' ').toVector ==
         ms.matchedSet(joined).toVector, s"lines=$lines from=$from until=$until")
+      // positional index answers every window query like a fresh window scan
+      val idx = new graft.extract.CtxIndex(ms, lines, ' ')
+      assert(idx.flags(from, until).toVector ==
+        ms.matchedSetLines(lines, from, until, ' ').toVector,
+        s"idx lines=$lines from=$from until=$until")
     }
     // non-ASCII pattern chars (curly apostrophe) get their own char class
     val uni = Vector("witness’s", "parent's", "café")
@@ -182,6 +187,30 @@ class PropertySpec extends AnyFunSuite {
       assert(msU.containsAny(t) == uni.exists(t.contains), s"text=$t")
       assert(msU.countDistinct(t) == uni.count(t.contains), s"text=$t")
       assert(msU.matchedSet(t).toVector == uni.map(t.contains), s"text=$t")
+    }
+  }
+
+  test("StrUtil helpers == their reference regex forms") {
+    import graft.extract.StrUtil
+    val charGen = Gen.oneOf(':', '?', ' ', '\t', '\u000B', '\f', '-',
+      '_', '.', ',', '(', ')', 'a', 'B', '3', '’')
+    val sGen = Gen.listOfN(12, charGen).map(_.mkString)
+      .flatMap(s => Gen.choose(0, s.length).map(s.take))
+    forAll(sGen, n = 500) { s =>
+      assert(StrUtil.stripTrailingRun(s, ':') == s.replaceAll(":+$", ""), s"s=$s")
+      assert(StrUtil.stripTrailingRun(s, '?') == s.replaceAll("\\?+$", ""), s"s=$s")
+      assert(StrUtil.trimCharSet(s, "(),. ") ==
+        s.replaceAll("^[(),. ]+|[(),. ]+$", ""), s"s=$s")
+      assert(StrUtil.splitWsCount(s) == s.split("\\s+").length, s"s=$s")
+      assert(StrUtil.allWsOrUnderscore(s) == s.matches("^[\\s_]*$"), s"s=$s")
+      assert(StrUtil.isSeparatorLine(s) ==
+        "^[_\\-\\s]*$".r.findFirstIn(s).exists(_.length == s.length), s"s=$s")
+      assert(StrUtil.startsDigitsDot(s) == s.matches("^\\d+\\..*"), s"s=$s")
+    }
+    val lineGen = Gen.listOfN(6, Gen.oneOf("a b", "", " x ", "one\ttwo", "q:"))
+    forAll(lineGen, n = 200) { ls =>
+      assert(StrUtil.join(ls, ' ') == ls.mkString(" "))
+      assert(StrUtil.joinTrimmed(ls, '\n') == ls.map(_.trim).mkString("\n"))
     }
   }
 }
