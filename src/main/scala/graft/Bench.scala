@@ -15,6 +15,7 @@ object Bench {
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

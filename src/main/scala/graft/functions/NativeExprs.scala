@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine-defined text functions.
+  *
+  * A Scala UDF forces a codegen boundary (ScalaUDF eval + catalyst<->Scala
+  * converters per row); these stay INSIDE whole-stage codegen — doGenCode
+  * emits a direct static call into TextFns (Scala objects expose static
+  * forwarders), so the generated stage reads the UTF8String, converts once,
+  * and writes the primitive result with no reflective dispatch. They also
+  * become real SQL functions via [[graft.GraftExtensions]] (the
+  * SparkSessionExtensions route: spark.sql.extensions=graft.GraftExtensions).
+  */
+abstract class TextFnExpression extends UnaryExpression with ExpectsInputTypes {
+  // no annotation: AbstractDataType is private[sql]; the inferred
+  // Seq[StringType.type] conforms
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+}
+
+/** 64-bit Charikar SimHash of a string column (TextFns.simHash). */
+case class SimHash64(child: Expression) extends TextFnExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.simHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFns.simHash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** xxhash-style 64-bit content hash (TextFns.hash64, seed 0). */
+case class Hash64(child: Expression) extends TextFnExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.hash64(input.asInstanceOf[UTF8String].toString, 0L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFns.hash64($c.toString(), 0L)")
+  override protected def withNewChildInternal(newChild: Expression): Hash64 =
+    copy(child = newChild)
+}
+
+/** BPE-ish subword token count (TextFns.bpeTokenCount) as a long. */
+case class BpeTokenCount64(child: Expression) extends TextFnExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.bpeTokenCount(input.asInstanceOf[UTF8String].toString).toLong
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(long) graft.functions.TextFns.bpeTokenCount($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount64 =
+    copy(child = newChild)
+}
+
+/** Stopword-profile language ID (TextFns.detectLanguage). */
+case class LangId(child: Expression) extends TextFnExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextFns.detectLanguage(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextFns.detectLanguage($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the native expressions. */
+object NativeFns {
+  private def wrap(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def simhash64(c: Column): Column = wrap(SimHash64(ex(c)))
+  def hash64(c: Column): Column = wrap(Hash64(ex(c)))
+  def bpeTokenCount(c: Column): Column = wrap(BpeTokenCount64(ex(c)))
+  def langId(c: Column): Column = wrap(LangId(ex(c)))
+}

@@ -174,13 +174,12 @@ object Queries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash per document (near-dup blocking key). */
-  def q15Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val simUdf = udf { text: String => TextFns.simHash(text) }
+  /** SimHash per document (near-dup blocking key). Native Catalyst
+    * expression — stays inside whole-stage codegen, no ScalaUDF boundary. */
+  def q15Simhash(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+      .select(col("doc_id"), graft.functions.NativeFns.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** Brute-force cosine top-5 ANN for the first 10 query vectors: broadcast
     * the query set, compute cosine with codegen'd higher-order functions,
@@ -212,12 +211,10 @@ object Queries {
   }
 
   /** Language-ID prediction (n-gram/stopword heuristic) vs labeled lang. */
-  def q18LangId(spark: SparkSession, dir: String): DataFrame = {
-    val langUdf = udf { text: String => TextFns.detectLanguage(text) }
+  def q18LangId(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .select(col("doc_id"), langUdf(col("text")).as("pred_lang"), col("lang"))
+      .select(col("doc_id"), graft.functions.NativeFns.langId(col("text")).as("pred_lang"), col("lang"))
       .orderBy("doc_id")
-  }
 
   /** The extraction engine itself over the documents table: each row's text
     * is one document; emits form type + field/section counts (rows-only
@@ -234,13 +231,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** BPE-ish subword token count (UDF; vocabulary-free subword splitting). */
-  def q20BpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val bpeUdf = udf { text: String => TextFns.bpeTokenCount(text).toLong }
+  /** BPE-ish subword token count (vocabulary-free subword splitting) as a
+    * native codegen expression. */
+  def q20BpeTokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .select(col("doc_id"), bpeUdf(col("text")).as("n_subwords"))
+      .select(col("doc_id"), graft.functions.NativeFns.bpeTokenCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
-  }
 
   /** The transcript extraction pipeline over a deterministic synthetic table
     * (the north-star operator; rows-only check — goldens are byte-compared in
@@ -312,17 +308,18 @@ object Queries {
     * (rows-only; simhash is engine-defined). */
   def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val simUdf = udf { text: String => TextFns.simHash(text) }
-    val bandUdf = udf { h: Long => (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xFFFFL}") }
-    val hammingUdf = udf { (x: Long, y: Long) => TextFns.hammingDistance(x, y) }
+    // fully codegen: native simhash expression, builtin band math
+    // ((h >>> 16i) & 0xFFFF as string) and bit_count(xor) Hamming — no UDF
     val docs = table(spark, dir, "documents").select(col("doc_id"),
-      simUdf(col("text")).as("sim"))
-    val banded = docs.withColumn("band", explode(bandUdf(col("sim"))))
+      graft.functions.NativeFns.simhash64(col("text")).as("sim"))
+    val bandCols = (0 until 4).map(i => concat(lit(s"$i:"),
+      shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).cast("string")))
+    val banded = docs.withColumn("band", explode(array(bandCols: _*)))
     banded.as("l").join(banded.as("r"), Seq("band"))
       .where($"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"), $"l.sim".as("sa"), $"r.sim".as("sb"))
       .distinct()
-      .where(hammingUdf(col("sa"), col("sb")) <= 6)
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 6)
       .select("a", "b")
       .orderBy("a", "b")
   }
