@@ -276,7 +276,10 @@ object Queries {
   /** Embedding-cosine near-duplicate pairs (exact, subset): the dedup-by-
     * embedding method from the brief, DuckDB-oracled. At scale the LSH
     * bucketing of q23 replaces the cross join. */
-  def q25EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** The distributed stage of q25 (pair scores -> sort+limit); exposed so
+    * the plan auditor can assert the TakeOrdered shape that the final
+    * driver-side ranking otherwise hides behind a LocalTableScan. */
+  def q25TopPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings").where(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"),
         expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
@@ -292,6 +295,11 @@ object Queries {
       // partitionBy(lit) window would degrade.
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(20)
+    top
+  }
+
+  def q25EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val top = q25TopPairs(spark, dir)
     // rank the 20 survivors driver-side: 20 rows is trivially driver-sized,
     // and this keeps the rank independent of projection/sort evaluation
     // order (a monotonically_increasing_id over a coalesced sort was correct

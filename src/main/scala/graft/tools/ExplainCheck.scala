@@ -39,7 +39,9 @@ object ExplainCheck {
     plan("q13_quality_signals", graft.queries.Queries.q13QualitySignals(spark, dir),
       // the round-2 fix: one split() via a single aggregate() fold
       ("single split in plan", p => "split\\(".r.findAllIn(p).length <= 1))
-    plan("q25_embed_neardup", graft.queries.Queries.q25EmbedNeardup(spark, dir),
+    // q25's final frame is a driver-ranked LocalTableScan (20 rows); the
+    // scale-relevant plan is its distributed stage, exposed as q25TopPairs
+    plan("q25_top_pairs", graft.queries.Queries.q25TopPairs(spark, dir),
       // top-20 via TakeOrdered, not a partition-less window over all pairs
       ("TakeOrdered for top-k", _.contains("TakeOrdered")),
       ("no window over full pair set", p => !p.contains("WindowExec")))
@@ -47,6 +49,16 @@ object ExplainCheck {
       ("partial agg (map-side combine)", _.contains("partial_")))
     plan("q30_ann_ivf", graft.queries.Queries.q30AnnIvf(spark, dir),
       ("broadcast query side", _.contains("Broadcast")))
+    plan("q15_simhash", graft.queries.Queries.q15Simhash(spark, dir),
+      // native Catalyst expression: no UDF eval boundary in the plan
+      ("no ScalaUDF boundary", p => !p.contains("ScalaUDF")),
+      ("expression inside codegen stage", _.contains("graft_simhash64")))
+    plan("q20_bpe_tokens", graft.queries.Queries.q20BpeTokens(spark, dir),
+      ("no ScalaUDF boundary", p => !p.contains("ScalaUDF")))
+    plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
+      // fully-builtin pipeline: simhash + band math + bit_count(xor)
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
+      ("builtin hamming (bit_count)", _.contains("bit_count")))
     // scan pruning check: a 2-col projection must not read all lineitem cols
     val pruned = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
     val rs = pruned.queryExecution.executedPlan.toString
