@@ -220,8 +220,14 @@ object PatientInfoMachine {
   /** Returns (question, options, nextIdx) or None. */
   def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int): Option[(String, JArr, Int)] = {
     if (startIdx >= lines.length) return None
+    detectRadioOptionsUniversal(lines, startIdx, lines(startIdx).toLowerCase)
+  }
+
+  /** Variant taking the caller's lowercase view of lines(startIdx) — the
+    * machine keeps one per line; avoids a second per-line toLowerCase. */
+  def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int,
+                                  lineLower: String): Option[(String, JArr, Int)] = {
     val line = lines(startIdx)
-    val lineLower = line.toLowerCase // shared by every pattern below
 
     detectRadioQuestionLower(lineLower).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
 
@@ -428,13 +434,14 @@ object PatientInfoMachine {
     while (i < textLines.length) {
       val line = textLines(i)
       val lineLower = lowers(i) // shared by every handler below
+      val lineTrim = line.trim  // trim returns `this` when already trimmed
       var consumed = false
 
       if (line.length < 3) { i += 1; consumed = true }
 
       // main radio detection
       if (!consumed) {
-        detectRadioOptionsUniversal(textLines, i) match {
+        detectRadioOptionsUniversal(textLines, i, lineLower) match {
           case Some((question, options, nextI)) =>
             val radioKey = getRadioKeyForQuestion(question, currentSection)
             if (!processedKeys.contains(radioKey)) {
@@ -669,14 +676,14 @@ object PatientInfoMachine {
       }
 
       // skip bare header labels
-      if (!consumed && skipHeaderRes.exists(_.findFirstIn(line.trim).isDefined)) {
+      if (!consumed && skipHeaderRes.exists(_.findFirstIn(lineTrim).isDefined)) {
         i += 1; consumed = true
       }
 
       // standalone label (ends with ':' or next line holds the underscores)
-      if (!consumed && (line.trim.endsWith(":") ||
+      if (!consumed && (lineTrim.endsWith(":") ||
           (!line.contains("_") && i + 1 < textLines.length && textLines(i + 1).contains("_")))) {
-        var fieldName = StrUtil.stripTrailingRun(StrUtil.stripTrailingRun(line.trim, ':'), '?')
+        var fieldName = StrUtil.stripTrailingRun(StrUtil.stripTrailingRun(lineTrim, ':'), '?')
         if (fieldName.toLowerCase.startsWith("no ") && StrUtil.splitWsCount(fieldName) > 2) {
           val potential = fieldName.substring(3).trim
           if (potential.length > 5 && !potential.toLowerCase.startsWith("name")) fieldName = potential
