@@ -404,11 +404,18 @@ object PatientInfoMachine {
   private val initialSplitRe = "(?i)\\s*_+\\s*\\(initial\\)".r
   private val yesNoCheckRe = "(?i)YES.*?N.*?O.*?\\(Check One\\)".r
   private val yesNoQuestionRe = "(?i)^(.*?)\\s+YES.*?\\(Check One\\)".r
-  private val skipHeaderRes: Vector[Regex] = Vector(
-    "(?i)^Patient Name:?\\s*$", "(?i)^Address:?\\s*$", "(?i)^Phone:?\\s*$",
-    "(?i)^Work Address:?\\s*$", "(?i)^Social Security No\\.?:?\\s*$",
-    "(?i)^Date of Birth:?\\s*$", "(?i)^Insurance Company:?\\s*$",
-    "(?i)^Dental Plan Name:?\\s*$", "(?i)^Patient Name\\s*$").map(_.r)
+  // the reference's nine skip-header regexes ("(?i)^Patient Name:?\\s*$"
+  // etc.) expanded to their finite language (each is a literal + optional
+  // '.'/':' + trailing ws, tested against a TRIMMED line): one
+  // set-membership on the lowercase view replaces nine Matcher
+  // allocations per candidate line (PropertySpec pins the equivalence)
+  private[graft] val skipHeaderSet: Set[String] = {
+    val bases = Vector("patient name", "address", "phone", "work address",
+      "date of birth", "insurance company", "dental plan name")
+    (bases.flatMap(b => Vector(b, b + ":")) ++
+      Vector("social security no", "social security no.", "social security no:",
+        "social security no.:")).toSet
+  }
   private val sameLineCheckboxRe = "([^□☐!]+?)(?:□|☐|!)([^□☐!]+?)(?:□|☐|!)([^□☐!]*)".r
   private val yesOptRe = ("(?i)" + checkboxSymbols + "\\s*yes\\b").r
   private val noOptRe = ("(?i)" + checkboxSymbols + "\\s*no\\b").r
@@ -676,7 +683,7 @@ object PatientInfoMachine {
       }
 
       // skip bare header labels
-      if (!consumed && skipHeaderRes.exists(_.findFirstIn(lineTrim).isDefined)) {
+      if (!consumed && skipHeaderSet.contains(lineLower.trim)) {
         i += 1; consumed = true
       }
 

@@ -83,12 +83,23 @@ object FieldOrdering {
 
   def orderFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
     val fields = fields0.sortBy(_.lineIdx)
-    val keys = fields.map(_.key).toSet
-    val overlap = keys.intersect(referenceOrderSet).size
-    if (overlap > keys.size * 0.5) {
-      val lookup = fields.map(f => f.key -> f).toMap
-      referenceFieldOrder.flatMap(lookup.get) ++
-        fields.filterNot(f => referenceOrderSet.contains(f.key))
+    // distinct-key overlap with the reference order, one pass + one set
+    // (was: toSet + intersect + toMap intermediates per call)
+    val seen = new java.util.HashSet[String](fields.length * 2)
+    var overlap = 0
+    fields.foreach { f =>
+      if (seen.add(f.key) && referenceOrderSet.contains(f.key)) overlap += 1
+    }
+    if (overlap > seen.size * 0.5) {
+      val lookup = new java.util.HashMap[String, FieldInfo](fields.length * 2)
+      fields.foreach(f => lookup.put(f.key, f)) // last wins, like toMap
+      val b = Vector.newBuilder[FieldInfo]
+      referenceFieldOrder.foreach { k =>
+        val f = lookup.get(k)
+        if (f != null) b += f
+      }
+      fields.foreach(f => if (!referenceOrderSet.contains(f.key)) b += f)
+      b.result()
     } else {
       val (sig, other) = fields.partition(_.fieldType == "signature")
       other ++ sig
@@ -171,9 +182,11 @@ object SpecNormalization {
     sb.toString
   }
 
+  private[extract] val htmlTextKeys = Vector("html_text", "temporary_html_text")
+
   def normalizeTextContent(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
-      Vector("html_text", "temporary_html_text").foreach { tk =>
+      htmlTextKeys.foreach { tk =>
         q.control.get(tk).collect { case JStr(t0) =>
           var text = t0.replace("\\_", "")
           if (text.indexOf("\\u") >= 0) // gate: the regex needs a literal \u
@@ -254,30 +267,38 @@ object ConsentShaping {
   def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
       if (q.fieldType == "text") {
-        q.control.get("html_text").collect { case JStr(h) if isConsentContent(h) =>
-          Vector("html_text", "temporary_html_text").foreach { tk =>
-            q.control.get(tk).collect { case JStr(t) if t.nonEmpty && !t.trim.startsWith("<p>") =>
-              q.control = q.control.updated(tk, JStr(s"<p>${t.trim}</p>"))
+        q.control.getOrNull("html_text") match {
+          case JStr(h) if isConsentContent(h) =>
+            SpecNormalization.htmlTextKeys.foreach { tk =>
+              q.control.getOrNull(tk) match {
+                case JStr(t) if t.nonEmpty && !t.trim.startsWith("<p>") =>
+                  q.control = q.control.updated(tk, JStr(s"<p>${t.trim}</p>"))
+                case _ => ()
+              }
             }
-          }
+          case _ => ()
         }
       }
     }
     ensureConsentStructure(spec)
   }
 
+  private val consentTitleWords = Vector("consent", "agreement", "authorization")
+  private val consentHtmlWords = Vector("consent", "understand", "acknowledge", "agree")
+
   private def isConsentForm(spec: Vector[SpecQ]): Boolean = {
     var indicators = 0
     spec.foreach { q =>
       val title = q.title.toLowerCase
       val section = q.section.toLowerCase
-      if (Seq("consent", "agreement", "authorization").exists(w => title.contains(w) || section.contains(w)))
+      if (consentTitleWords.exists(w => title.contains(w) || section.contains(w)))
         indicators += 1
       if (q.fieldType == "text") {
-        q.control.get("html_text").collect { case JStr(h) =>
-          val lower = h.toLowerCase
-          if (Seq("consent", "understand", "acknowledge", "agree").exists(lower.contains))
-            indicators += 1
+        q.control.getOrNull("html_text") match {
+          case JStr(h) =>
+            val lower = h.toLowerCase
+            if (consentHtmlWords.exists(lower.contains)) indicators += 1
+          case _ => ()
         }
       }
     }
@@ -392,32 +413,38 @@ object MainValidator {
     spec.foreach { q =>
       if (validTypes.contains(q.fieldType)) {
         if (q.fieldType == "states") q.control = JObj(Vector.empty)
-        if (q.control.get("hint").contains(JNull)) q.control = q.control.without("hint")
+        if (q.control.getOrNull("hint") == JNull) q.control = q.control.without("hint")
         if (q.fieldType == "input") {
-          val t = q.control.get("input_type")
-          if (!t.exists { case JStr(s) => validInputTypes.contains(s); case _ => false })
-            q.control = q.control.updated("input_type", JStr("name"))
+          val ok = q.control.getOrNull("input_type") match {
+            case JStr(s) => validInputTypes.contains(s); case _ => false
+          }
+          if (!ok) q.control = q.control.updated("input_type", JStr("name"))
           if (q.key == "if_different_from_patient_street")
             q.control = q.control.updated("input_type", JStr("address"))
         }
         if (q.fieldType == "date") {
-          val t = q.control.get("input_type")
-          if (!t.exists { case JStr(s) => dateInputTypes.contains(s); case _ => false })
-            q.control = q.control.without("input_type")
+          val ok = q.control.getOrNull("input_type") match {
+            case JStr(s) => dateInputTypes.contains(s); case _ => false
+          }
+          if (!ok) q.control = q.control.without("input_type")
         }
         if (q.fieldType == "signature") q.control = JObj(Vector.empty)
         if (optionTypes.contains(q.fieldType)) {
-          q.control.get("options").collect { case JArr(opts) =>
-            val fixed = opts.map {
-              case o: JObj =>
-                val v = o.get("value")
-                if (v.isEmpty || v.contains(JNull) || v.contains(JStr(""))) {
-                  val name = o.get("name").collect { case JStr(s) => s }.getOrElse("option")
-                  o.updated("value", JStr(Slugify.slugify(name)))
-                } else o
-              case other => other
-            }
-            q.control = q.control.updated("options", JArr(fixed))
+          q.control.getOrNull("options") match {
+            case JArr(opts) =>
+              val fixed = opts.map {
+                case o: JObj =>
+                  val v = o.getOrNull("value")
+                  if (v == null || v == JNull || v == JStr("")) {
+                    val name = o.getOrNull("name") match {
+                      case JStr(s) => s; case _ => "option"
+                    }
+                    o.updated("value", JStr(Slugify.slugify(name)))
+                  } else o
+                case other => other
+              }
+              q.control = q.control.updated("options", JArr(fixed))
+            case _ => ()
           }
         }
       }
@@ -438,7 +465,9 @@ object MainValidator {
     val appended = mutable.ArrayBuffer[SpecQ]()
     spec.foreach { q =>
       if (q.fieldType == "text" && q.section == "Signature") {
-        val textContent = q.control.get("text").collect { case JStr(s) => s }.getOrElse("").toLowerCase
+        val textContent = (q.control.getOrNull("text") match {
+          case JStr(s) => s; case _ => ""
+        }).toLowerCase
         if (consentKeywords.exists(textContent.contains) &&
             !spec.exists(_.key == "acknowledge") && !appended.exists(_.key == "acknowledge")) {
           appended += SpecQ("acknowledge", "checkbox",
@@ -463,7 +492,9 @@ object MainValidator {
     spec.zipWithIndex.foreach { case (q, i) =>
       val isMedical = q.section == "Medical History" &&
         (q.fieldType == "checkbox" || q.fieldType == "radio") &&
-        q.control.get("options").collect { case JArr(o) => o.length }.contains(1)
+        (q.control.getOrNull("options") match {
+          case JArr(o) => o.length == 1; case _ => false
+        })
       if (isMedical) current += i
       else if (current.nonEmpty) { sequences += current.toVector; current = mutable.ArrayBuffer() }
     }

@@ -57,13 +57,18 @@ object Text3Formatter {
     * Scheduling split at the reference's line-wrap point, &nbsp; after the
     * Scheduling header.
     */
+  private val sectionSplitPat = java.util.regex.Pattern.compile(
+    "- (?=Patient Responsibilities:|Payment:|Dental Benefit Plans:|Scheduling of Appointments:|Authorizations:)")
+  private val lateNoticePat =
+    "(With less than 24 hour notice[^.]*\\.)".r
+
   def formatHtml(src0: String): String = {
     var src = src0.replace("\\_", "").replace("(initial)", "").trim
     src = src.replace("IS N OT", "IS NOT")
     src = src.replace("co -insurance", "co-insurance")
 
     // split into the five '- ' sections
-    val sections = src.split("- (?=Patient Responsibilities:|Payment:|Dental Benefit Plans:|Scheduling of Appointments:|Authorizations:)")
+    val sections = sectionSplitPat.split(src)
       .map(_.trim).filter(_.nonEmpty).toVector
 
     val paras = mutable.ArrayBuffer[(String, Boolean)]() // (content, brAfter)
@@ -93,7 +98,7 @@ object Text3Formatter {
       } else if (section.startsWith("Scheduling of Appointments:")) {
         var s = section.replace("Scheduling of Appointments: ",
           "<strong>Scheduling of Appointments:&nbsp;</strong>")
-        s = "(With less than 24 hour notice[^.]*\\.)".r
+        s = lateNoticePat
           .replaceAllIn(s, m => "<strong>" + java.util.regex.Matcher.quoteReplacement(m.group(1)) + "</strong>")
         // split at the reference's PDF line-wrap point
         val wrapAnchor = " appointment time again, may be required."

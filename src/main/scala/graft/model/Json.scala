@@ -15,14 +15,17 @@ final case class JNum(d: Double) extends JVal
 case object JNull extends JVal
 final case class JArr(items: Vector[JVal]) extends JVal
 final case class JObj(fields: Vector[(String, JVal)]) extends JVal {
-  def get(k: String): Option[JVal] = {
+  def get(k: String): Option[JVal] = Option(getOrNull(k))
+
+  /** Allocation-free lookup for hot callers (null when absent). */
+  def getOrNull(k: String): JVal = {
     var i = 0
     while (i < fields.length) {
       val f = fields(i)
-      if (f._1 == k) return Some(f._2)
+      if (f._1 == k) return f._2
       i += 1
     }
-    None
+    null
   }
   def updated(k: String, v: JVal): JObj =
     if (fields.exists(_._1 == k)) JObj(fields.map { case (kk, vv) => if (kk == k) (kk, v) else (kk, vv) })

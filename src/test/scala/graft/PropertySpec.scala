@@ -190,6 +190,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skip-header set == the reference regex bank") {
+    val res = Vector(
+      "(?i)^Patient Name:?\\s*$", "(?i)^Address:?\\s*$", "(?i)^Phone:?\\s*$",
+      "(?i)^Work Address:?\\s*$", "(?i)^Social Security No\\.?:?\\s*$",
+      "(?i)^Date of Birth:?\\s*$", "(?i)^Insurance Company:?\\s*$",
+      "(?i)^Dental Plan Name:?\\s*$", "(?i)^Patient Name\\s*$").map(_.r)
+    val frag = Gen.oneOf("Patient Name", "Address", "Phone", "Work Address",
+      "Social Security No", "Date of Birth", "Insurance Company",
+      "Dental Plan Name", "patient NAME", "Addressx", "x", "", ":", ".",
+      ".:", ":.", " ", "Name")
+    val lineGen = Gen.listOfN(3, frag).map(_.mkString)
+    forAll(lineGen, n = 500) { raw =>
+      val t = raw.trim
+      val viaRegex = res.exists(_.findFirstIn(t).isDefined)
+      assert(graft.extract.PatientInfoMachine.skipHeaderSet.contains(t.toLowerCase) == viaRegex,
+        s"line=$raw")
+    }
+  }
+
   test("StrUtil helpers == their reference regex forms") {
     import graft.extract.StrUtil
     val charGen = Gen.oneOf(':', '?', ' ', '\t', '\u000B', '\f', '-',
