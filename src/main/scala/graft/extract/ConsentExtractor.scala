@@ -86,7 +86,7 @@ object ConsentExtractor {
   private def removeWitnessAndDoctorSignatures(content: String): String = {
     // quick-token scan: if no segment can possibly be filtered, skip the
     // split/rejoin entirely (saves two full-content copies per turn)
-    if (!witnessQuickAC.containsAny(content.toLowerCase)) return content
+    if (!witnessQuickAC.containsAnyFold(content)) return content
     brSplitRe.split(content, -1).filter { seg =>
       val textContent =
         (if (seg.indexOf('<') >= 0) tagRe.replaceAllIn(seg, "") else seg).trim
@@ -232,9 +232,9 @@ object ConsentExtractor {
     * being scanned position-by-position across the whole content. The
     * replacements here are literal strings (no group references).
     */
-  private def replaceAnchored(content: String, lower: String, re: Regex,
+  private def replaceAnchored(content: String, re: Regex,
                               startAnchor: String, repl: String): String = {
-    var p = lower.indexOf(startAnchor)
+    var p = StrUtil.indexOfIgnoreCase(content, startAnchor, 0)
     if (p < 0) return content
     val m = re.pattern.matcher(content)
     m.useTransparentBounds(true)
@@ -247,8 +247,8 @@ object ConsentExtractor {
         if (sb == null) sb = new java.lang.StringBuilder(content.length + 32)
         sb.append(content, copied, p).append(repl)
         copied = m.end()
-        p = lower.indexOf(startAnchor, math.max(copied, p + 1))
-      } else p = lower.indexOf(startAnchor, p + 1)
+        p = StrUtil.indexOfIgnoreCase(content, startAnchor, math.max(copied, p + 1))
+      } else p = StrUtil.indexOfIgnoreCase(content, startAnchor, p + 1)
     }
     if (sb == null) content
     else { sb.append(content, copied, content.length); sb.toString }
@@ -262,9 +262,10 @@ object ConsentExtractor {
 
   def applyPlaceholders(content0: String): String = {
     var c = content0
-    var lower = c.toLowerCase
-    // which anchors occur at all — ONE pass instead of one contains per sub
-    var present = placeholderAnchorAC.matchedSet(lower)
+    // which anchors occur at all — ONE case-folded DFA pass instead of one
+    // contains per sub, and no materialized lowercase copy of the content
+    // (the copy was rebuilt after every substitution)
+    var present = placeholderAnchorAC.matchedSetFold(c)
     placeholderSubs.foreach { case (anchor, re, repl) =>
       if (present(placeholderAnchorIdx(anchor))) {
         // all patterns except the "I, ___ (print name)" one begin with their
@@ -272,10 +273,10 @@ object ConsentExtractor {
         // route's time was these full-content scans)
         val c2 =
           if (anchor == "print") re.replaceAllIn(c, repl)
-          else replaceAnchored(c, lower, re, anchor, repl)
+          else replaceAnchored(c, re, anchor, repl)
         if (c2 != c) {
-          c = c2; lower = c.toLowerCase
-          present = placeholderAnchorAC.matchedSet(lower)
+          c = c2
+          present = placeholderAnchorAC.matchedSetFold(c)
         }
       }
     }

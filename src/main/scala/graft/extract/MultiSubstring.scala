@@ -28,6 +28,52 @@ final class MultiSubstring private (
     if (c < 127) c
     else extra.getOrElse(c, 127) // 127 = catch-all (never a pattern char)
 
+  /** Char class after per-char lowercase folding: for a LOWERCASE pattern
+    * bank, scanning with this equals scanning text.toLowerCase — without
+    * materializing the lowered string. (Character.toLowerCase covers the
+    * single-char mappings incl. U+212A Kelvin -> 'k'; the only divergence
+    * from String.toLowerCase is locale multi-char expansions, which cannot
+    * produce ASCII pattern hits.) */
+  @inline private def clsFold(c: Char): Int =
+    if (c < 'A') c
+    else if (c <= 'Z') c + 32
+    else if (c < 127) c
+    else cls(Character.toLowerCase(c))
+
+  /** containsAny(s.toLowerCase) without building the lowered string. */
+  def containsAnyFold(s: String): Boolean = {
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      st = next(st * width + clsFold(s.charAt(i)))
+      if (out(st).length != 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** matchedSet(s.toLowerCase) without building the lowered string. */
+  def matchedSetFold(s: String): Array[Boolean] = {
+    val seen = new Array[Boolean](size)
+    var cnt = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && cnt < size) {
+      st = next(st * width + clsFold(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seen(id)) { seen(id) = true; cnt += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    seen
+  }
+
   /** Any pattern occurs in s (early exit on first hit). */
   def containsAny(s: String): Boolean = {
     var st = 0

@@ -90,6 +90,25 @@ object StrUtil {
     true
   }
 
+  /** s.toLowerCase.indexOf(target, from) for a lowercase ASCII-ish target,
+    * without building the lowered string (regionMatches ignoreCase). */
+  def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length
+    val m = target.length
+    if (m == 0) return math.max(0, math.min(from, n))
+    var i = math.max(0, from)
+    val last = n - m
+    val c0 = target.charAt(0)
+    val c0u = Character.toUpperCase(c0)
+    while (i <= last) {
+      val c = s.charAt(i)
+      if ((c == c0 || c == c0u || Character.toLowerCase(c) == c0) &&
+          s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** s.matches("^[\\s_]*$") — only whitespace/underscore (empty ok). */
   def allWsOrUnderscore(s: String): Boolean = {
     var i = 0

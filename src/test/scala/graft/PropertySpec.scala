@@ -178,6 +178,20 @@ class PropertySpec extends AnyFunSuite {
         ms.matchedSetLines(lines, from, until, ' ').toVector,
         s"idx lines=$lines from=$from until=$until")
     }
+    // case-folded scans == scans of the lowered text (mixed-case + Kelvin)
+    val mixedGen = Gen.listOfN(8, Gen.oneOf("DENTAL", "Office", "dental OFFICE",
+      "SMILE", "Care", "ALL RIGHTS RESERVED", "X-Ray", "A", "K", "b", ""))
+      .map(_.mkString(" "))
+    forAll(mixedGen, n = 300) { t =>
+      assert(ms.containsAnyFold(t) == ms.containsAny(t.toLowerCase), s"t=$t")
+      assert(ms.matchedSetFold(t).toVector == ms.matchedSet(t.toLowerCase).toVector, s"t=$t")
+    }
+    // indexOfIgnoreCase == toLowerCase.indexOf for lowercase targets
+    forAll(Gen.zip(mixedGen, Gen.oneOf("dental", "office", "a", "x-ray", ""),
+      Gen.choose(-2, 40)), n = 300) { case (t, tgt, from) =>
+      assert(graft.extract.StrUtil.indexOfIgnoreCase(t, tgt, from) ==
+        t.toLowerCase.indexOf(tgt, from), s"t=$t tgt=$tgt from=$from")
+    }
     // non-ASCII pattern chars (curly apostrophe) get their own char class
     val uni = Vector("witness’s", "parent's", "café")
     val msU = MultiSubstring(uni)
