@@ -339,14 +339,15 @@ object ConsentExtractor {
     var inBulletList = false
     var prevWasBoldSubheader = false
     contentLines.foreach { raw =>
-      if (raw.trim.isEmpty) {
+      val rawTrim = raw.trim
+      if (rawTrim.isEmpty) {
         if (inBulletList) { processed += "</ul>"; inBulletList = false }
       } else {
         val line = cleanMarkdownFormatting(raw)
         val lineText = line.trim
-        val isBoldSubheader = boldLines.getOrElse(raw.trim, false) && {
-          val isBullet = bulletStartRe.findFirstIn(raw.trim).isDefined
-          !isBullet && !raw.trim.contains("_") && raw.trim.length < 100
+        val isBoldSubheader = boldLines.getOrElse(rawTrim, false) && {
+          val isBullet = bulletStartRe.findFirstIn(rawTrim).isDefined
+          !isBullet && !rawTrim.contains("_") && rawTrim.length < 100
         }
         if (isBoldSubheader && processed.nonEmpty && !prevWasBoldSubheader)
           processed += "<br>"
@@ -379,7 +380,7 @@ object ConsentExtractor {
         parts += "<br>"
       parts += line
     }
-    var content = parts.mkString("")
+    var content = StrUtil.concat(parts)
     content = removePracticeHeaderFooterContent(content)
     content = applyPlaceholders(content)
     content = removeWitnessAndDoctorSignatures(content)
@@ -412,6 +413,20 @@ object ConsentExtractor {
 
   private val signatureMarkerRes = Vector(
     "signature\\s*:".r, "patient\\s+signature".r, "parent.*name\\s*:".r, "guardian.*name\\s*:".r)
+  // gate tokens: necessary substrings of the four marker regexes — a
+  // case-folded DFA hit is required before any Matcher is allocated
+  private val sigMarkerGateAC = MultiSubstring(Vector("signature", "parent", "guardian"))
+
+  private def isSignatureMarker(lineLower: String): Boolean = {
+    if (lineLower.contains("signature") &&
+        (signatureMarkerRes(0).findFirstIn(lineLower).isDefined ||
+          signatureMarkerRes(1).findFirstIn(lineLower).isDefined)) return true
+    if (lineLower.contains("name") &&
+        ((lineLower.contains("parent") && signatureMarkerRes(2).findFirstIn(lineLower).isDefined) ||
+          (lineLower.contains("guardian") && signatureMarkerRes(3).findFirstIn(lineLower).isDefined)))
+      return true
+    false
+  }
 
   private def ctl(kvs: (String, JVal)*): JObj = JObj(kvs.toVector)
 
@@ -433,11 +448,14 @@ object ConsentExtractor {
     val consentTextLines = mutable.ArrayBuffer[String]()
     var i = 0
     while (i < textLines.length && signatureStartIdx.isEmpty) {
-      val lineLower = textLines(i).toLowerCase
-      if (signatureMarkerRes.exists(_.findFirstIn(lineLower).isDefined))
+      val line = textLines(i)
+      // fold-gate before lowering: most lines carry no marker token at all
+      if (sigMarkerGateAC.containsAnyFold(line) && isSignatureMarker(line.toLowerCase))
         signatureStartIdx = Some(i)
-      else if (textLines(i).trim.nonEmpty)
-        consentTextLines += textLines(i).trim
+      else {
+        val t = line.trim
+        if (t.nonEmpty) consentTextLines += t
+      }
       i += 1
     }
 

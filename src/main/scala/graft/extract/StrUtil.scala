@@ -90,6 +90,16 @@ object StrUtil {
     true
   }
 
+  /** parts.mkString("") with an exactly-sized builder. */
+  def concat(parts: scala.collection.Seq[String]): String = {
+    var total = 0
+    parts.foreach(total += _.length)
+    if (total == 0) return ""
+    val sb = new java.lang.StringBuilder(total)
+    parts.foreach(sb.append)
+    sb.toString
+  }
+
   /** s.toLowerCase.indexOf(target, from) for a lowercase ASCII-ish target,
     * without building the lowered string (regionMatches ignoreCase). */
   def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
