@@ -28,8 +28,8 @@ object ConsentExtractor {
   private val practiceMarkersAC = MultiSubstring(practiceMarkers)
 
   def isPracticeInformation(line: String): Boolean = {
-    val lower = line.toLowerCase.trim
-    if (practiceMarkersAC.containsAny(lower)) return true
+    // fold scan: no lowered copy per line (trim is irrelevant to contains)
+    if (practiceMarkersAC.containsAnyFold(line)) return true
     if (!line.exists(_.isDigit)) return false
     (line.indexOf('(') >= 0 && parenPhoneRe.findFirstIn(line).isDefined) ||
     (line.indexOf(',') >= 0 && streetCityZipConsentRe.findFirstIn(line).isDefined)

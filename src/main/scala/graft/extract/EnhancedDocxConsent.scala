@@ -107,14 +107,21 @@ object EnhancedDocxConsent {
     }
     val title = titleParts.mkString("<br>")
 
-    val body = new StringBuilder
-    lines.slice(contentFrom, contentEnd).foreach { raw =>
-      val t = raw.trim
+    // presized builder + direct appends (an interpolated s"<p>$t</p>" would
+    // build a throwaway string per line before the append)
+    var bodyCap = 0
+    var bi = contentFrom
+    while (bi < contentEnd) { bodyCap += lines(bi).length + 24; bi += 1 }
+    val body = new StringBuilder(bodyCap)
+    bi = contentFrom
+    while (bi < contentEnd) {
+      val t = lines(bi).trim
       if (t.isEmpty) body.append("<p><br></p>")
       else boldRe.findFirstMatchIn(t) match {
-        case Some(m) => body.append(s"<p><strong>${m.group(1)}</strong></p>")
-        case None => body.append(s"<p>$t</p>")
+        case Some(m) => body.append("<p><strong>").append(m.group(1)).append("</strong></p>")
+        case None => body.append("<p>").append(t).append("</p>")
       }
+      bi += 1
     }
     fields += FieldInfo("form_1", "", "text", "Form", optional = false,
       control = JObj.of("html_text" ->
