@@ -876,16 +876,15 @@ object PatientInfoMachine {
         var stop = false
         while (j < textLines.length && !stop) {
           val cur = textLines(j).trim
-          val curLower = cur.toLowerCase
+          // ASCII trim commutes with lowercase: reuse the per-line view
+          val curLower = lowers(j).trim
           if ((curLower.contains("read") && curLower.contains("agree")) ||
               (curLower.contains("signature") && cur.contains("___")) ||
               (curLower.contains("authorize") && curLower.contains("yes") && curLower.contains("no")))
             stop = true
           else {
             if (cur.nonEmpty && (cur.length > 10 ||
-                Vector("patient responsibilities", "payment", "dental benefit", "scheduling",
-                  "authorizations", "we are committed", "our practice", "if we are")
-                  .exists(curLower.contains)))
+                text3ContentMarkers.exists(curLower.contains)))
               content += cur
             j += 1
           }
@@ -965,6 +964,9 @@ object PatientInfoMachine {
   private val sigConsentSections = Set("Signature", "Consent")
   private val policyWords1 = Vector("responsibility", "payment", "benefit", "insurance")
   private val policyWords2 = Vector("responsibility", "payment", "benefit", "authorize", "consent")
+  private val text3ContentMarkers = Vector("patient responsibilities", "payment",
+    "dental benefit", "scheduling", "authorizations", "we are committed",
+    "our practice", "if we are")
   private val policyYesNoRe = "(?i)YES\\s+N\\s*O?\\s*\\(Check One\\)".r
   private val glyphSpaceRe = "[\\uf031\\uf020\\u2003\\u2002\\u2000-\\u200b\\ufeff]+".r
   private val riskWords = Vector("risks", "side effects", "complications", "potential")

@@ -536,7 +536,7 @@ object MainValidator {
       spec.insert(dobIdx + 1, rel)
       spec.zipWithIndex.foreach { case (q, i) => q.lineIdx = i }
     }
-    spec.sortBy(_.lineIdx).toVector
+    spec.sortInPlaceBy(_.lineIdx).toVector // stable TimSort, no sorted copy
   }
 
   private val witnessKeyIndicators = Vector("witness_signature", "witness_printed_name",

@@ -16,18 +16,28 @@ object Text3Formatter {
 
   private val headerBold = Vector(
     "Patient Responsibilities:", "Payment:", "Dental Benefit Plans:", "Authorizations:")
+  // (header, replacement) precomputed: the interpolated replacement was
+  // rebuilt on every call (Java replace is a no-op-returns-this when the
+  // target is absent, so only the pairs allocate on miss)
+  private val headerBoldPairs =
+    headerBold.map(h => (h, "<strong>" + h + "</strong>")) :+
+      ("Payment is due at the time services are rendered",
+        "<strong>Payment is due at the time services are rendered</strong>")
 
   private def boldHeaders(text0: String): String = {
     var text = text0
-    headerBold.foreach(h => text = text.replace(h, s"<strong>$h</strong>"))
-    text = text.replace("Payment is due at the time services are rendered",
-      "<strong>Payment is due at the time services are rendered</strong>")
+    headerBoldPairs.foreach { case (h, repl) => text = text.replace(h, repl) }
     text
   }
 
   /** temporary_html_text: bullets preserved (`- `), IS N OT unfixed,
     * If-we-are sentences unbolded, Scheduling/Authorizations sections absent.
     */
+  // paragraph split anchors (golden-derived)
+  private val tempAnchors = Vector("Toward these goals", "Financial arrangements",
+    "Non-sufficient funds", "Benefits and payments", "We are required to collect",
+    "If your plan allows", "If you choose to not")
+
   def formatTemporaryHtml(src0: String): String = {
     var src = src0.replace("\\_", "").replace("(initial)", "").trim
     // drop the trailing Scheduling + Authorizations sections
@@ -38,11 +48,7 @@ object Text3Formatter {
     src = src.replace("- Payment:", "-  Payment:")
     src = src.replace("- Dental Benefit Plans:", "-  Dental Benefit Plans:")
     src = boldHeaders(src)
-    // paragraph split anchors (golden-derived)
-    val anchors = Vector("Toward these goals", "Financial arrangements",
-      "Non-sufficient funds", "Benefits and payments", "We are required to collect",
-      "If your plan allows", "If you choose to not")
-    val paras = splitAtAnchors(src, anchors)
+    val paras = splitAtAnchors(src, tempAnchors)
     // <p><br></p> after the 1st and 4th paragraphs (section-intro ends)
     val out = new StringBuilder
     paras.zipWithIndex.foreach { case (p, idx) =>
