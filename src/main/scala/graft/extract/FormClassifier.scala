@@ -73,19 +73,23 @@ object FormClassifier {
   // per-bank counts stay exact.
   private val typeSegments: Vector[Vector[String]] =
     Vector(consentKeywords, patientInfoKeywords)
-  private val typeOffsets: Vector[Int] = typeSegments.scanLeft(0)(_ + _.length)
-  private val typeAC = MultiSubstring(typeSegments.flatten)
 
   // subtype phase: indicator banks, the regex-bank gate tokens, and the
-  // per-procedure anyOf/companion word lists, all in one automaton
+  // per-procedure anyOf/companion word lists
   private val subtypeGateTokens = Vector("release", "section", "consent",
     "risk", "complication", "side")
   private val subtypeSegments: Vector[Vector[String]] =
     Vector(patientInfoIndicators, recordsKeywords, consentSubKeywords,
       narrativeSubKeywords, npfIndicators, subtypeGateTokens) ++
       subtypeBanks.flatMap { case (_, anyOf, companions) => Vector(anyOf, companions) }
-  private val subtypeOffsets: Vector[Int] = subtypeSegments.scanLeft(0)(_ + _.length)
-  private val subtypeAC = MultiSubstring(subtypeSegments.flatten)
+
+  // BOTH phases in one automaton: classify() walks the joined text ONCE
+  // (prefix+full flags) and both detectors read their segment ranges.
+  // subtype segment s lives at combined segment subBase + s.
+  private val allSegments: Vector[Vector[String]] = typeSegments ++ subtypeSegments
+  private val allOffsets: Vector[Int] = allSegments.scanLeft(0)(_ + _.length)
+  private val allAC = MultiSubstring(allSegments.flatten)
+  private val subBase = typeSegments.length
 
   @inline private def segCount(flags: Array[Boolean], offsets: Vector[Int], seg: Int): Int = {
     var i = offsets(seg)
@@ -109,13 +113,15 @@ object FormClassifier {
     * matters, so banks short-circuit on first hit, and each regex bank is
     * gated behind a cheap substring precheck.
     */
-  def detectFormSubtype(fullText: String, nLines: Int): String = {
-    // one pass over the text yields presence flags for every bank
-    val flags = subtypeAC.matchedSet(fullText)
-    @inline def cnt(seg: Int) = segCount(flags, subtypeOffsets, seg)
-    @inline def any(seg: Int) = segAny(flags, subtypeOffsets, seg)
+  def detectFormSubtype(fullText: String, nLines: Int): String =
+    detectFormSubtypeFlags(fullText, nLines, allAC.matchedSet(fullText))
+
+  /** Flags variant: `flags` is an allAC presence array over the text. */
+  private def detectFormSubtypeFlags(fullText: String, nLines: Int, flags: Array[Boolean]): String = {
+    @inline def cnt(seg: Int) = segCount(flags, allOffsets, subBase + seg)
+    @inline def any(seg: Int) = segAny(flags, allOffsets, subBase + seg)
     // gate tokens (segment 5): release, section, consent, risk, complication, side
-    @inline def gate(i: Int) = flags(subtypeOffsets(5) + i)
+    @inline def gate(i: Int) = flags(allOffsets(subBase + 5) + i)
     def bankHit(patterns: Vector[Regex], gateOk: Boolean): Boolean =
       gateOk && patterns.exists(_.findFirstIn(fullText).isDefined)
     if (cnt(0) >= 3) return "patient_info"
@@ -136,38 +142,54 @@ object FormClassifier {
     else "simple_form"
   }
 
-  /** Compute (form_type, form_subtype) with one text join + lowercase. */
+  /** Compute (form_type, form_subtype) with one text join + lowercase AND
+    * one DFA pass over it (combined prefix+full flags feed both phases). */
   def classify(textLines: Seq[String]): (String, String) = {
     val fullText = StrUtil.join(textLines, ' ').toLowerCase
-    (detectFormType(fullText, textLines), detectFormSubtype(fullText, textLines.length))
+    val prefixEnd = typePrefixEnd(fullText, textLines)
+    val (preFlags, fullFlags) = allAC.matchedSetPrefixAndFull(fullText, prefixEnd)
+    (detectFormTypeFlags(fullText, prefixEnd, preFlags, fullFlags),
+      detectFormSubtypeFlags(fullText, textLines.length, fullFlags))
   }
 
   def detectFormType(textLines: Seq[String]): String =
     detectFormType(StrUtil.join(textLines, ' ').toLowerCase, textLines)
 
-  private def detectFormType(fullText: String, textLines: Seq[String]): String = {
-    // the first-50-line window is a prefix of the full join (same separator):
-    // build/lowercase once, slice the window — halves the string allocations
-    val prefixEnd =
-      if (textLines.lengthCompare(50) <= 0) fullText.length
-      else textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0)
-    val analysisText =
-      if (prefixEnd == fullText.length) fullText else fullText.substring(0, prefixEnd)
+  /** First-50-line analysis window = a prefix of the full join (same
+    * separator): build/lowercase once, slice the window. */
+  private def typePrefixEnd(fullText: String, textLines: Seq[String]): Int =
+    if (textLines.lengthCompare(50) <= 0) fullText.length
+    else textLines.take(50).foldLeft(-1)((acc, l) => acc + l.length + 1).max(0)
 
-    // regex banks gated behind cheap substring prechecks (pattern presence
-    // only; the gates are necessary conditions of the inner patterns)
-    if ((analysisText.contains("release") || analysisText.contains("section")) &&
+  private def detectFormType(fullText: String, textLines: Seq[String]): String = {
+    val prefixEnd = typePrefixEnd(fullText, textLines)
+    val (preFlags, fullFlags) = allAC.matchedSetPrefixAndFull(fullText, prefixEnd)
+    detectFormTypeFlags(fullText, prefixEnd, preFlags, fullFlags)
+  }
+
+  private def detectFormTypeFlags(fullText: String, prefixEnd: Int,
+                                  preFlags: Array[Boolean], fullFlags: Array[Boolean]): String = {
+    // a pattern occurs in the prefix substring iff a full-text occurrence
+    // ends at or before the boundary — the pre flags ARE the prefix gates
+    @inline def gatePre(i: Int) = preFlags(allOffsets(subBase + 5) + i)
+    var analysisText0: String = null
+    def analysisText: String = {
+      if (analysisText0 == null)
+        analysisText0 =
+          if (prefixEnd == fullText.length) fullText else fullText.substring(0, prefixEnd)
+      analysisText0
+    }
+    // regex banks gated behind the prefix presence flags (the gate tokens
+    // are necessary conditions of the inner patterns)
+    if ((gatePre(0) || gatePre(1)) &&
         recordsRelease.exists(_.findFirstIn(analysisText).isDefined)) return "records_release"
-    if (analysisText.contains("consent") &&
+    if (gatePre(2) &&
         structuredConsent.exists(_.findFirstIn(analysisText).isDefined)) return "structured_consent"
-    if ((analysisText.contains("risk") || analysisText.contains("complication") ||
-         analysisText.contains("side")) &&
+    if ((gatePre(3) || gatePre(4) || gatePre(5)) &&
         narrativeConsent.exists(_.findFirstIn(analysisText).isDefined)) return "narrative_consent"
 
-    // ONE DFA pass yields both banks' prefix and full-window scores
-    val (preFlags, fullFlags) = typeAC.matchedSetPrefixAndFull(fullText, prefixEnd)
-    var consent = 2 * segCount(preFlags, typeOffsets, 0) + segCount(fullFlags, typeOffsets, 0)
-    var patientInfo = 2 * segCount(preFlags, typeOffsets, 1) + segCount(fullFlags, typeOffsets, 1)
+    var consent = 2 * segCount(preFlags, allOffsets, 0) + segCount(fullFlags, allOffsets, 0)
+    var patientInfo = 2 * segCount(preFlags, allOffsets, 1) + segCount(fullFlags, allOffsets, 1)
     if (fullText.contains("signature") && fullText.contains("date"))
       consent += countSignatureDatePairs(fullText) * 2
     if (countFieldPatterns(fullText, stopAfter = 11) > 10) patientInfo += 3

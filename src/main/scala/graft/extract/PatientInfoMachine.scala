@@ -431,8 +431,9 @@ object PatientInfoMachine {
     // lowered lines == lowering the joined window)
     val lowers: IndexedSeq[String] = textLines.map(_.toLowerCase)
     // positional context-token index: ONE DFA pass over the document; every
-    // ±N-line window query below is then a binary search, not a rescan
-    val ctxIdx = new CtxIndex(ctxAC, lowers, ' ')
+    // ±N-line window query below is then a binary search, not a rescan.
+    // Lazy: documents that never hit a window query skip the pass entirely.
+    lazy val ctxIdx = new CtxIndex(ctxAC, lowers, ' ')
     val fields = mutable.ArrayBuffer[FieldInfo]()
     var currentSection = "Patient Information Form"
     val processedKeys = mutable.Set[String]()
