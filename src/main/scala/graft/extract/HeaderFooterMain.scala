@@ -54,13 +54,17 @@ object HeaderFooterMain {
   private val practiceKeywordsAC = MultiSubstring(practiceKeywords)
   private val facilityWordsAC = MultiSubstring(facilityWords)
 
+  // fold scans: no pattern in these banks has edge whitespace, so presence
+  // in trim+toLowerCase == presence under the case-folded scan of the raw
+  // line (trim only strips edge ws; matches begin/end on non-ws chars)
   def isFormContent(line: String): Boolean =
-    formContentAC.containsAny(line.trim.toLowerCase)
+    formContentAC.containsAnyFold(line)
 
   def isPracticeInformation(line0: String): Boolean = {
+    // common case (real form content) exits before any per-line copies
+    if (formContentAC.containsAnyFold(line0)) return false
     val line = line0.trim
     val lower = line.toLowerCase
-    if (formContentAC.containsAny(lower)) return false
     // anchored specials: ^[^a-zA-Z]*$ (subsumes ^\s*•\s*$)
     var hasLetter = false
     var hasDigit = false
@@ -98,10 +102,11 @@ object HeaderFooterMain {
 
   private val mixedConsentRe = "(?i)(informed\\s+consent[^•]*)".r
 
-  def hasMixedPracticeContent(line: String): Boolean = {
-    val lower = line.toLowerCase
-    (lower.contains("smile@") || lower.contains("www.")) && lower.contains("informed consent")
-  }
+  private val mixedGateAC = MultiSubstring(Vector("smile@", "www."))
+  private val informedConsentAC = MultiSubstring(Vector("informed consent"))
+
+  def hasMixedPracticeContent(line: String): Boolean =
+    mixedGateAC.containsAnyFold(line) && informedConsentAC.containsAnyFold(line)
 
   def extractFormContent(line: String): String =
     mixedConsentRe.findFirstMatchIn(line).map(_.group(1).trim).getOrElse("")
