@@ -1213,10 +1213,16 @@ object PatientInfoMachine {
       JObj.of("input_type" -> JStr("name"), "hint" -> JStr("(if different from above)")), 158))
 
   def addMissingStandaloneFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
-    val existing = fields0.map(_.key).toSet
-    fields0 ++ missingStandalone.collect {
-      case (key, title, ft, section, control, lineIdx) if !existing.contains(key) =>
-        FieldInfo(key, title, ft, section, optional = false, control = control, lineIdx = lineIdx)
+    // small static bank x direct key scan (no key-set build); unchanged
+    // input returns as-is — the common complete-NPF case allocates nothing
+    var added: mutable.ArrayBuffer[FieldInfo] = null
+    missingStandalone.foreach { case (key, title, ft, section, control, lineIdx) =>
+      if (!fields0.exists(_.key == key)) {
+        if (added == null) added = mutable.ArrayBuffer.empty
+        added += FieldInfo(key, title, ft, section, optional = false,
+          control = control, lineIdx = lineIdx)
+      }
     }
+    if (added == null) fields0 else fields0 ++ added
   }
 }

@@ -397,14 +397,27 @@ object MainValidator {
   def validateAndNormalize(spec0: Vector[SpecQ]): Vector[SpecQ] = {
     var spec = spec0
     // signature uniqueness by type; drop input fields keyed "signature"
-    val sigIdxs = spec.zipWithIndex.collect { case (q, i) if q.fieldType == "signature" => i }
-    val inputSigIdxs = spec.zipWithIndex.collect {
-      case (q, i) if q.fieldType == "input" && q.key == "signature" => i }.toSet
-    val dropIdxs: Set[Int] =
-      (if (sigIdxs.nonEmpty) inputSigIdxs ++ sigIdxs.tail.toSet else Set.empty[Int])
-    if (sigIdxs.nonEmpty) spec(sigIdxs.head).key = "signature"
-    spec = spec.zipWithIndex.collect { case (q, i) if !dropIdxs.contains(i) => q }
-    if (sigIdxs.isEmpty)
+    // (drops apply only when a signature-type field exists — index loop,
+    // no zipWithIndex/Set materializations per call)
+    var firstSig = -1
+    var i0 = 0
+    while (i0 < spec.length && firstSig < 0) {
+      if (spec(i0).fieldType == "signature") firstSig = i0
+      i0 += 1
+    }
+    if (firstSig >= 0) {
+      spec(firstSig).key = "signature"
+      val b = Vector.newBuilder[SpecQ]
+      var i = 0
+      while (i < spec.length) {
+        val q = spec(i)
+        val drop = (q.fieldType == "signature" && i != firstSig) ||
+          (q.fieldType == "input" && q.key == "signature")
+        if (!drop) b += q
+        i += 1
+      }
+      spec = b.result()
+    } else
       spec = spec :+ SpecQ("signature", "signature", "Signature", JObj(Vector.empty),
         "Signature", optional = false, lineIdx = -1)
 
