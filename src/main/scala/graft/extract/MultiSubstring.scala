@@ -30,14 +30,16 @@ final class MultiSubstring private (
 
   /** Char class after per-char lowercase folding: for a LOWERCASE pattern
     * bank, scanning with this equals scanning text.toLowerCase — without
-    * materializing the lowered string. (Character.toLowerCase covers the
-    * single-char mappings incl. U+212A Kelvin -> 'k'; the only divergence
-    * from String.toLowerCase is locale multi-char expansions, which cannot
-    * produce ASCII pattern hits.) */
+    * materializing the lowered string. U+212A (Kelvin) folds to 'k' exactly
+    * like String.toLowerCase; U+0130 (dotted I) is mapped to the catch-all
+    * because String.toLowerCase expands it to "i"+U+0307, whose combining
+    * char breaks any ASCII pattern continuation — so the fold scan is exact
+    * for every pattern of length >= 2 (all production banks). */
   @inline private def clsFold(c: Char): Int =
     if (c < 'A') c
     else if (c <= 'Z') c + 32
     else if (c < 127) c
+    else if (c == '\u0130') 127
     else cls(Character.toLowerCase(c))
 
   /** containsAny(s.toLowerCase) without building the lowered string. */
