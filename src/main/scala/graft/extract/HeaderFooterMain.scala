@@ -115,7 +115,7 @@ object HeaderFooterMain {
     * applied before field extraction — pdf_to_json_converter.py:792-793). */
   def removePracticeHeadersFooters(lines: Seq[String]): Seq[String] =
     lines.flatMap { line =>
-      if (line.trim.isEmpty) None
+      if (StrUtil.isBlank(line)) None
       else if (isPracticeInformation(line)) None
       else if (hasMixedPracticeContent(line)) {
         val extracted = extractFormContent(line)
@@ -125,14 +125,18 @@ object HeaderFooterMain {
 
   /** Positional heuristic (header_footer_manager.py:185-215): first/last 5%
     * of lines + practice info → header/footer. */
+  private val positionIndicatorsAC = MultiSubstring(Vector("page ", "of ", "©",
+    "copyright", "all rights reserved", "confidential", "proprietary",
+    "revised", "version", "form id", "document id"))
+
   def isLikelyHeaderFooter(line: String, lineIndex: Int, totalLines: Int): Boolean = {
     val headerThreshold = math.max(1, (totalLines * 0.05).toInt)
     val footerThreshold = totalLines - headerThreshold
     val positional = lineIndex < headerThreshold || lineIndex >= footerThreshold
-    if (positional && isPracticeInformation(line)) return true
-    val lower = line.toLowerCase.trim
-    val indicators = Vector("page ", "of ", "©", "copyright", "all rights reserved",
-      "confidential", "proprietary", "revised", "version", "form id", "document id")
-    positional && indicators.exists(lower.contains)
+    if (!positional) return false
+    if (isPracticeInformation(line)) return true
+    // "page "/"of " end in a space, so the trim matters; fold spares the
+    // lowercase copy and this runs only on the positional 10% of lines
+    positionIndicatorsAC.containsAnyFold(line.trim)
   }
 }

@@ -90,6 +90,16 @@ object StrUtil {
     true
   }
 
+  /** s.trim.isEmpty without the trim copy (trim strips chars <= ' '). */
+  def isBlank(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) > ' ') return false
+      i += 1
+    }
+    true
+  }
+
   /** parts.mkString("") with an exactly-sized builder. */
   def concat(parts: scala.collection.Seq[String]): String = {
     var total = 0
