@@ -733,17 +733,33 @@ object PatientInfoMachine {
       // inline multi-field parse (the NPF bread and butter)
       if (!consumed) {
         val inline = parseInlineFields(line, lineLower)
-        // context windows depend only on i — ONE DFA pass per window over the
-        // line slice (no joined window string at all)
-        lazy val ctx10 = {
-          val a = math.max(0, i - 10)
-          ctxIdx.flags(a, math.min(i + 10, a + 10))
+        // context windows depend only on i — computed at most once per line
+        // (manual caches: a lazy val here would allocate a LazyRef per line)
+        var ctx10c: Array[Boolean] = null
+        var ctx5c: Array[Boolean] = null
+        var ctxVerdictC: Option[String] = null
+        def ctx10 = {
+          if (ctx10c == null) {
+            val a = math.max(0, i - 10)
+            ctx10c = ctxIdx.flags(a, math.min(i + 10, a + 10))
+          }
+          ctx10c
         }
-        lazy val ctx5 = ctxIdx.flags(i - 5, i + 5)
-        // context-only section verdict is field-independent: one scan per line
-        lazy val ctxVerdict = contextVerdictFlags(ctx10)
-        inline.foreach { case (fieldName0, fullLine) =>
-          val fullLower = lineLower // fullLine is always this line
+        def ctx5 = {
+          if (ctx5c == null) ctx5c = ctxIdx.flags(i - 5, i + 5)
+          ctx5c
+        }
+        // context-only section verdict is field-independent: once per line
+        def ctxVerdict = {
+          if (ctxVerdictC == null) ctxVerdictC = contextVerdictFlags(ctx10)
+          ctxVerdictC
+        }
+        // index loop, not foreach: the ctx caches above stay stack-local
+        // (a closure would box them into ObjectRefs per line)
+        var fi = 0
+        while (fi < inline.length) {
+          val fieldName0 = inline(fi)._1
+          val fullLower = lineLower // the matched line is always this line
           var fieldName = fieldName0
           val fieldLower = fieldName.toLowerCase
           var baseKey = Slugify.slugify(fieldName)
@@ -851,6 +867,7 @@ object PatientInfoMachine {
               optional = false, control = control, lineIdx = i)
             processedKeys += finalKey
           }
+          fi += 1
         }
         i += 1
       }
