@@ -22,7 +22,10 @@ object ConsentExtractor {
   // is gated on its required literal char so ordinary digit lines skip the
   // regex engine entirely.
   private val parenPhoneRe = "\\(\\d{3}\\)\\s*\\d{3}-?\\d{4}".r
-  private val streetCityZipConsentRe = "\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}".r
+  // (?i) matches the reference's re.IGNORECASE on all six practice patterns;
+  // it matters here because this pattern has letter classes (parenPhoneRe has
+  // none, so the flag is omitted there).
+  private val streetCityZipConsentRe = "(?i)\\d+\\s+[A-Z][A-Za-z\\s]+,\\s+[A-Z]{2}\\s+\\d{5}".r
 
   private val practiceMarkers = Vector("www.", "@", "route", "office:", "phone:", "fax:")
   private val practiceMarkersAC = MultiSubstring(practiceMarkers)

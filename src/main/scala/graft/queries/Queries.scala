@@ -519,13 +519,6 @@ object Queries {
       // independently in SQL. The extracted text itself is pinned by the
       // byte-exact reference goldens in sbt test.
       """WITH f AS (SELECT conv_id, turn_idx, form_type, field_key, section FROM read_parquet('__OUT__/q34_turn_field_dump/*.parquet')) SELECT conv_id, turn_idx, form_type, CAST(count(*) AS INTEGER) AS field_count, CAST(count(DISTINCT section) AS INTEGER) AS section_count FROM f GROUP BY conv_id, turn_idx, form_type ORDER BY conv_id, turn_idx""",
-    "q21_transcript_extract" ->
-      // the flagship per-turn extraction: form_type and the per-field rows
-      // are engine-defined (dumped as q34); the per-turn count aggregation
-      // and the stable (conv_id, turn_idx) ordering are recomputed
-      // independently in SQL. The extracted text itself is pinned by the
-      // byte-exact reference goldens in sbt test.
-      """WITH f AS (SELECT conv_id, turn_idx, form_type, field_key, section FROM read_parquet('__OUT__/q34_turn_field_dump/*.parquet')) SELECT conv_id, turn_idx, form_type, CAST(count(*) AS INTEGER) AS field_count, CAST(count(DISTINCT section) AS INTEGER) AS section_count FROM f GROUP BY conv_id, turn_idx, form_type ORDER BY conv_id, turn_idx""",
     "q19_extract_fields" ->
       // per-doc (field_count, section_count) oracled downstream of the
       // dumped per-field rows (q33): the counting/aggregation stage is

@@ -162,15 +162,32 @@ object ExtractionJob {
     * driver-side loop is manifest-sized (the same loop a real Iceberg commit
     * performs when it collects DataFile stats).
     */
+  /** Materialized directory listing — closes the underlying Files.list
+    * stream (each open stream holds a directory fd; long-running drivers
+    * commit many waves).
+    */
+  private def listDir(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Recursive delete, deepest-first, with the Files.walk stream closed. */
+  private def deleteRecursively(root: Path): Unit = {
+    val s = Files.walk(root)
+    val paths = try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.toVector finally s.close()
+    paths.foreach(Files.delete)
+  }
+
   private[spark] def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
     val hconf = spark.sessionState.newHadoopConf()
     val stagingPath = Paths.get(staging)
     if (!Files.isDirectory(stagingPath)) return Seq.empty
-    Files.list(stagingPath).iterator().asScala
+    listDir(stagingPath)
       .filter(p => p.getFileName.toString.startsWith("bucket="))
       .flatMap { bucketDir =>
         val bucket = bucketDir.getFileName.toString.stripPrefix("bucket=").toInt
-        Files.list(bucketDir).iterator().asScala
+        listDir(bucketDir)
           .filter { f =>
             val n = f.getFileName.toString
             n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
@@ -297,18 +314,16 @@ object ExtractionJob {
       // promote staged bucket dirs into data/ then commit the snapshot
       val dataDir = Paths.get(config.outDir, "data")
       Files.createDirectories(dataDir)
-      Files.list(Paths.get(staging)).iterator().asScala
+      listDir(Paths.get(staging))
         .filter(p => p.getFileName.toString.startsWith("bucket="))
         .foreach { p =>
           val target = dataDir.resolve(p.getFileName.toString)
           if (Files.exists(target)) { // only possible on dirty staging replay
-            Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(Files.delete)
+            deleteRecursively(target)
           }
           Files.move(p, target)
         }
-      Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      deleteRecursively(Paths.get(staging))
 
       snapshotId += 1
       committed = committed ++ waveBuckets
