@@ -62,4 +62,18 @@ class FormSubtypeSpec extends AnyFunSuite {
     // "implant supported denture" hits implant first (reference order)
     assert(sub("implant supported denture", "consent") == "implant_consent")
   }
+
+  test("main-profile subtype is classified on header/footer-CLEANED lines") {
+    // Pins the intended semantics: convertToSpecFull cleans practice
+    // headers/footers first, and the cleaned line count feeds the >100/>50
+    // length fallback. 46 content lines + 10 practice (www.) lines = 56 raw
+    // lines (raw would classify structured_form); cleaned = 46 lines ->
+    // simple_form.
+    val content = Vector.tabulate(46)(i => s"plain narrative filler sentence $i")
+    val practice = Vector.fill(10)("www.brightsmilepractice.com")
+    val doc = (content.take(23) ++ practice ++ content.drop(23))
+    assert(FormClassifier.detectFormSubtype(doc) == "structured_form")
+    val (_, subCleaned, _) = graft.extract.MainExtractor.convertToSpecFull(doc)
+    assert(subCleaned == "simple_form")
+  }
 }
