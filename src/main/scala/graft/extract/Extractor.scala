@@ -74,7 +74,7 @@ object Extractor {
         val (ft, sub, spec) = MainExtractor.convertToSpecFull(lines)
         val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,
           q.optional, q.control, q.lineIdx))
-        (ft, sub, fis, Json.render(JArr(spec.map(_.render))))
+        (ft, sub, fis, graft.extract.SpecRender.renderArray(spec))
       } else {
         val (ft, sub) = FormClassifier.classify(lines)
         val fis = ConsentExtractor.validateAndNormalize(

@@ -604,7 +604,7 @@ object MainExtractor {
   // ---------- full pipeline ----------
   def convert(textLines: Seq[String]): String = {
     val (_, spec) = convertToSpec(textLines)
-    Json.render(JArr(spec.map(_.render)))
+    SpecRender.renderArray(spec)
   }
 
   def convertToSpec(textLines0: Seq[String]): (String, Vector[SpecQ]) = {

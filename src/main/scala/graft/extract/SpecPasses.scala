@@ -21,6 +21,45 @@ final case class SpecQ(
     "control" -> control, "section" -> JStr(section), "optional" -> JBool(optional)))
 }
 
+object SpecRender {
+  /** Renders the spec array byte-identically to
+    * `Json.render(JArr(spec.map(_.render)))` without allocating the
+    * per-field JObj tree first (the tree alone was ~30 KB on the heavy NPF
+    * turn; equality is pinned by a PropertySpec test over the fixtures).
+    */
+  def renderArray(spec: Vector[SpecQ]): String = {
+    if (spec.isEmpty) return "[]"
+    var hint = 16
+    spec.foreach { q =>
+      hint += 140 + q.key.length + q.fieldType.length + q.title.length +
+        q.section.length + Json.estimate(q.control)
+    }
+    Json.withBuilder(hint) { sb =>
+      sb.append("[\n")
+      var i = 0
+      while (i < spec.length) {
+        val q = spec(i)
+        sb.append("  {\n    \"key\": ")
+        Json.appendStr(q.key, sb)
+        sb.append(",\n    \"type\": ")
+        Json.appendStr(q.fieldType, sb)
+        sb.append(",\n    \"title\": ")
+        Json.appendStr(q.title, sb)
+        sb.append(",\n    \"control\": ")
+        Json.renderInto(q.control, sb, 2)
+        sb.append(",\n    \"section\": ")
+        Json.appendStr(q.section, sb)
+        sb.append(",\n    \"optional\": ").append(if (q.optional) "true" else "false")
+        sb.append("\n  }")
+        if (i < spec.length - 1) sb.append(',')
+        sb.append('\n')
+        i += 1
+      }
+      sb.append(']')
+    }
+  }
+}
+
 object SpecAssembly {
   // hoisted hot-loop literal sets (allocated once, not per field)
   private val metaControlKeys = Set("temporary_html_text", "html_text", "text")

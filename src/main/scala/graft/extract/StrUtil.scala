@@ -39,6 +39,114 @@ object StrUtil {
     sb.toString
   }
 
+  /** Applies literal (target -> replacement) pairs in ONE builder pass over
+    * `src`, leftmost match first (ties broken by array order). Equivalent to
+    * chaining src.replace(t1,r1).replace(t2,r2)... provided no replacement
+    * (or the text it joins) creates a new occurrence of another target —
+    * callers encode such two-stage compositions as explicit composed pairs.
+    * Allocation: one builder + the output (the chained form copies the whole
+    * string once per matching pair); returns `src` itself when nothing
+    * matches.
+    */
+  def replaceLiterals(src: String, pairs: Array[(String, String)]): String = {
+    val k = pairs.length
+    val next = new Array[Int](k)
+    var i = 0
+    var any = false
+    while (i < k) {
+      next(i) = src.indexOf(pairs(i)._1)
+      if (next(i) >= 0) any = true
+      i += 1
+    }
+    if (!any) return src
+    // headroom for growth-type replacements (e.g. <strong> insertions):
+    // an undersized builder re-doubles, copying the whole output
+    val sb = new java.lang.StringBuilder(src.length + 256)
+    var pos = 0
+    var done = false
+    while (!done) {
+      var best = -1
+      var bestIdx = Int.MaxValue
+      i = 0
+      while (i < k) {
+        if (next(i) >= 0 && next(i) < bestIdx) { bestIdx = next(i); best = i }
+        i += 1
+      }
+      if (best < 0) {
+        sb.append(src, pos, src.length)
+        done = true
+      } else {
+        sb.append(src, pos, bestIdx)
+        sb.append(pairs(best)._2)
+        pos = bestIdx + pairs(best)._1.length
+        i = 0
+        while (i < k) {
+          if (next(i) >= 0 && next(i) < pos) next(i) = src.indexOf(pairs(i)._1, pos)
+          i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Region variant of [[replaceLiterals]]: appends the transform of
+    * src[from, to) into `sb` (no intermediate string). A match counts only
+    * if it lies entirely inside the region — same semantics as running the
+    * chain on the substring.
+    */
+  def replaceLiteralsInto(sb: java.lang.StringBuilder, src: String, from: Int, to: Int,
+      pairs: Array[(String, String)]): Unit = {
+    val k = pairs.length
+    val next = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      val idx = src.indexOf(pairs(i)._1, from)
+      next(i) = if (idx >= 0 && idx + pairs(i)._1.length <= to) idx else -1
+      i += 1
+    }
+    var pos = from
+    var done = false
+    while (!done) {
+      var best = -1
+      var bestIdx = Int.MaxValue
+      i = 0
+      while (i < k) {
+        if (next(i) >= 0 && next(i) < bestIdx) { bestIdx = next(i); best = i }
+        i += 1
+      }
+      if (best < 0) {
+        sb.append(src, pos, to)
+        done = true
+      } else {
+        sb.append(src, pos, bestIdx)
+        sb.append(pairs(best)._2)
+        pos = bestIdx + pairs(best)._1.length
+        i = 0
+        while (i < k) {
+          if (next(i) >= 0 && next(i) < pos) {
+            val idx = src.indexOf(pairs(i)._1, pos)
+            next(i) = if (idx >= 0 && idx + pairs(i)._1.length <= to) idx else -1
+          }
+          i += 1
+        }
+      }
+    }
+  }
+
+  /** Start of the trimmed region of src[from, to) (trim strips <= ' '). */
+  def trimFrom(src: String, from: Int, to: Int): Int = {
+    var a = from
+    while (a < to && src.charAt(a) <= ' ') a += 1
+    a
+  }
+
+  /** End of the trimmed region of src[from, to). */
+  def trimTo(src: String, from: Int, to: Int): Int = {
+    var b = to
+    while (b > from && src.charAt(b - 1) <= ' ') b -= 1
+    b
+  }
+
   /** s.replaceAll("c+$", "") for a literal char: drop the trailing run of
     * `c` (no regex compile, no copy when there is nothing to strip). */
   def stripTrailingRun(s: String, c: Char): String = {

@@ -24,11 +24,13 @@ object Text3Formatter {
       ("Payment is due at the time services are rendered",
         "<strong>Payment is due at the time services are rendered</strong>")
 
-  private def boldHeaders(text0: String): String = {
-    var text = text0
-    headerBoldPairs.foreach { case (h, repl) => text = text.replace(h, repl) }
-    text
-  }
+  private val headerBoldPairsArr = headerBoldPairs.toArray
+
+  // one-pass equivalent of the replace chain: targets never collide at the
+  // same position ("Payment:" vs "Payment is due..." differ at char 7) and
+  // no replacement creates a new target occurrence
+  private def boldHeaders(text0: String): String =
+    StrUtil.replaceLiterals(text0, headerBoldPairsArr)
 
   /** temporary_html_text: bullets preserved (`- `), IS N OT unfixed,
     * If-we-are sentences unbolded, Scheduling/Authorizations sections absent.
@@ -38,22 +40,49 @@ object Text3Formatter {
     "Non-sufficient funds", "Benefits and payments", "We are required to collect",
     "If your plan allows", "If you choose to not")
 
+  // Composed one-pass pairs for the temporary render. The original chain is
+  // two-stage on overlapping targets ("- H:" gets the bullet glyph, then the
+  // contained "H:" gets bolded), so the composed result is encoded directly;
+  // bare header occurrences keep their bold-only pair (leftmost-first
+  // matching picks the "- H:" pair when the marker is present). The \_ and
+  // (initial) removals never split/join a header target in this text.
+  private val tempPairs: Array[(String, String)] =
+    (Vector("\\_" -> "", "(initial)" -> "") ++
+      headerBold.take(3).map(h => ("- " + h, "- \uF0B7 <strong>" + h + "</strong>")) ++
+      headerBoldPairs).toArray
+
   def formatTemporaryHtml(src0: String): String = {
-    var src = src0.replace("\\_", "").replace("(initial)", "").trim
-    // drop the trailing Scheduling + Authorizations sections
-    val schedIdx = src.indexOf("- Scheduling of Appointments:")
-    if (schedIdx >= 0) src = src.substring(0, schedIdx).trim
-    // bullet markers -> "- <glyph> " prefix
-    src = src.replace("- Patient Responsibilities:", "-  Patient Responsibilities:")
-    src = src.replace("- Payment:", "-  Payment:")
-    src = src.replace("- Dental Benefit Plans:", "-  Dental Benefit Plans:")
-    src = boldHeaders(src)
-    val paras = splitAtAnchors(src, tempAnchors)
+    val src = StrUtil.replaceLiterals(src0, tempPairs)
+    val start = StrUtil.trimFrom(src, 0, src.length)
+    var end = StrUtil.trimTo(src, start, src.length)
+    // drop the trailing Scheduling + Authorizations sections (the pairs above
+    // leave "- Scheduling of Appointments:" untouched, so the cut point is
+    // the same content position as in the chained form)
+    val schedIdx = src.indexOf("- Scheduling of Appointments:", start)
+    if (schedIdx >= 0 && schedIdx < end) end = StrUtil.trimTo(src, start, schedIdx)
+    // anchor cut points inside the kept region (splitAtAnchors, by index)
+    val cuts = new Array[Int](tempAnchors.length)
+    var nc = 0
+    tempAnchors.foreach { a =>
+      val i = src.indexOf(a, start)
+      if (i >= 0 && i < end) { cuts(nc) = i; nc += 1 }
+    }
+    java.util.Arrays.sort(cuts, 0, nc)
     // <p><br></p> after the 1st and 4th paragraphs (section-intro ends)
-    val out = new StringBuilder
-    paras.zipWithIndex.foreach { case (p, idx) =>
-      out.append("<p>").append(p).append("</p>")
-      if (idx == 0 || idx == 3) out.append("<p><br></p>")
+    val out = new java.lang.StringBuilder(end - start + 128)
+    var emitted = 0
+    var ci = -1
+    while (ci < nc) {
+      val a = if (ci < 0) start else cuts(ci)
+      val b = if (ci + 1 < nc) cuts(ci + 1) else end
+      val a2 = StrUtil.trimFrom(src, a, b)
+      val b2 = StrUtil.trimTo(src, a2, b)
+      if (b2 > a2) {
+        out.append("<p>").append(src, a2, b2).append("</p>")
+        if (emitted == 0 || emitted == 3) out.append("<p><br></p>")
+        emitted += 1
+      }
+      ci += 1
     }
     out.toString
   }
@@ -63,70 +92,99 @@ object Text3Formatter {
     * Scheduling split at the reference's line-wrap point, &nbsp; after the
     * Scheduling header.
     */
-  private val sectionSplitPat = java.util.regex.Pattern.compile(
-    "- (?=Patient Responsibilities:|Payment:|Dental Benefit Plans:|Scheduling of Appointments:|Authorizations:)")
   private val lateNoticePat =
     "(With less than 24 hour notice[^.]*\\.)".r
 
+  // disjoint literal targets -> one builder pass instead of four copies
+  private val htmlPrePairs: Array[(String, String)] = Array(
+    "\\_" -> "", "(initial)" -> "", "IS N OT" -> "IS NOT",
+    "co -insurance" -> "co-insurance")
+
+  private val sectionHeaders = Vector("Patient Responsibilities:", "Payment:",
+    "Dental Benefit Plans:", "Scheduling of Appointments:", "Authorizations:")
+  private val contractedPair = Array(
+    "If we are a contracted provider with your plan ," ->
+      "<strong>If we are a contracted provider with your plan,</strong>")
+  private val notContractedPair = Array(
+    "If we are not a contracted provider with your dental benefit plan , " ->
+      "<strong>If we are <u>not</u> a contracted provider with your dental benefit plan, </strong>")
+
   def formatHtml(src0: String): String = {
-    var src = src0.replace("\\_", "").replace("(initial)", "").trim
-    src = src.replace("IS N OT", "IS NOT")
-    src = src.replace("co -insurance", "co-insurance")
+    val src = StrUtil.replaceLiterals(src0, htmlPrePairs).trim
+    val n = src.length
 
-    // split into the five '- ' sections
-    val sections = sectionSplitPat.split(src)
-      .map(_.trim).filter(_.nonEmpty).toVector
-
-    val paras = mutable.ArrayBuffer[(String, Boolean)]() // (content, brAfter)
-    sections.foreach { section =>
-      if (section.startsWith("Patient Responsibilities:") || section.startsWith("Payment:")) {
-        paras += ((boldHeaders(section) + " ", true))
-      } else if (section.startsWith("Dental Benefit Plans:")) {
-        val ourIdx = section.indexOf("Our practice")
-        val intro = section.substring(0, ourIdx).trim
-        paras += ((boldHeaders(intro) + " ", true))
-        val rest = section.substring(ourIdx)
-        val contractedIdx = rest.indexOf("If we are a contracted provider")
-        val ourPractice = rest.substring(0, contractedIdx).trim
-        paras += ((ourPractice + " ", true))
-        val rest2 = rest.substring(contractedIdx)
-        val notIdx = rest2.indexOf("If we are not a contracted provider")
-        val contractedPart = rest2.substring(0, notIdx).trim
-        val p5 = contractedPart.replace(
-          "If we are a contracted provider with your plan ,",
-          "<strong>If we are a contracted provider with your plan,</strong>")
-        paras += ((p5 + " ", true))
-        val notPart = rest2.substring(notIdx).trim
-        val p6 = notPart.replace(
-          "If we are not a contracted provider with your dental benefit plan , ",
-          "<strong>If we are <u>not</u> a contracted provider with your dental benefit plan, </strong>")
-        paras += ((p6, true))
-      } else if (section.startsWith("Scheduling of Appointments:")) {
-        var s = section.replace("Scheduling of Appointments: ",
-          "<strong>Scheduling of Appointments:&nbsp;</strong>")
-        s = lateNoticePat
-          .replaceAllIn(s, m => "<strong>" + java.util.regex.Matcher.quoteReplacement(m.group(1)) + "</strong>")
-        // split at the reference's PDF line-wrap point
-        val wrapAnchor = " appointment time again, may be required."
-        val wrapIdx = s.lastIndexOf(wrapAnchor)
-        if (wrapIdx >= 0 && !s.substring(wrapIdx).contains("</strong>")) {
-          paras += ((s.substring(0, wrapIdx), false))
-          paras += ((s.substring(wrapIdx + 1), true))
-        } else paras += ((s, true))
-      } else if (section.startsWith("Authorizations:")) {
-        paras += ((boldHeaders(section), false))
-      } else {
-        paras += ((boldHeaders(section) + " ", true))
-      }
+    // '- ' section-delimiter positions (the sectionSplitPat lookahead split,
+    // scanned by index so sections stay REGIONS of src, not copies)
+    val delims = mutable.ArrayBuffer[Int]()
+    var p = src.indexOf("- ")
+    while (p >= 0) {
+      if (sectionHeaders.exists(h => src.startsWith(h, p + 2))) delims += p
+      p = src.indexOf("- ", p + 1)
     }
-    val out = new StringBuilder
-    paras.foreach { case (p, br) =>
-      out.append("<p>").append(p).append("</p>")
-      if (br) out.append("<p><br></p>")
+
+    val out = new java.lang.StringBuilder(n + 512)
+    var lastBr = false
+    // append one <p>…</p> paragraph; body receives the builder
+    def para(brAfter: Boolean)(body: => Unit): Unit = {
+      out.append("<p>")
+      body
+      out.append("</p>")
+      if (brAfter) out.append("<p><br></p>")
+      lastBr = brAfter
+    }
+    def boldInto(a: Int, b: Int): Unit =
+      StrUtil.replaceLiteralsInto(out, src, a, b, headerBoldPairsArr)
+
+    // section regions: leading text before the first delimiter, then each
+    // delimiter's content (delimiter "- " itself dropped, like the split)
+    val starts = (if (delims.isEmpty || delims(0) > 0) Vector(0) else Vector.empty) ++
+      delims.map(_ + 2)
+    val ends = delims.drop(if (delims.nonEmpty && delims(0) == 0) 1 else 0).map(identity) :+ n
+    var si = 0
+    while (si < starts.length) {
+      val a0 = starts(si)
+      val b0 = if (si < ends.length) ends(si) else n
+      val a = StrUtil.trimFrom(src, a0, b0)
+      val b = StrUtil.trimTo(src, a, b0)
+      if (b > a) {
+        if (src.startsWith("Dental Benefit Plans:", a)) {
+          val ourIdx = src.indexOf("Our practice", a)
+          val contractedIdx = if (ourIdx >= 0) src.indexOf("If we are a contracted provider", ourIdx) else -1
+          val notIdx = if (contractedIdx >= 0) src.indexOf("If we are not a contracted provider", contractedIdx) else -1
+          if (ourIdx >= 0 && ourIdx < b && contractedIdx >= 0 && contractedIdx < b && notIdx >= 0 && notIdx < b) {
+            para(brAfter = true) { boldInto(a, StrUtil.trimTo(src, a, ourIdx)); out.append(' ') }
+            para(brAfter = true) { out.append(src, ourIdx, StrUtil.trimTo(src, ourIdx, contractedIdx)); out.append(' ') }
+            para(brAfter = true) { StrUtil.replaceLiteralsInto(out, src, contractedIdx,
+              StrUtil.trimTo(src, contractedIdx, notIdx), contractedPair); out.append(' ') }
+            para(brAfter = true) { StrUtil.replaceLiteralsInto(out, src, notIdx, b, notContractedPair) }
+          } else { // malformed section: degrade to the generic branch
+            para(brAfter = true) { boldInto(a, b); out.append(' ') }
+          }
+        } else if (src.startsWith("Scheduling of Appointments:", a)) {
+          // small section: materialize and keep the regex-driven logic
+          var s = src.substring(a, b).replace("Scheduling of Appointments: ",
+            "<strong>Scheduling of Appointments:&nbsp;</strong>")
+          s = lateNoticePat
+            .replaceAllIn(s, m => "<strong>" + java.util.regex.Matcher.quoteReplacement(m.group(1)) + "</strong>")
+          // split at the reference's PDF line-wrap point
+          val wrapAnchor = " appointment time again, may be required."
+          val wrapIdx = s.lastIndexOf(wrapAnchor)
+          if (wrapIdx >= 0 && s.indexOf("</strong>", wrapIdx) < 0) {
+            para(brAfter = false) { out.append(s, 0, wrapIdx) }
+            para(brAfter = true) { out.append(s, wrapIdx + 1, s.length) }
+          } else para(brAfter = true) { out.append(s) }
+        } else if (src.startsWith("Authorizations:", a)) {
+          para(brAfter = false) { boldInto(a, b) }
+        } else {
+          // Patient Responsibilities / Payment / leading text
+          para(brAfter = true) { boldInto(a, b); out.append(' ') }
+        }
+      }
+      si += 1
     }
     // no trailing <p><br></p> after the final paragraph
-    val res = out.toString
-    if (res.endsWith("<p><br></p>")) res.substring(0, res.length - "<p><br></p>".length) else res
+    if (lastBr) out.setLength(out.length - "<p><br></p>".length)
+    out.toString
   }
 
   // ---- v2 variant (golden: /root/reference/pdfs/npf.json) ----

@@ -85,7 +85,9 @@ object Json {
     if (n > flushed) jsb.append(s, flushed, n)
   }
 
-  private def appendStr(s: String, sb: StringBuilder): Unit = {
+  /** `"escaped"` — quoted + escaped append (public for the direct spec
+    * renderer, which writes fields without building a JVal tree). */
+  def appendStr(s: String, sb: StringBuilder): Unit = {
     sb.append('"')
     // escapeInto bulk-copies between escapes, so no needsEscape pre-scan:
     // a clean string is one bulk append either way
@@ -99,7 +101,9 @@ object Json {
   private val tlBuilder = ThreadLocal.withInitial[StringBuilder](() => new StringBuilder(1 << 16))
   private val tlInUse = ThreadLocal.withInitial[java.lang.Boolean](() => java.lang.Boolean.FALSE)
 
-  private def withBuilder(sizeHint: Int)(f: StringBuilder => Unit): String = {
+  /** Run `f` against the reusable thread-local render builder (public for
+    * the direct spec renderer). */
+  def withBuilder(sizeHint: Int)(f: StringBuilder => Unit): String = {
     if (tlInUse.get()) { // re-entrant render: fresh builder
       val sb = new StringBuilder(sizeHint)
       f(sb)
@@ -117,9 +121,14 @@ object Json {
   }
 
   /** Render like json.dump(..., indent=2, ensure_ascii=False). */
-  def render(v: JVal, indent: Int = 2): String = withBuilder(estimateSize(v) + 256) { sb =>
-    def pad(level: Int): Unit = { var n = indent * level; while (n > 0) { sb.append(' '); n -= 1 } }
-    def go(v: JVal, level: Int): Unit = v match {
+  def render(v: JVal, indent: Int = 2): String =
+    withBuilder(estimateSize(v) + 256)(sb => renderInto(v, sb, 0, indent))
+
+  /** Indent-2 render of one value at `level` into an existing builder
+    * (public for the direct spec renderer). */
+  def renderInto(v: JVal, sb: StringBuilder, level: Int, indent: Int = 2): Unit = {
+    def pad(l: Int): Unit = { var n = indent * l; while (n > 0) { sb.append(' '); n -= 1 } }
+    v match {
       case JStr(s)  => appendStr(s, sb)
       case JBool(b) => sb.append(if (b) "true" else "false")
       case JInt(i)  => sb.append(i.toString)
@@ -131,7 +140,7 @@ object Json {
           sb.append("[\n")
           var i = 0
           while (i < items.length) {
-            pad(level + 1); go(items(i), level + 1)
+            pad(level + 1); renderInto(items(i), sb, level + 1, indent)
             if (i < items.length - 1) sb.append(',')
             sb.append('\n')
             i += 1
@@ -147,7 +156,7 @@ object Json {
             val f = fields(i)
             pad(level + 1)
             appendStr(f._1, sb); sb.append(": ")
-            go(f._2, level + 1)
+            renderInto(f._2, sb, level + 1, indent)
             if (i < fields.length - 1) sb.append(',')
             sb.append('\n')
             i += 1
@@ -155,7 +164,6 @@ object Json {
           pad(level); sb.append('}')
         }
     }
-    go(v, 0)
   }
 
   /** Render like json.dumps(..., separators=(",", ":"), ensure_ascii=False)
@@ -189,6 +197,9 @@ object Json {
     }
     go(v)
   }
+
+  /** Public size-estimate hook for the direct spec renderer. */
+  def estimate(v: JVal): Int = estimateSize(v)
 
   /** Upper-bound estimate of the rendered size INCLUDING indent-2 padding —
     * an undersized builder re-doubles through ~3 copies on a large spec,

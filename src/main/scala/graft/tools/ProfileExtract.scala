@@ -271,3 +271,47 @@ object ProfileHotDocx {
     println(s"done $n")
   }
 }
+
+/** Direct allocation measurement of the Text3 formatters on the heavy
+  * payload's actual text_3 content (reconstructed the way the machine's
+  * second pass does).
+  */
+object AllocText3 {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val text = graft.spark.Transcripts.payloads.filter(_._1 == "docling_md").maxBy(_._2.length)._2
+    val lines = graft.extract.HeaderFooterMain.removePracticeHeadersFooters(
+      text.split("\n", -1).toSeq).toIndexedSeq
+    val lowers = lines.map(_.toLowerCase)
+    val start = lines.indices.find(i =>
+      lowers(i).contains("patient responsibilities") && lines(i).trim.length > 30)
+    println(s"text_3 start line: $start  v2=${start.map(i => graft.extract.Text3Formatter.isV2(lines(i))).getOrElse(false)}")
+    val content = scala.collection.mutable.ArrayBuffer[String]()
+    start.foreach { s0 =>
+      var j = s0
+      var stop = false
+      while (j < lines.length && !stop) {
+        val cur = lines(j).trim
+        val curLower = lowers(j).trim
+        if ((curLower.contains("read") && curLower.contains("agree")) ||
+            (curLower.contains("signature") && cur.contains("___")) ||
+            (curLower.contains("authorize") && curLower.contains("yes") && curLower.contains("no")))
+          stop = true
+        else { if (cur.nonEmpty && cur.length > 10) content += cur; j += 1 }
+      }
+    }
+    val fullText = content.mkString(" ")
+    println(s"fullText chars: ${fullText.length} isV2=${graft.extract.Text3Formatter.isV2(fullText)}")
+    def alloc(label: String)(f: => Any): Unit = {
+      (0 until 50).foreach(_ => f)
+      val n = 200
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      (0 until n).foreach(_ => f)
+      println(f"$label%-34s ${(mx.getThreadAllocatedBytes(tid) - a0) / n / 1024.0}%8.1f KB/call")
+    }
+    alloc("formatHtml")(graft.extract.Text3Formatter.formatHtml(fullText))
+    alloc("formatTemporaryHtml")(graft.extract.Text3Formatter.formatTemporaryHtml(fullText))
+  }
+}

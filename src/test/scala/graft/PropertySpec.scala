@@ -250,4 +250,38 @@ class PropertySpec extends AnyFunSuite {
       assert(StrUtil.joinTrimmed(ls, '\n') == ls.map(_.trim).mkString("\n"))
     }
   }
+
+  test("replaceLiterals == the chained replace form on disjoint targets") {
+    import graft.extract.StrUtil
+    val frag = Gen.oneOf("abc", "XY", " ", "ab", "bc", "Q", "\\_", "(i)", "-")
+    val srcGen = Gen.listOfN(20, frag).map(_.mkString)
+    // targets chosen so no replacement creates another target and no two
+    // targets can match at overlapping positions differently than the chain
+    val pairs = Array("ab" -> "[AB]", "XY" -> "", "Q" -> "qq", "(i)" -> "")
+    forAll(srcGen, n = 400) { src =>
+      var want = src
+      pairs.foreach { case (t, r) => want = want.replace(t, r) }
+      assert(StrUtil.replaceLiterals(src, pairs) == want, s"src=$src")
+      val sb = new java.lang.StringBuilder()
+      StrUtil.replaceLiteralsInto(sb, src, 0, src.length, pairs)
+      assert(sb.toString == want, s"region src=$src")
+    }
+  }
+
+  test("SpecRender.renderArray is byte-identical to the JObj-tree render") {
+    import graft.extract.{MainExtractor, SpecRender}
+    import graft.model.{JArr, Json}
+    def res(p: String): String = {
+      val url = getClass.getClassLoader.getResource(p)
+      require(url != null, s"missing resource $p")
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    Seq("npf", "npf_v2", "pediatric_extraction", "records_release").foreach { name =>
+      val lines = res(s"fixtures/$name.txt").split("\n", -1).toSeq
+      val (_, _, spec) = MainExtractor.convertToSpecFull(lines)
+      assert(SpecRender.renderArray(spec) == Json.render(JArr(spec.map(_.render))), name)
+    }
+    assert(SpecRender.renderArray(Vector.empty) == Json.render(JArr(Vector.empty)))
+  }
 }
