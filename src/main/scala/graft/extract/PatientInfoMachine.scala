@@ -500,28 +500,38 @@ object PatientInfoMachine {
         i += 1; consumed = true
       }
 
-      // section header transitions
+      // section header transitions — one case-folded DFA pass over the raw
+      // line replaces the per-line toUpperCase copy + 13 contains scans
+      // (all phrases are ASCII, so fold-matching == uppercase-contains)
       if (!consumed) {
-        val upper = line.toUpperCase
-        val isHeader = line.startsWith("##") || headerPhrases.exists(upper.contains)
+        val hf = sectionHeaderAC.matchedSetFold(line)
+        @inline def any(from: Int, until: Int): Boolean = {
+          var k = from
+          while (k < until) { if (hf(k)) return true; k += 1 }
+          false
+        }
+        val isHeader = line.startsWith("##") || any(0, headerPhrases.length)
         if (isHeader) {
-          if (upper.contains("PATIENT INFORMATION")) currentSection = "Patient Information Form"
-          else if (upper.contains("CHILDREN") || upper.contains("MINOR")) currentSection = "FOR CHILDREN/MINORS ONLY"
-          else if (upper.contains("SECONDARY DENTAL")) currentSection = "Secondary Dental Plan"
-          else if (upper.contains("PRIMARY DENTAL") || upper.contains("DENTAL BENEFIT PLAN INFORMATION PRIMARY"))
-            currentSection = "Primary Dental Plan"
-          else if (upper.contains("DENTAL BENEFIT PLAN") && upper.contains("PRIMARY"))
-            currentSection = "Primary Dental Plan"
-          else if (upper.contains("MEDICAL") || upper.contains("HEALTH")) currentSection = "Medical History"
-          else if (upper.contains("SIGNATURE") || upper.contains("CONSENT")) currentSection = "Signature"
+          val b = headerPhrases.length
+          if (hf(b)) currentSection = "Patient Information Form"
+          else if (hf(b + 1) || hf(b + 2)) currentSection = "FOR CHILDREN/MINORS ONLY"
+          else if (hf(b + 3)) currentSection = "Secondary Dental Plan"
+          else if (hf(b + 4) || hf(b + 5)) currentSection = "Primary Dental Plan"
+          else if (hf(b + 6) && hf(b + 7)) currentSection = "Primary Dental Plan"
+          else if (hf(b + 8) || hf(b + 9)) currentSection = "Medical History"
+          else if (hf(b + 10) || hf(b + 11)) currentSection = "Signature"
           i += 1; consumed = true
         }
       }
 
       // standalone-field dictionary with unicode-normalized matching
       if (!consumed) {
-        val lineStripped = line.trim
-        val lineNormalized = lineStripped.replace(" '", "'").replace("’", "'")
+        val lineStripped = lineTrim
+        // the normalized copy only exists when a normalizable char is present
+        val lineNormalized =
+          if (lineStripped.indexOf(" '") >= 0 || lineStripped.indexOf('’') >= 0)
+            lineStripped.replace(" '", "'").replace("’", "'")
+          else lineStripped
         val matched = standaloneByKey.get(lineStripped)
           .orElse(standaloneByNorm.get(lineNormalized))
         matched.foreach { case (baseKey, title, fieldType, control) =>
@@ -994,6 +1004,16 @@ object PatientInfoMachine {
     "CHILDREN/MINORS", "DENTAL BENEFIT PLAN", "PRIMARY DENTAL PLAN",
     "SECONDARY DENTAL PLAN", "MEDICAL HISTORY", "HEALTH HISTORY",
     "SIGNATURE", "CONSENT")
+  // section-branch tokens appended after headerPhrases in one merged bank
+  // (segment offsets: headerPhrases.length is the branch base)
+  private val sectionBranchTokens = Vector(
+    "PATIENT INFORMATION", "CHILDREN", "MINOR", "SECONDARY DENTAL",
+    "PRIMARY DENTAL", "DENTAL BENEFIT PLAN INFORMATION PRIMARY",
+    "DENTAL BENEFIT PLAN", "PRIMARY", "MEDICAL", "HEALTH", "SIGNATURE", "CONSENT")
+  // fold scanning needs a lowercase bank (uppercase-contains on the
+  // uppercased line == lowercase-pattern fold scan on the raw line)
+  private val sectionHeaderAC =
+    MultiSubstring((headerPhrases ++ sectionBranchTokens).map(_.toLowerCase))
   // detectSection text-phase banks
   private val dsInsurance = Vector("insurance", "dental plan", "group number", "id number", "plan/group",
     "name of insured", "patient relationship to insured")
@@ -1091,7 +1111,10 @@ object PatientInfoMachine {
   def postProcessFields(fields0: Vector[FieldInfo]): Vector[FieldInfo] = {
     val processed = mutable.ArrayBuffer[FieldInfo]()
     fields0.foreach { f =>
-      val html = f.control.get("html_text").collect { case JStr(s) => s }.getOrElse("")
+      val html = f.control.getOrNull("html_text") match {
+        case JStr(s) => s
+        case _ => ""
+      }
       if (f.fieldType == "text" && f.section == "Signature" &&
           html.contains("personal information necessary to process") &&
           html.contains("YES") && html.contains("N O")) {
@@ -1130,7 +1153,9 @@ object PatientInfoMachine {
   }
 
   // ---- ensure_required_fields_present (pdf_to_json_converter.py:2742-2872) ----
-  private def requiredFieldsBySection: Vector[(String, Vector[(String, String, String, JObj)])] = Vector(
+  // val, not def: this constant table (with its JObjs) was rebuilt on every
+  // call — ~22 KB per heavy turn; JObj/FieldInfo are immutable so sharing is safe
+  private val requiredFieldsBySection: Vector[(String, Vector[(String, String, String, JObj)])] = Vector(
     "Patient Information Form" -> Vector(
       ("state", "State", "states", JObj.of("input_type" -> JStr("name"))),
       ("street_2", "Street", "input", JObj.of("input_type" -> JStr("name"))),

@@ -223,17 +223,21 @@ object SpecNormalization {
 
   private[extract] val htmlTextKeys = Vector("html_text", "temporary_html_text")
 
+  // literal chains of normalizeTextContent as one-pass pair sets (targets
+  // disjoint; replacements introduce no targets)
+  private val normTextPairsText3: Array[(String, String)] = Array("\\_" -> "")
+  private val normTextPairsFull: Array[(String, String)] = Array(
+    "\\_" -> "", "" -> "", "’" -> "'", "“" -> "\"", "”" -> "\"")
+
   def normalizeTextContent(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
       htmlTextKeys.foreach { tk =>
         q.control.get(tk).collect { case JStr(t0) =>
-          var text = t0.replace("\\_", "")
+          // disjoint literal targets -> one builder pass (was up to 5 copies)
+          var text = StrUtil.replaceLiterals(t0,
+            if (q.key != "text_3") normTextPairsFull else normTextPairsText3)
           if (text.indexOf("\\u") >= 0) // gate: the regex needs a literal \u
             text = escapedUnicodeRe.replaceAllIn(text, "")
-          if (q.key != "text_3") {
-            text = text.replace("", "").replace("’", "'")
-              .replace("“", "\"").replace("”", "\"")
-          }
           text = collapseWs(text)
           // golden-derived: the OCR "IS N OT" artifact is fixed only in the
           // final html_text; temporary_html_text keeps it as extracted
@@ -325,18 +329,19 @@ object ConsentShaping {
   private val consentTitleWords = Vector("consent", "agreement", "authorization")
   private val consentHtmlWords = Vector("consent", "understand", "acknowledge", "agree")
 
+  private val consentTitleAC = MultiSubstring(consentTitleWords)
+  private val consentHtmlAC = MultiSubstring(consentHtmlWords)
+
   private def isConsentForm(spec: Vector[SpecQ]): Boolean = {
     var indicators = 0
     spec.foreach { q =>
-      val title = q.title.toLowerCase
-      val section = q.section.toLowerCase
-      if (consentTitleWords.exists(w => title.contains(w) || section.contains(w)))
+      // fold DFA == contains over the lowered copies, without the copies
+      // (html_text can be multi-KB on policy fields)
+      if (consentTitleAC.containsAnyFold(q.title) || consentTitleAC.containsAnyFold(q.section))
         indicators += 1
       if (q.fieldType == "text") {
         q.control.getOrNull("html_text") match {
-          case JStr(h) =>
-            val lower = h.toLowerCase
-            if (consentHtmlWords.exists(lower.contains)) indicators += 1
+          case JStr(h) => if (consentHtmlAC.containsAnyFold(h)) indicators += 1
           case _ => ()
         }
       }
