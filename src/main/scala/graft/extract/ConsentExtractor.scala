@@ -68,6 +68,8 @@ object ConsentExtractor {
     witnessIndicators ++ doctorSignatures ++ parentGuardianSignatures)
   private val parentGuardianNamesAC = MultiSubstring(parentGuardianNames)
 
+  private val printedNameCompanions = Vector("witness", "guardian", "parent")
+
   def isWitnessOrDoctorSignatureField(lineLower: String, filterParentGuardianNames: Boolean = true): Boolean = {
     // cheap token pre-check: every indicator requires one of these substrings
     if (!witnessQuickAC.containsAny(lineLower)) return false
@@ -76,7 +78,7 @@ object ConsentExtractor {
     if (lineLower.contains("patient/parent/guardian")) return true
     if (lineLower.contains("legally authorized representative")) return true
     if (lineLower.contains("printed name") &&
-        Vector("witness", "guardian", "parent").exists(lineLower.contains)) return true
+        printedNameCompanions.exists(lineLower.contains)) return true
     // mostly-underscore signature lines: >=10 underscores and >0.7 ratio
     val textOnly = tagRe.replaceAllIn(lineLower, "").trim
     if (textOnly.nonEmpty && textOnly.length >= 10) {
@@ -86,15 +88,74 @@ object ConsentExtractor {
     false
   }
 
-  private def removeWitnessAndDoctorSignatures(content: String): String = {
+  /** Fold variant of [[isWitnessOrDoctorSignatureField]]: takes the
+    * original-case (tag-stripped, trimmed) text and scans case-folded — no
+    * per-segment toLowerCase copy. */
+  private def isWitnessFieldFold(text: String): Boolean = {
+    if (!witnessQuickAC.containsAnyFold(text)) return false
+    if (witnessIndicatorsAC.containsAnyFold(text)) return true
+    if (parentGuardianNamesAC.containsAnyFold(text)) return true
+    if (StrUtil.indexOfIgnoreCase(text, "patient/parent/guardian", 0) >= 0) return true
+    if (StrUtil.indexOfIgnoreCase(text, "legally authorized representative", 0) >= 0) return true
+    if (StrUtil.indexOfIgnoreCase(text, "printed name", 0) >= 0 &&
+        printedNameCompanions.exists(w => StrUtil.indexOfIgnoreCase(text, w, 0) >= 0)) return true
+    // mostly-underscore signature lines (callers pass tag-stripped text, so
+    // the strip only re-runs in the rare nested-tag case)
+    val textOnly = if (text.indexOf('<') >= 0) tagRe.replaceAllIn(text, "").trim else text
+    if (textOnly.nonEmpty && textOnly.length >= 10) {
+      val u = textOnly.count(_ == '_')
+      if (u >= 10 && u.toDouble / textOnly.length > 0.7) return true
+    }
+    false
+  }
+
+  /** keep-this-segment decision for content[a0, b0) — allocation-free for
+    * the common segment (no '<', quick tokens absent). */
+  @inline private def segmentKeep(content: String, a0: Int, b0: Int): Boolean = {
+    var hasLt = false
+    var i = a0
+    while (i < b0 && !hasLt) { if (content.charAt(i) == '<') hasLt = true; i += 1 }
+    if (hasLt) {
+      val textContent = tagRe.replaceAllIn(content.substring(a0, b0), "").trim
+      textContent.isEmpty || !isWitnessFieldFold(textContent)
+    } else {
+      val a = StrUtil.trimFrom(content, a0, b0)
+      val b = StrUtil.trimTo(content, a, b0)
+      if (b <= a) true
+      else if (!witnessQuickAC.containsAnyFoldRegion(content, a, b)) true
+      else !isWitnessFieldFold(content.substring(a, b))
+    }
+  }
+
+  private[graft] def removeWitnessAndDoctorSignatures(content: String): String = {
     // quick-token scan: if no segment can possibly be filtered, skip the
-    // split/rejoin entirely (saves two full-content copies per turn)
+    // segment walk entirely
     if (!witnessQuickAC.containsAnyFold(content)) return content
-    brSplitRe.split(content, -1).filter { seg =>
-      val textContent =
-        (if (seg.indexOf('<') >= 0) tagRe.replaceAllIn(seg, "") else seg).trim
-      textContent.isEmpty || !isWitnessOrDoctorSignatureField(textContent.toLowerCase)
-    }.mkString("<br>")
+    // walk literal "<br>" segments by index; the filtered copy is built only
+    // if a segment is actually dropped (the split/lower/rejoin copies were
+    // the consent route's largest allocation site)
+    val n = content.length
+    var sb: java.lang.StringBuilder = null
+    var firstKept = true
+    var segStart = 0
+    var done = false
+    while (!done) {
+      val br = content.indexOf("<br>", segStart)
+      val segEnd = if (br < 0) n else br
+      val keep = segmentKeep(content, segStart, segEnd)
+      if (!keep && sb == null) {
+        // all earlier segments were kept: their join is the verbatim prefix
+        sb = new java.lang.StringBuilder(n)
+        sb.append(content, 0, math.max(0, segStart - 4))
+        firstKept = segStart == 0
+      } else if (keep && sb != null) {
+        if (!firstKept) sb.append("<br>")
+        sb.append(content, segStart, segEnd)
+        firstKept = false
+      }
+      if (br < 0) done = true else segStart = br + 4
+    }
+    if (sb == null) content else sb.toString
   }
 
   // ---- markdown cleaning (consent_converter.py:924-942) ----
@@ -263,17 +324,13 @@ object ConsentExtractor {
     placeholderAnchors.zipWithIndex.toMap
   private val placeholderAnchorAC = MultiSubstring(placeholderAnchors)
 
-  def applyPlaceholders(content0: String): String = {
+  /** Chained reference form (one full-content pass + copy per matching
+    * sub) — kept for the PropertySpec equivalence test. */
+  private[graft] def applyPlaceholdersChained(content0: String): String = {
     var c = content0
-    // which anchors occur at all — ONE case-folded DFA pass instead of one
-    // contains per sub, and no materialized lowercase copy of the content
-    // (the copy was rebuilt after every substitution)
     var present = placeholderAnchorAC.matchedSetFold(c)
     placeholderSubs.foreach { case (anchor, re, repl) =>
       if (present(placeholderAnchorIdx(anchor))) {
-        // all patterns except the "I, ___ (print name)" one begin with their
-        // anchor literal, so the anchored matcher applies (84% of the consent
-        // route's time was these full-content scans)
         val c2 =
           if (anchor == "print") re.replaceAllIn(c, repl)
           else replaceAnchored(c, re, anchor, repl)
@@ -284,6 +341,93 @@ object ConsentExtractor {
       }
     }
     c
+  }
+
+  // subs grouped by anchor index, chain order preserved within each group
+  private val subsByAnchor: Array[Array[(Regex, String)]] = {
+    val byAnchor = Array.fill(placeholderAnchors.length)(Vector.empty[(Regex, String)])
+    placeholderSubs.foreach { case (a, re, repl) =>
+      val ai = placeholderAnchorIdx(a)
+      byAnchor(ai) = byAnchor(ai) :+ (re -> repl)
+    }
+    byAnchor.map(_.toArray)
+  }
+  private val printAnchorIdx = placeholderAnchorIdx.getOrElse("print", -1)
+
+  /** Single left-to-right pass over the content: at each anchor occurrence
+    * the anchor's subs are tried in chain order (transparent-bounds
+    * lookingAt), the first match wins and the scan resumes after it. This
+    * equals the chained per-sub form because (a) all replacements insert
+    * `{{…}}` templates that no pattern re-matches (the `(?!\s*\{\{)` guards
+    * + template shape), and (b) different anchors' matches never overlap in
+    * this corpus — equality with the chained form is property-tested.
+    * The one non-anchor-initial pattern ("I, ___ (print name)") keeps its
+    * replaceAllIn pre-pass; its match shares no text with other patterns.
+    */
+  def applyPlaceholders(content0: String): String = {
+    val present = placeholderAnchorAC.matchedSetFold(content0)
+    var c = content0
+    if (printAnchorIdx >= 0 && present(printAnchorIdx)) {
+      val (_, re, repl) = placeholderSubs.find(_._1 == "print").get
+      c = re.replaceAllIn(c, repl)
+    }
+    val nA = placeholderAnchors.length
+    val nextA = new Array[Int](nA)
+    var any = false
+    var ai = 0
+    while (ai < nA) {
+      nextA(ai) =
+        if (ai != printAnchorIdx && present(ai)) StrUtil.indexOfIgnoreCase(c, placeholderAnchors(ai), 0)
+        else -1
+      if (nextA(ai) >= 0) any = true
+      ai += 1
+    }
+    if (!any) return c
+    val n = c.length
+    var sb: java.lang.StringBuilder = null
+    var copied = 0
+    var done = false
+    while (!done) {
+      var best = -1
+      var bestIdx = Int.MaxValue
+      ai = 0
+      while (ai < nA) {
+        if (nextA(ai) >= 0 && nextA(ai) < bestIdx) { bestIdx = nextA(ai); best = ai }
+        ai += 1
+      }
+      if (best < 0) done = true
+      else {
+        val subs = subsByAnchor(best)
+        var si = 0
+        var matchedEnd = -1
+        var repl: String = null
+        while (si < subs.length && matchedEnd < 0) {
+          val m = subs(si)._1.pattern.matcher(c)
+          m.useTransparentBounds(true)
+          m.useAnchoringBounds(false)
+          m.region(bestIdx, n)
+          if (m.lookingAt()) { matchedEnd = m.end(); repl = subs(si)._2 }
+          si += 1
+        }
+        if (matchedEnd >= 0) {
+          if (sb == null) sb = new java.lang.StringBuilder(n + 64)
+          sb.append(c, copied, bestIdx).append(repl)
+          // zero-width-tail guard: patterns ending in a lookahead can end at
+          // the anchor itself; always consume at least the anchor occurrence
+          copied = math.max(matchedEnd, bestIdx + 1)
+        }
+        // advance every anchor whose cached position is behind the scan
+        val resume = if (matchedEnd >= 0) copied else bestIdx + 1
+        ai = 0
+        while (ai < nA) {
+          if (nextA(ai) >= 0 && nextA(ai) < resume)
+            nextA(ai) = StrUtil.indexOfIgnoreCase(c, placeholderAnchors(ai), resume)
+          ai += 1
+        }
+      }
+    }
+    if (sb == null) c
+    else { sb.append(c, copied, n); sb.toString }
   }
 
   // ---- title ladder (consent_converter.py:725-767) ----

@@ -55,6 +55,19 @@ final class MultiSubstring private (
     false
   }
 
+  /** containsAnyFold over s[from, until) — matches must lie inside the
+    * region (the DFA starts at root at `from`). */
+  def containsAnyFoldRegion(s: String, from: Int, until: Int): Boolean = {
+    var st = 0
+    var i = from
+    while (i < until) {
+      st = next(st * width + clsFold(s.charAt(i)))
+      if (out(st).length != 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** matchedSet(s.toLowerCase) without building the lowered string. */
   def matchedSetFold(s: String): Array[Boolean] = {
     val seen = new Array[Boolean](size)
@@ -251,6 +264,29 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cnt < size) {
       st = next(st * width + cls(s.charAt(i)))
+      val o = out(st)
+      var j = 0
+      while (j < o.length) {
+        val id = o(j)
+        if (!seen(id)) { seen(id) = true; cnt += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  /** countDistinct(s.toLowerCase) without building the lowered string
+    * (lowercase pattern bank required, like the other *Fold scans). */
+  def countDistinctFold(s: String): Int = {
+    if (size == 0) return 0
+    val seen = new Array[Boolean](size)
+    var cnt = 0
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n && cnt < size) {
+      st = next(st * width + clsFold(s.charAt(i)))
       val o = out(st)
       var j = 0
       while (j < o.length) {

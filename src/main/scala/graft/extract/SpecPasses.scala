@@ -298,13 +298,14 @@ object ConsentShaping {
 
   def isConsentContent(text: String): Boolean = {
     if (text == null || text.isEmpty) return false
-    val lower = text.toLowerCase
-    if (singleConsentMarkersAC.containsAny(lower)) return true
+    // fold scans + ignore-case indexOf: no lowered copy of the (multi-KB)
+    // html text per call
+    if (singleConsentMarkersAC.containsAnyFold(text)) return true
     if (orderedConsentMarkers.exists { case (a, b) =>
-      val i = lower.indexOf(a)
-      i >= 0 && lower.indexOf(b, i + a.length) >= 0
+      val i = StrUtil.indexOfIgnoreCase(text, a, 0)
+      i >= 0 && StrUtil.indexOfIgnoreCase(text, b, i + a.length) >= 0
     }) return true
-    consentKeywordsAC.countDistinct(lower) >= 2
+    consentKeywordsAC.countDistinctFold(text) >= 2
   }
 
   def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {

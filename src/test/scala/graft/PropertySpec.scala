@@ -268,6 +268,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass applyPlaceholders == the chained per-sub form") {
+    val frag = Gen.oneOf(
+      "Patient Name: ___", "Patient Name:", "patient name: __", "Tooth Number: ___",
+      "Tooth No(s). ____", "DOB: ___", "Date of Birth: ___", "Date: ___",
+      "Date Signed: ___", "Dr. ____", "Planned Procedure: ___", "Diagnosis:",
+      "Alternative Treatment: ___", "I, ___ (print name)", "plain text line",
+      "signature ____", "<br>", " ", "consent to treatment", "Date of Birth:")
+    val contentGen = Gen.listOfN(12, frag).map(_.mkString(" "))
+    forAll(contentGen, n = 300) { content =>
+      assert(ConsentExtractor.applyPlaceholders(content) ==
+        ConsentExtractor.applyPlaceholdersChained(content), s"content=$content")
+    }
+  }
+
+  test("segment-walk witness filter == the split/filter/rejoin form") {
+    val seg = Gen.oneOf(
+      "Witness Signature: ___", "witness printed name", "Doctor Signature",
+      "Parent's Name: ___", "I consent to the procedure", "____________",
+      "<strong>Consent</strong>", "Signature: ___", "", " ", "Patient/Parent/Guardian",
+      "legally authorized representative", "Dr. Smith will perform", "wit<b>ness</b> x")
+    val contentGen = Gen.listOfN(8, seg).map(_.mkString("<br>"))
+    forAll(contentGen, n = 300) { content =>
+      val want = content.split("<br>", -1).toVector.filter { s0 =>
+        val textContent =
+          (if (s0.indexOf('<') >= 0) "<[^>]+>".r.replaceAllIn(s0, "") else s0).trim
+        textContent.isEmpty ||
+          !ConsentExtractor.isWitnessOrDoctorSignatureField(textContent.toLowerCase)
+      }.mkString("<br>")
+      assert(ConsentExtractor.removeWitnessAndDoctorSignatures(content) == want,
+        s"content=$content")
+    }
+  }
+
   test("SpecRender.renderArray is byte-identical to the JObj-tree render") {
     import graft.extract.{MainExtractor, SpecRender}
     import graft.model.{JArr, Json}
