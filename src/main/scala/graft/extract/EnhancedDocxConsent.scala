@@ -56,6 +56,30 @@ object EnhancedDocxConsent {
 
   private val boldRe = "^\\*\\*(.*)\\*\\*$".r
 
+  // fold-scan bank for the per-line checks (anchors are lowercase):
+  // indices 0..patterns.length-1 = anchors, patterns.length = "signature";
+  // containsAnyFold == patterns.exists(lower.contains) || lower.contains("signature")
+  private val fieldAnchorAC = MultiSubstring(patterns.map(_.anchor) :+ "signature")
+
+  /** isDateColonLine(l.toLowerCase) without the lowered copy ("date" is the
+    * only cased part; the rest is whitespace/colon/terminator logic). */
+  private def isDateColonLineRaw(l: String): Boolean = {
+    if (l.length < 4 || !l.regionMatches(true, 0, "date", 0, 4)) return false
+    var i = 4
+    while (i < l.length && {
+      val c = l.charAt(i)
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    }) i += 1
+    if (i >= l.length || l.charAt(i) != ':') return false
+    var j = i + 1
+    while (j < l.length) {
+      val c = l.charAt(j)
+      if (c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029') return false
+      j += 1
+    }
+    true
+  }
+
   def convert(lines0: Seq[String]): String =
     convertFields(lines0)._2
 
@@ -86,11 +110,8 @@ object EnhancedDocxConsent {
         optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = 2)
       return (fields.toVector, Spec.render(fields.toSeq, includeOptional = true))
     }
-    def isFillIn(l: String): Boolean = {
-      val lower = l.toLowerCase
-      l.contains("_") && (patterns.exists(p => lower.contains(p.anchor)) ||
-        lower.contains("signature") || isDateColonLine(lower))
-    }
+    def isFillIn(l: String): Boolean =
+      l.indexOf('_') >= 0 && (fieldAnchorAC.containsAnyFold(l) || isDateColonLineRaw(l))
     val sigStart = lines.indexWhere(isFillIn)
     val contentEnd = if (sigStart >= 0) sigStart else lines.length
 
@@ -117,6 +138,8 @@ object EnhancedDocxConsent {
     while (bi < contentEnd) {
       val t = lines(bi).trim
       if (t.isEmpty) body.append("<p><br></p>")
+      else if (!(t.length >= 4 && t.startsWith("**") && t.endsWith("**")))
+        body.append("<p>").append(t).append("</p>")
       else boldRe.findFirstMatchIn(t) match {
         case Some(m) => body.append("<p><strong>").append(m.group(1)).append("</strong></p>")
         case None => body.append("<p>").append(t).append("</p>")
@@ -128,31 +151,41 @@ object EnhancedDocxConsent {
         JStr(s"""<div style="text-align:center"><strong>$title</strong><br>$body</div>""")),
       lineIdx = 0)
 
-    // ---- field pass over the whole document (document order == output order) ----
-    lines.zipWithIndex.drop(contentFrom).foreach { case (raw, idx) =>
-      val lower = raw.toLowerCase
-      if (raw.trim.nonEmpty) {
-        patterns.find(p => lower.contains(p.anchor) && !processed.contains(p.key)) match {
-          case Some(p) =>
-            val control = p.fieldType match {
-              case "date" => JObj.of("input_type" -> JStr(p.inputType.getOrElse("past")))
-              case _ => JObj.of("input_type" -> JStr(p.inputType.getOrElse("name")))
-            }
-            fields += FieldInfo(p.key, p.title, p.fieldType, "Signature",
-              optional = false, control = control, lineIdx = idx)
-            processed += p.key
-          case None =>
-            if (lower.contains("signature") && !processed.contains("signature")) {
-              fields += FieldInfo("signature", "Signature", "signature", "Signature",
-                optional = false, control = JObj(Vector.empty), lineIdx = idx)
-              processed += "signature"
-            } else if (isDateColonLine(lower) && !processed.contains("date_signed")) {
-              fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
-                optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = idx)
-              processed += "date_signed"
-            }
+    // ---- field pass over the whole document (document order == output
+    // order) ---- index loop + per-line fold flags: no tuple vector and no
+    // per-line toLowerCase copy
+    var idx = contentFrom
+    val sigFlag = patterns.length
+    while (idx < lines.length) {
+      val raw = lines(idx)
+      if (!StrUtil.isBlank(raw)) {
+        val flags = fieldAnchorAC.matchedSetFold(raw)
+        var pi = 0
+        var hit = -1
+        while (pi < patterns.length && hit < 0) {
+          if (flags(pi) && !processed.contains(patterns(pi).key)) hit = pi
+          pi += 1
+        }
+        if (hit >= 0) {
+          val p = patterns(hit)
+          val control = p.fieldType match {
+            case "date" => JObj.of("input_type" -> JStr(p.inputType.getOrElse("past")))
+            case _ => JObj.of("input_type" -> JStr(p.inputType.getOrElse("name")))
+          }
+          fields += FieldInfo(p.key, p.title, p.fieldType, "Signature",
+            optional = false, control = control, lineIdx = idx)
+          processed += p.key
+        } else if (flags(sigFlag) && !processed.contains("signature")) {
+          fields += FieldInfo("signature", "Signature", "signature", "Signature",
+            optional = false, control = JObj(Vector.empty), lineIdx = idx)
+          processed += "signature"
+        } else if (isDateColonLineRaw(raw) && !processed.contains("date_signed")) {
+          fields += FieldInfo("date_signed", "Date Signed", "date", "Signature",
+            optional = false, control = JObj.of("input_type" -> JStr("past")), lineIdx = idx)
+          processed += "date_signed"
         }
       }
+      idx += 1
     }
 
     if (!processed.contains("signature"))
@@ -166,5 +199,7 @@ object EnhancedDocxConsent {
   }
 
   private def stripBold(s: String): String =
-    boldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+    if (s.length >= 4 && s.startsWith("**") && s.endsWith("**"))
+      boldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+    else s
 }
