@@ -24,8 +24,21 @@ final class MultiSubstring private (
 
   @inline def patLen(p: Int): Int = patLens(p)
 
+  // per-char class tables for the Latin-1 range: one array load replaces
+  // the branch chain + (for non-ASCII) a boxing Map lookup per char
+  private val clsTab: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0
+    while (i < 256) {
+      val c = i.toChar
+      t(i) = (if (c < 127) i else extra.getOrElse(c, 127)).toChar
+      i += 1
+    }
+    t
+  }
+
   @inline private def cls(c: Char): Int =
-    if (c < 127) c
+    if (c < 256) clsTab(c)
     else extra.getOrElse(c, 127) // 127 = catch-all (never a pattern char)
 
   /** Char class after per-char lowercase folding: for a LOWERCASE pattern
@@ -35,10 +48,27 @@ final class MultiSubstring private (
     * because String.toLowerCase expands it to "i"+U+0307, whose combining
     * char breaks any ASCII pattern continuation — so the fold scan is exact
     * for every pattern of length >= 2 (all production banks). */
+  private val foldTab: Array[Char] = {
+    val t = new Array[Char](256)
+    var i = 0
+    while (i < 256) {
+      val c = i.toChar
+      val f =
+        if (c < 'A') i
+        else if (c <= 'Z') i + 32
+        else if (c < 127) i
+        else {
+          val lower = Character.toLowerCase(c)
+          if (lower < 256) clsTab(lower).toInt else extra.getOrElse(lower, 127)
+        }
+      t(i) = f.toChar
+      i += 1
+    }
+    t
+  }
+
   @inline private def clsFold(c: Char): Int =
-    if (c < 'A') c
-    else if (c <= 'Z') c + 32
-    else if (c < 127) c
+    if (c < 256) foldTab(c)
     else if (c == '\u0130') 127
     else cls(Character.toLowerCase(c))
 
