@@ -75,6 +75,57 @@ case class LangId(child: Expression) extends TextFnExpression {
     copy(child = newChild)
 }
 
+/** Row-local helpers callable from generated code (static forwarders). */
+object NativeExprHelpers {
+  /** MinHash signature -> "band:hash" LSH keys as a Catalyst array. */
+  def lshBandArray(text: String, k: Int, perms: Int, bands: Int)
+  : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val keys = TextFns.lshBandKeys(TextFns.minHashSignature(text, k, perms), bands)
+    val out = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      out(i) = UTF8String.fromString(i.toString + ":" + keys(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** MinHash+LSH band keys of a string column: array of "band:minhash"
+  * bucket keys (TextFns.minHashSignature + lshBandKeys fused row-local). */
+case class LshBandKeys(child: Expression, k: Int, perms: Int, bands: Int)
+    extends TextFnExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_lsh_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprHelpers.lshBandArray(input.asInstanceOf[UTF8String].toString, k, perms, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeExprHelpers.lshBandArray($c.toString(), $k, $perms, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
+/** Exact k-shingle Jaccard similarity scaled to x1000 (TextFns
+  * .jaccardShingles) as a native binary expression. */
+case class JaccardShingles1000(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_jaccard_shingles"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextFns.jaccardShingles(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextFns.jaccardShingles($a.toString(), $b.toString(), $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+  : JaccardShingles1000 = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeFns {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
@@ -84,4 +135,8 @@ object NativeFns {
   def hash64(c: Column): Column = wrap(Hash64(ex(c)))
   def bpeTokenCount(c: Column): Column = wrap(BpeTokenCount64(ex(c)))
   def langId(c: Column): Column = wrap(LangId(ex(c)))
+  def lshBandKeys(c: Column, k: Int = 3, perms: Int = 64, bands: Int = 16): Column =
+    wrap(LshBandKeys(ex(c), k, perms, bands))
+  def jaccardShingles1000(a: Column, b: Column, k: Int = 3): Column =
+    wrap(JaccardShingles1000(ex(a), ex(b), k))
 }

@@ -154,13 +154,11 @@ object Queries {
     * shape for 10^9+ docs. */
   def q14MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bandsUdf = udf { text: String =>
-      TextFns.lshBandKeys(TextFns.minHashSignature(text, k = 3, perms = 64), bands = 16)
-        .zipWithIndex.map { case (h, b) => s"$b:$h" }
-    }
-    val jaccardUdf = udf { (a: String, b: String) => TextFns.jaccardShingles(a, b, 3) }
     val docs = table(spark, dir, "documents").select("doc_id", "text")
-    val banded = docs.withColumn("band", explode(bandsUdf(col("text"))))
+    // native expressions (no ScalaUDF boundary): band keys + exact-jaccard
+    // verification both stay inside whole-stage codegen
+    val banded = docs.withColumn("band",
+      explode(graft.functions.NativeFns.lshBandKeys(col("text"), 3, 64, 16)))
     val pairs = banded.as("l").join(banded.as("r"), Seq("band"))
       .where($"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
@@ -168,7 +166,8 @@ object Queries {
     pairs
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
       .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
-      .withColumn("jaccard_x1000", jaccardUdf(col("text_a"), col("text_b")))
+      .withColumn("jaccard_x1000",
+        graft.functions.NativeFns.jaccardShingles1000(col("text_a"), col("text_b"), 3))
       .where(col("jaccard_x1000") >= 500)
       .select("doc_a", "doc_b", "jaccard_x1000")
       .orderBy("doc_a", "doc_b")

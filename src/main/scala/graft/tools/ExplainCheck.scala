@@ -55,6 +55,10 @@ object ExplainCheck {
       ("expression inside codegen stage", _.contains("graft_simhash64")))
     plan("q20_bpe_tokens", graft.queries.Queries.q20BpeTokens(spark, dir),
       ("no ScalaUDF boundary", p => !p.contains("ScalaUDF")))
+    plan("q14_minhash_lsh", graft.queries.Queries.q14MinhashLsh(spark, dir),
+      // round-4: band keys + jaccard verification are native expressions
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
+      ("native band-key expression", _.contains("graft_lsh_band_keys")))
     plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
       // fully-builtin pipeline: simhash + band math + bit_count(xor)
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),

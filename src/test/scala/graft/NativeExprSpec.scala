@@ -46,6 +46,34 @@ class NativeExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LshBandKeys / JaccardShingles1000 match the row-local functions") {
+    val sp = spark
+    import sp.implicits._
+    val df = samples.toDF("text")
+    val bandRows = df.select(col("text"),
+      NativeFns.lshBandKeys(col("text"), 3, 64, 16).as("bands")).collect()
+    bandRows.foreach { r =>
+      val s = r.getAs[String]("text")
+      val want = TextFns.lshBandKeys(TextFns.minHashSignature(s, 3, 64), 16)
+        .zipWithIndex.map { case (h, b) => s"$b:$h" }.toList
+      assert(r.getSeq[String](1).toList == want, s"bands s=$s")
+    }
+    val pairs = Seq(("hello world", "hello world"), ("abcdef", "abcxyz"), ("", "x"))
+    val jacRows = pairs.toDF("a", "b").select(col("a"), col("b"),
+      NativeFns.jaccardShingles1000(col("a"), col("b"), 3).as("j")).collect()
+    jacRows.foreach { r =>
+      assert(r.getAs[Int]("j") ==
+        TextFns.jaccardShingles(r.getAs[String]("a"), r.getAs[String]("b"), 3))
+    }
+    // SQL registration + codegen path (no ScalaUDF in plan)
+    val planStr = df.select(NativeFns.lshBandKeys(col("text")).as("b"),
+      NativeFns.jaccardShingles1000(col("text"), col("text")).as("j"))
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("ScalaUDF"), planStr)
+    assert(spark.sql("select graft_jaccard_shingles('abcdef','abcdef')").as[Int].head() == 1000)
+    assert(spark.sql("select size(graft_lsh_band_keys('hello world'))").as[Int].head() == 16)
+  }
+
   test("Column API equivalence on a table and null propagation") {
     val sp = spark
     import sp.implicits._
