@@ -81,10 +81,19 @@ object Extractor {
           ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
         (ft, sub, fis, Spec.render(fis, includeOptional = false))
       }
+    // per-title occurrence cursor: the second field labeled "Date:" maps to
+    // the second occurrence in main_text, not an alias of the first; a field
+    // whose title has no FURTHER occurrence falls back to the first one
+    // (previous behavior for over-shared titles)
+    val titleCursor = scala.collection.mutable.HashMap.empty[String, Int]
     val spans = fields.map { f =>
       if (f.fieldType == "text") Span(f.key, 0, mainText.length)
+      else if (f.title.isEmpty) Span(f.key, -1, -1)
       else {
-        val i = if (f.title.nonEmpty) mainText.indexOf(f.title) else -1
+        val from = titleCursor.getOrElse(f.title, 0)
+        val next = mainText.indexOf(f.title, from)
+        if (next >= 0) titleCursor(f.title) = next + f.title.length
+        val i = if (next >= 0 || from == 0) next else mainText.indexOf(f.title)
         if (i >= 0) Span(f.key, i, i + f.title.length) else Span(f.key, -1, -1)
       }
     }

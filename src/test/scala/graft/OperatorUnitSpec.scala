@@ -143,4 +143,24 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(ConsentExtractor.toTitleCase("consent for the removal of teeth") == "Consent for the Removal of Teeth")
     assert(ConsentExtractor.toTitleCase("crown-bridge consent") == "Crown-Bridge Consent")
   }
+
+  test("repeated field titles map to successive main_text occurrences") {
+    val doc = "## PATIENT INFORMATION\nFirst Name\nCity\nState\nZip\n" +
+      "## DENTAL BENEFIT PLAN INFORMATION PRIMARY\nCity\nState\nZip\nSignature: ____"
+    val e = graft.extract.Extractor.extractTurn(doc, "docling_md")
+    val resolved = e.spans.filter(_.start >= 0)
+    // the two document occurrences of "City" (and "State", "Zip") are
+    // assigned to distinct spans, in order
+    Seq("City", "State", "Zip").foreach { title =>
+      val occ1 = e.mainText.indexOf(title)
+      val occ2 = e.mainText.indexOf(title, occ1 + 1)
+      assert(occ1 >= 0 && occ2 > occ1, s"test doc must repeat $title")
+      val starts = resolved.filter(s => e.mainText.startsWith(title, s.start) &&
+        s.end - s.start == title.length).map(_.start).distinct.sorted
+      assert(starts.take(2) == Vector(occ1, occ2), s"$title spans=$starts")
+    }
+    // injected fields whose title has no further occurrence fall back to the
+    // first occurrence instead of -1
+    assert(resolved.nonEmpty)
+  }
 }
