@@ -2,9 +2,6 @@ package graft.spark
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** The north-star batch job (SURVEY.md §3.5, §4.3):
   *
@@ -100,143 +97,28 @@ object ExtractionJob {
         (r.getAs[Long]("x") ^ (r.getAs[Long]("n") * 0x9E3779B97F4A7C15L)))
       .toMap
 
-  // ---- snapshot manifest protocol ----
+  // ---- table-format seam (SURVEY.md §7.4.7) ----
+  // The snapshot/commit/read protocol lives behind TableFormat; the default
+  // is the file-based snapshot-manifest implementation. These forwarders
+  // keep the historical ExtractionJob.* entry points stable.
 
-  def latestSnapshot(outDir: String): Option[Int] = {
-    val p = Paths.get(outDir, "snapshots", "_latest")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
-    else None
-  }
+  val defaultFormat: TableFormat = SnapshotManifestFormat
 
-  private val fpEntryRe =
-    "\\{\"bucket\":(\\d+),\"fp\":(-?\\d+)\\}".r
+  def latestSnapshot(outDir: String): Option[Int] = defaultFormat.latestSnapshot(outDir)
 
-  private val fileEntryRe =
-    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)\\}".r
+  def readManifest(outDir: String): Option[Manifest] = defaultFormat.readManifest(outDir)
 
-  /** Parse the latest committed manifest. Manifest format:
-    * {"snapshot_id":K,"committed_buckets":[..],
-    *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
-    *  "committed_at":".."} — `files` lists every committed data file.
-    */
-  def readManifest(outDir: String): Option[Manifest] = latestSnapshot(outDir).map { k =>
-    val manifest = new String(
-      Files.readAllBytes(Paths.get(outDir, "snapshots", s"snap-$k.json")), StandardCharsets.UTF_8)
-    val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
-      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
-    val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-    val files = fileEntryRe.findAllMatchIn(manifest)
-      .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
-    val fps = fpEntryRe.findAllMatchIn(manifest)
-      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""), inputFps = fps)
-  }
+  def committedBuckets(outDir: String): Set[Int] = defaultFormat.committedBuckets(outDir)
 
-  /** Committed = listed in the manifest AND every listed data file for the
-    * bucket is still present on disk. A bucket whose files were lost (or a
-    * legacy partial promote) is treated as uncommitted and recomputed on
-    * resume. Buckets with zero rows legitimately list no files — but ONLY
-    * when the manifest carries a files list at all; a legacy manifest
-    * (pre-file-granularity, no "files" key) can't distinguish lost files
-    * from empty buckets, so it falls back to bucket-directory existence.
-    */
-  def committedBuckets(outDir: String): Set[Int] = readManifest(outDir) match {
-    case None => Set.empty
-    case Some(man) =>
-      val dataDir = Paths.get(outDir, "data")
-      if (!man.hasFilesList)
-        man.buckets.filter(b => Files.isDirectory(dataDir.resolve(s"bucket=$b")))
-      else {
-        val byBucket = man.files.groupBy(_.bucket)
-        man.buckets.filter { b =>
-          byBucket.getOrElse(b, Vector.empty)
-            .forall(f => Files.exists(dataDir.resolve(f.path)))
-        }
-      }
-  }
-
-  /** Per-file (bucket, relative path, row count) for a staged wave, with row
-    * counts taken from each parquet file's FOOTER metadata — a driver-side
-    * read of a few KB per file instead of a second scan of the wave's data.
-    * File count per wave is bounded by the write's partition count, so the
-    * driver-side loop is manifest-sized (the same loop a real Iceberg commit
-    * performs when it collects DataFile stats).
-    */
-  /** Materialized directory listing — closes the underlying Files.list
-    * stream (each open stream holds a directory fd; long-running drivers
-    * commit many waves).
-    */
-  private def listDir(dir: Path): Vector[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toVector finally s.close()
-  }
-
-  /** Recursive delete, deepest-first, with the Files.walk stream closed. */
-  private def deleteRecursively(root: Path): Unit = {
-    val s = Files.walk(root)
-    val paths = try s.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.toVector finally s.close()
-    paths.foreach(Files.delete)
-  }
-
-  private[spark] def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val stagingPath = Paths.get(staging)
-    if (!Files.isDirectory(stagingPath)) return Seq.empty
-    listDir(stagingPath)
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .flatMap { bucketDir =>
-        val bucket = bucketDir.getFileName.toString.stripPrefix("bucket=").toInt
-        listDir(bucketDir)
-          .filter { f =>
-            val n = f.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
-          .map { f =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f.toUri), hconf)
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val rows = try reader.getRecordCount finally reader.close()
-            FileEntry(bucket, s"bucket=$bucket/${f.getFileName}", rows)
-          }
-      }
-      .toVector.sortBy(f => (f.bucket, f.path))
-  }
-
-  private def atomicWrite(path: Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def commitSnapshot(outDir: String, snapshotId: Int, buckets: Set[Int],
-                             files: Seq[FileEntry], lineage: Seq[LineageRow],
-                             inputFps: Map[Int, Long]): Unit = {
-    val lineageJson = lineage.sortBy(_.bucket).map { r =>
-      s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
-        s""""field_count_sum":${r.field_count_sum},"extract_ms":${r.extract_ms},"committed_at":"${r.committed_at}"}"""
-    }.mkString("[\n", ",\n", "\n]")
-    atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
-    val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
-      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount}}"""
-    }.mkString("[", ",", "]")
-    val fpsJson =
-      if (inputFps.isEmpty) ""
-      else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
-        .mkString(""""input_fps":[""", ",", "],")
-    val manifest =
-      s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
-    atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
-    atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
-  }
+  private[spark] def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] =
+    defaultFormat.listStagedFiles(spark, staging)
 
   /** Run the job with wave-grained snapshot commits. Returns the set of
     * buckets committed by this invocation (empty if everything was already
     * committed — the resume-no-recompute property).
     */
-  def run(spark: SparkSession, turns: Dataset[Turn], config: Config): Set[Int] = {
+  def run(spark: SparkSession, turns: Dataset[Turn], config: Config,
+          format: TableFormat = SnapshotManifestFormat): Set[Int] = {
     import spark.implicits._
     // change-detection resume: a committed bucket whose INPUT fingerprint
     // differs from the one recorded at commit time is treated as
@@ -244,8 +126,8 @@ object ExtractionJob {
     val currentFps: Map[Int, Long] =
       if (config.fingerprintInputs) inputFingerprints(spark, turns, config.buckets)
       else Map.empty
-    val verified = committedBuckets(config.outDir)
-    val manFps = readManifest(config.outDir).map(_.inputFps).getOrElse(Map.empty)
+    val verified = format.committedBuckets(config.outDir)
+    val manFps = format.readManifest(config.outDir).map(_.inputFps).getOrElse(Map.empty)
     val already =
       if (config.fingerprintInputs && manFps.nonEmpty)
         verified.filter(b => manFps.get(b) == currentFps.get(b))
@@ -256,11 +138,11 @@ object ExtractionJob {
     val waveSize = math.max(1, math.ceil(remaining.size.toDouble / config.waves).toInt)
     val waves = remaining.grouped(waveSize).toVector
     var committed = already
-    var snapshotId = latestSnapshot(config.outDir).getOrElse(-1)
+    var snapshotId = format.latestSnapshot(config.outDir).getOrElse(-1)
     var doneThisRun = Set.empty[Int]
     // carry forward only files of buckets still verified-committed; stale
     // entries of recomputed buckets are dropped and replaced by this run's
-    var committedFiles: Vector[FileEntry] = readManifest(config.outDir)
+    var committedFiles: Vector[FileEntry] = format.readManifest(config.outDir)
       .map(_.files.filter(f => already.contains(f.bucket))).getOrElse(Vector.empty)
 
     val withBucket = turns
@@ -304,33 +186,20 @@ object ExtractionJob {
       // per-file row counts come from the parquet FOOTERS (pure metadata
       // reads — at 100 TB this replaces a second full-output scan with a few
       // KB per file; file paths are preserved by the promote's directory move)
-      val perFile = listStagedFiles(spark, staging)
+      val perFile = format.listStagedFiles(spark, staging)
       val waveFiles = perFile.toVector
       val lineage = perFile.groupBy(_.bucket).map { case (bucket, fs) =>
         LineageRow(snapshotId + 1, bucket.toLong, fs.map(_.rowCount).sum,
           fieldSums.getOrElse(bucket, 0L), extractMs, now)
       }.toVector
 
-      // promote staged bucket dirs into data/ then commit the snapshot
-      val dataDir = Paths.get(config.outDir, "data")
-      Files.createDirectories(dataDir)
-      listDir(Paths.get(staging))
-        .filter(p => p.getFileName.toString.startsWith("bucket="))
-        .foreach { p =>
-          val target = dataDir.resolve(p.getFileName.toString)
-          if (Files.exists(target)) { // only possible on dirty staging replay
-            deleteRecursively(target)
-          }
-          Files.move(p, target)
-        }
-      deleteRecursively(Paths.get(staging))
-
       snapshotId += 1
       committed = committed ++ waveBuckets
       doneThisRun = doneThisRun ++ waveBuckets
       committedFiles = committedFiles ++ waveFiles
-      commitSnapshot(config.outDir, snapshotId, committed, committedFiles, lineage,
-        if (config.fingerprintInputs) currentFps else Map.empty)
+      // promote the staged wave and atomically commit the snapshot
+      format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
+        lineage, if (config.fingerprintInputs) currentFps else Map.empty)
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -338,23 +207,10 @@ object ExtractionJob {
     doneThisRun
   }
 
-  /** Read the committed table: exactly the data files listed in the latest
-    * committed manifest. A crash between bucket promotion and commitSnapshot
-    * can leave promoted-but-uncommitted dirs (or extra files) under data/ —
-    * readers must not see them (snapshot-isolation read semantics). Legacy
-    * manifests without a file list fall back to committed bucket dirs.
-    */
-  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
-    val man = readManifest(outDir)
-      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
-    val paths =
-      if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
-      else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
-    require(paths.nonEmpty, s"empty committed snapshot under $outDir")
-    spark.read
-      .option("basePath", s"$outDir/data")
-      .parquet(paths: _*)
-  }
+  /** Snapshot-isolated read of the committed table (see
+    * TableFormat.readCommitted). */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame =
+    defaultFormat.readCommitted(spark, outDir)
 }
 
 final case class TurnWithBucket(

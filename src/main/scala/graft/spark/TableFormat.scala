@@ -1,0 +1,217 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import ExtractionJob.{FileEntry, LineageRow, Manifest}
+
+/** Table-format seam (SURVEY.md §7.4.7): everything ExtractionJob needs
+  * from the underlying table format — snapshot lookup, committed-state
+  * verification, wave commit (promote + manifest + lineage, atomically
+  * versioned) and snapshot-isolated reads. The default implementation is
+  * the file-based snapshot-manifest protocol below; a real Iceberg catalog
+  * (commit via Catalog/Table.newAppend, read via the snapshot scan) drops
+  * in behind this trait without touching the job.
+  */
+trait TableFormat {
+
+  /** Current snapshot id, if any commit exists. */
+  def latestSnapshot(outDir: String): Option[Int]
+
+  /** Parsed manifest of the latest snapshot. */
+  def readManifest(outDir: String): Option[Manifest]
+
+  /** Buckets whose committed state is VERIFIED (manifest entry + every
+    * listed data file present). */
+  def committedBuckets(outDir: String): Set[Int]
+
+  /** Per-file (bucket, relative path, row count) for a staged wave, row
+    * counts from file metadata (no data re-read). */
+  def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry]
+
+  /** Promote the staged wave into the table and atomically commit snapshot
+    * `snapshotId` carrying the cumulative committed buckets/files, the
+    * wave's lineage rows and (optionally) input fingerprints. */
+  def commitWave(outDir: String, staging: String, snapshotId: Int,
+                 buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
+                 inputFps: Map[Int, Long]): Unit
+
+  /** Snapshot-isolated read: exactly the files of the latest committed
+    * manifest (promoted-but-uncommitted data is invisible). */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame
+}
+
+/** The thin file-based snapshot-manifest protocol (no Iceberg jar ships in
+  * /opt/spark/jars):
+  *
+  *   out/data/bucket=B/part-....parquet  committed data, sorted by (conv_id, turn_idx)
+  *   out/lineage/lineage-K.json       per-bucket lineage rows for snapshot K
+  *   out/snapshots/snap-K.json        manifest: cumulative committed buckets
+  *                                    + exact data files with row counts
+  *   out/snapshots/_latest            current snapshot id (atomic rename)
+  */
+object SnapshotManifestFormat extends TableFormat {
+
+  override def latestSnapshot(outDir: String): Option[Int] = {
+    val p = Paths.get(outDir, "snapshots", "_latest")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  private val fpEntryRe =
+    "\\{\"bucket\":(\\d+),\"fp\":(-?\\d+)\\}".r
+
+  private val fileEntryRe =
+    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)\\}".r
+
+  /** Parse the latest committed manifest. Manifest format:
+    * {"snapshot_id":K,"committed_buckets":[..],
+    *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
+    *  "committed_at":".."} — `files` lists every committed data file.
+    */
+  override def readManifest(outDir: String): Option[Manifest] = latestSnapshot(outDir).map { k =>
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(outDir, "snapshots", s"snap-$k.json")), StandardCharsets.UTF_8)
+    val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
+    val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    val files = fileEntryRe.findAllMatchIn(manifest)
+      .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
+    val fps = fpEntryRe.findAllMatchIn(manifest)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""), inputFps = fps)
+  }
+
+  /** Committed = listed in the manifest AND every listed data file for the
+    * bucket is still present on disk. A bucket whose files were lost (or a
+    * legacy partial promote) is treated as uncommitted and recomputed on
+    * resume. Buckets with zero rows legitimately list no files — but ONLY
+    * when the manifest carries a files list at all; a legacy manifest
+    * (pre-file-granularity, no "files" key) can't distinguish lost files
+    * from empty buckets, so it falls back to bucket-directory existence.
+    */
+  override def committedBuckets(outDir: String): Set[Int] = readManifest(outDir) match {
+    case None => Set.empty
+    case Some(man) =>
+      val dataDir = Paths.get(outDir, "data")
+      if (!man.hasFilesList)
+        man.buckets.filter(b => Files.isDirectory(dataDir.resolve(s"bucket=$b")))
+      else {
+        val byBucket = man.files.groupBy(_.bucket)
+        man.buckets.filter { b =>
+          byBucket.getOrElse(b, Vector.empty)
+            .forall(f => Files.exists(dataDir.resolve(f.path)))
+        }
+      }
+  }
+
+  /** Materialized directory listing — closes the underlying Files.list
+    * stream (each open stream holds a directory fd; long-running drivers
+    * commit many waves).
+    */
+  private def listDir(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  /** Recursive delete, deepest-first, with the Files.walk stream closed. */
+  private def deleteRecursively(root: Path): Unit = {
+    val s = Files.walk(root)
+    val paths = try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.toVector finally s.close()
+    paths.foreach(Files.delete)
+  }
+
+  /** Row counts come from each parquet file's FOOTER metadata — a
+    * driver-side read of a few KB per file instead of a second scan of the
+    * wave's data. File count per wave is bounded by the write's partition
+    * count, so the driver-side loop is manifest-sized (the same loop a real
+    * Iceberg commit performs when it collects DataFile stats).
+    */
+  override def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val stagingPath = Paths.get(staging)
+    if (!Files.isDirectory(stagingPath)) return Seq.empty
+    listDir(stagingPath)
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .flatMap { bucketDir =>
+        val bucket = bucketDir.getFileName.toString.stripPrefix("bucket=").toInt
+        listDir(bucketDir)
+          .filter { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val rows = try reader.getRecordCount finally reader.close()
+            FileEntry(bucket, s"bucket=$bucket/${f.getFileName}", rows)
+          }
+      }
+      .toVector.sortBy(f => (f.bucket, f.path))
+  }
+
+  private def atomicWrite(path: Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def commitWave(outDir: String, staging: String, snapshotId: Int,
+                          buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
+                          inputFps: Map[Int, Long]): Unit = {
+    // promote staged bucket dirs into data/ then commit the snapshot
+    val dataDir = Paths.get(outDir, "data")
+    Files.createDirectories(dataDir)
+    listDir(Paths.get(staging))
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .foreach { p =>
+        val target = dataDir.resolve(p.getFileName.toString)
+        if (Files.exists(target)) { // only possible on dirty staging replay
+          deleteRecursively(target)
+        }
+        Files.move(p, target)
+      }
+    deleteRecursively(Paths.get(staging))
+
+    val lineageJson = lineage.sortBy(_.bucket).map { r =>
+      s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
+        s""""field_count_sum":${r.field_count_sum},"extract_ms":${r.extract_ms},"committed_at":"${r.committed_at}"}"""
+    }.mkString("[\n", ",\n", "\n]")
+    atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
+    val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
+      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount}}"""
+    }.mkString("[", ",", "]")
+    val fpsJson =
+      if (inputFps.isEmpty) ""
+      else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
+        .mkString(""""input_fps":[""", ",", "],")
+    val manifest =
+      s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
+        s"""$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+    atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
+    atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
+  }
+
+  /** Read the committed table: exactly the data files listed in the latest
+    * committed manifest. A crash between bucket promotion and the snapshot
+    * commit can leave promoted-but-uncommitted dirs (or extra files) under
+    * data/ — readers must not see them (snapshot-isolation read semantics).
+    * Legacy manifests without a file list fall back to committed bucket dirs.
+    */
+  override def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val man = readManifest(outDir)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    val paths =
+      if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
+      else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
+    require(paths.nonEmpty, s"empty committed snapshot under $outDir")
+    spark.read
+      .option("basePath", s"$outDir/data")
+      .parquet(paths: _*)
+  }
+}
