@@ -38,7 +38,14 @@ object ExtractionJob {
       // (upstream backfill/correction). Costs one narrow aggregation scan of
       // the input per run, so it is opt-in; file-based inputs should prefer
       // file-level manifest diff (the input table's own snapshot lineage).
-      fingerprintInputs: Boolean = false
+      fingerprintInputs: Boolean = false,
+      // conversation-grained incremental re-extraction (supersedes
+      // fingerprintInputs): per-conv_id fingerprints are recorded in a
+      // parquet sidecar; a dirty bucket recomputes ONLY its changed
+      // conversations, committed as an additive delta file plus an equality
+      // delete file — the Iceberg merge-on-read shape. Surviving data files
+      // are never rewritten or re-extracted.
+      convGrained: Boolean = false
   )
 
   final case class LineageRow(
@@ -52,13 +59,14 @@ object ExtractionJob {
   /** One committed data file: path relative to out/data plus its row count
     * (Iceberg-manifest granularity — enables file-level conflict detection
     * and exact-file snapshot reads). */
-  final case class FileEntry(bucket: Int, path: String, rowCount: Long)
+  final case class FileEntry(bucket: Int, path: String, rowCount: Long, seq: Int = 0)
 
   /** hasFilesList distinguishes a manifest that genuinely lists zero files
     * (all-empty buckets) from a legacy manifest written before file
     * granularity existed — the two need different resume verification. */
   final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry],
-                            hasFilesList: Boolean, inputFps: Map[Int, Long])
+                            hasFilesList: Boolean, inputFps: Map[Int, Long],
+                            convFpsDir: Option[String] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -97,6 +105,31 @@ object ExtractionJob {
         (r.getAs[Long]("x") ^ (r.getAs[Long]("n") * 0x9E3779B97F4A7C15L)))
       .toMap
 
+  private val fpMix = 0x9E3779B97F4A7C15L
+
+  /** Per-conversation content fingerprints (bucket, conv_id, fp): same
+    * order-independent XOR + count mix as inputFingerprints, one narrow
+    * map-side-combined aggregation, conversation grain. */
+  def convFingerprints(spark: SparkSession, turns: Dataset[Turn], buckets: Int): DataFrame =
+    turns.toDF()
+      .groupBy(bucketOf(buckets).as("bucket"), col("conv_id"))
+      .agg(
+        expr("bit_xor(xxhash64(conv_id, turn_idx, role, text, tool, ts))").as("x"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"), col("conv_id"),
+        // count mixed in via xxhash64 (a multiply would overflow under ANSI)
+        (col("x").bitwiseXOR(xxhash64(col("n")))).as("fp"))
+
+  /** Bucket fingerprints derived from the conv grain (pure function of the
+    * conv fps, so recorded and current values are comparable). */
+  def bucketFpsFromConv(convFps: DataFrame): Map[Int, Long] =
+    convFps.groupBy("bucket")
+      .agg(expr("bit_xor(fp)").as("x"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("x") ^ (r.getAs[Long]("n") * fpMix)))
+      .toMap
+
   // ---- table-format seam (SURVEY.md §7.4.7) ----
   // The snapshot/commit/read protocol lives behind TableFormat; the default
   // is the file-based snapshot-manifest implementation. These forwarders
@@ -114,11 +147,17 @@ object ExtractionJob {
     defaultFormat.listStagedFiles(spark, staging)
 
   /** Run the job with wave-grained snapshot commits. Returns the set of
-    * buckets committed by this invocation (empty if everything was already
-    * committed — the resume-no-recompute property).
+    * buckets committed (or, conv-grained, delta-updated) by this invocation
+    * (empty if everything was already committed — the resume-no-recompute
+    * property).
     */
   def run(spark: SparkSession, turns: Dataset[Turn], config: Config,
-          format: TableFormat = SnapshotManifestFormat): Set[Int] = {
+          format: TableFormat = SnapshotManifestFormat): Set[Int] =
+    if (config.convGrained) runConvGrained(spark, turns, config, format)
+    else runBucketGrained(spark, turns, config, format)
+
+  private def runBucketGrained(spark: SparkSession, turns: Dataset[Turn], config: Config,
+          format: TableFormat): Set[Int] = {
     import spark.implicits._
     // change-detection resume: a committed bucket whose INPUT fingerprint
     // differs from the one recorded at commit time is treated as
@@ -149,49 +188,9 @@ object ExtractionJob {
       .withColumn("bucket", bucketOf(config.buckets))
 
     waves.zipWithIndex.foreach { case (waveBuckets, waveIdx) =>
-      val t0 = System.nanoTime()
-      val wave = withBucket
-        .where(col("bucket").isin(waveBuckets: _*))
-        // skew-aware compute shuffle: salted key, NOT conv_id
-        .repartition(spark.sessionState.conf.numShufflePartitions,
-          saltKey(config.saltTurnsPerSplit))
-      val extracted = wave.as[TurnWithBucket].map { t =>
-        val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
-        ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
-          e.fieldsJson, e.fieldCount, e.sectionCount, t.bucket)
-      }
-      // lineage metrics ride the write itself: observe() collects per-bucket
-      // field sums exactly once during the write action (CollectMetrics is
-      // retry-safe, unlike accumulators) — no post-write re-read of the data
-      val obs = org.apache.spark.sql.Observation(s"wave-$waveIdx")
-      val fieldSumMetrics = waveBuckets.map(b =>
-        sum(when(col("bucket") === b, col("field_count")).otherwise(lit(0L)))
-          .as(s"fsum_$b"))
-      // write-locality exchange: co-locate each bucket, restore stable order
-      val staging = s"${config.outDir}/staging-wave-$waveIdx"
-      extracted
-        .observe(obs, fieldSumMetrics.head, fieldSumMetrics.tail: _*)
-        .repartition(waveBuckets.size, col("bucket"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
-
-      val extractMs = (System.nanoTime() - t0) / 1000000
-      val now = java.time.Instant.now().toString
-      val fieldSums: Map[Int, Long] = waveBuckets.map { b =>
-        b -> (obs.get(s"fsum_$b") match {
-          case null => 0L
-          case n: Number => n.longValue()
-        })
-      }.toMap
-      // per-file row counts come from the parquet FOOTERS (pure metadata
-      // reads — at 100 TB this replaces a second full-output scan with a few
-      // KB per file; file paths are preserved by the promote's directory move)
-      val perFile = format.listStagedFiles(spark, staging)
-      val waveFiles = perFile.toVector
-      val lineage = perFile.groupBy(_.bucket).map { case (bucket, fs) =>
-        LineageRow(snapshotId + 1, bucket.toLong, fs.map(_.rowCount).sum,
-          fieldSums.getOrElse(bucket, 0L), extractMs, now)
-      }.toVector
+      val input = withBucket.where(col("bucket").isin(waveBuckets: _*)).as[TurnWithBucket]
+      val (staging, waveFiles, lineage) =
+        stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx", snapshotId + 1)
 
       snapshotId += 1
       committed = committed ++ waveBuckets
@@ -199,12 +198,163 @@ object ExtractionJob {
       committedFiles = committedFiles ++ waveFiles
       // promote the staged wave and atomically commit the snapshot
       format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
-        lineage, if (config.fingerprintInputs) currentFps else Map.empty)
+        lineage, if (config.fingerprintInputs) currentFps else Map.empty,
+        additive = false, convFpsDir = None)
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
     }
     doneThisRun
+  }
+
+  /** Extract one wave's input, stage the sorted per-bucket parquet output,
+    * and return (stagingDir, file entries stamped with `commitSeq`, lineage
+    * rows). Shared by the full-bucket waves and the conv-grained delta
+    * stage (whose input is the changed-conversation subset).
+    */
+  private def stageWave(spark: SparkSession, input: Dataset[TurnWithBucket], config: Config,
+                        format: TableFormat, waveBuckets: Seq[Int], waveTag: String,
+                        commitSeq: Int): (String, Vector[FileEntry], Vector[LineageRow]) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    // skew-aware compute shuffle: salted key, NOT conv_id
+    val wave = input.repartition(spark.sessionState.conf.numShufflePartitions,
+      saltKey(config.saltTurnsPerSplit))
+    val extracted = wave.map { t =>
+      val e = graft.extract.Extractor.extractTurn(t.text, t.tool)
+      ExtractedTurnB(t.conv_id, t.turn_idx, e.formType, e.formSubtype, e.mainText, e.spans,
+        e.fieldsJson, e.fieldCount, e.sectionCount, t.bucket)
+    }
+    // lineage metrics ride the write itself: observe() collects per-bucket
+    // field sums exactly once during the write action (CollectMetrics is
+    // retry-safe, unlike accumulators) — no post-write re-read of the data
+    val obs = org.apache.spark.sql.Observation(waveTag)
+    val fieldSumMetrics = waveBuckets.map(b =>
+      sum(when(col("bucket") === b, col("field_count")).otherwise(lit(0L)))
+        .as(s"fsum_$b"))
+    // write-locality exchange: co-locate each bucket, restore stable order
+    val staging = s"${config.outDir}/staging-$waveTag"
+    extracted
+      .observe(obs, fieldSumMetrics.head, fieldSumMetrics.tail: _*)
+      .repartition(waveBuckets.size, col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+
+    val extractMs = (System.nanoTime() - t0) / 1000000
+    val now = java.time.Instant.now().toString
+    val fieldSums: Map[Int, Long] = waveBuckets.map { b =>
+      b -> (obs.get(s"fsum_$b") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      })
+    }.toMap
+    // per-file row counts come from the parquet FOOTERS (pure metadata
+    // reads — at 100 TB this replaces a second full-output scan with a few
+    // KB per file; file paths are preserved by the promote's directory move)
+    val perFile = format.listStagedFiles(spark, staging).toVector
+    val lineage = perFile.groupBy(_.bucket).map { case (bucket, fs) =>
+      LineageRow(commitSeq, bucket.toLong, fs.map(_.rowCount).sum,
+        fieldSums.getOrElse(bucket, 0L), extractMs, now)
+    }.toVector
+    (staging, perFile.map(_.copy(seq = commitSeq)), lineage)
+  }
+
+  /** Conversation-grained incremental run (config.convGrained): per-conv
+    * fingerprints are diffed against the sidecar recorded at the last
+    * commit; a dirty bucket recomputes ONLY its changed conversations,
+    * committed as an additive delta data file plus an equality delete file
+    * (Iceberg merge-on-read). Surviving data files are untouched — neither
+    * re-extracted nor rewritten. Never-committed buckets take the normal
+    * full-wave path. The delta stage commits FIRST so a kill mid-run leaves
+    * dirty buckets marked with their old fingerprints (still dirty on
+    * resume) rather than silently clean.
+    */
+  private def runConvGrained(spark: SparkSession, turns: Dataset[Turn], config: Config,
+                             format: TableFormat): Set[Int] = {
+    import spark.implicits._
+    val convFps = convFingerprints(spark, turns, config.buckets).cache()
+    try {
+      val currentFps = bucketFpsFromConv(convFps)
+      val man = format.readManifest(config.outDir)
+      val verified = format.committedBuckets(config.outDir)
+      val manFps = man.map(_.inputFps).getOrElse(Map.empty)
+      val dirty = verified.toSeq.filter(b => manFps.get(b) != currentFps.get(b)).sorted
+      val uncommitted = (0 until config.buckets).filterNot(verified.contains)
+      if (dirty.isEmpty && uncommitted.isEmpty) return Set.empty
+
+      var snapshotId = format.latestSnapshot(config.outDir).getOrElse(-1)
+      // this run's conv-fp sidecar; prior sidecars stay for older snapshots
+      val newConvFpsDir = s"fp-${snapshotId + 1}"
+      convFps.write.mode(SaveMode.Overwrite)
+        .parquet(s"${config.outDir}/conv_fps/$newConvFpsDir")
+
+      var committed = verified
+      // keep ALL verified buckets' files — dirty buckets' survivors stay
+      var committedFiles: Vector[FileEntry] =
+        man.map(_.files.filter(f => verified.contains(f.bucket))).getOrElse(Vector.empty)
+      var fpsBase = manFps
+      var done = Set.empty[Int]
+      val withBucket = turns.withColumn("bucket", bucketOf(config.buckets))
+
+      // ---- delta stage: changed conversations of dirty buckets ----
+      if (dirty.nonEmpty) {
+        val priorConvFps: DataFrame = man.flatMap(_.convFpsDir) match {
+          case Some(d) if new java.io.File(s"${config.outDir}/conv_fps/$d").isDirectory =>
+            spark.read.parquet(s"${config.outDir}/conv_fps/$d")
+          case _ => // no recorded sidecar: every conversation counts as changed
+            spark.emptyDataset[(Int, String, Long)].toDF("bucket", "conv_id", "fp")
+        }
+        val cur = convFps.where(col("bucket").isin(dirty: _*))
+          .select(col("bucket"), col("conv_id"), col("fp").as("cfp"))
+        val pri = priorConvFps.where(col("bucket").isin(dirty: _*))
+          .select(col("bucket"), col("conv_id"), col("fp").as("pfp"))
+        val differing = cur.join(pri, Seq("bucket", "conv_id"), "full_outer")
+          .where(!(col("cfp") <=> col("pfp"))).cache()
+        val seq = snapshotId + 1
+        // equality delete file (the Iceberg MOR shape): rows for these
+        // conversations in files with a LOWER seq are invisible to readers
+        differing.select(col("bucket"), col("conv_id"), lit(seq).as("seq"))
+          .write.mode(SaveMode.Overwrite).parquet(s"${config.outDir}/deletes/snap-$seq")
+        // recompute ONLY conversations that still exist with changed content
+        val changedKeys = differing.where(col("cfp").isNotNull).select("bucket", "conv_id")
+        val toRecompute = withBucket
+          .join(changedKeys, Seq("bucket", "conv_id"), "left_semi").as[TurnWithBucket]
+        val (staging, files, lineage) =
+          stageWave(spark, toRecompute, config, format, dirty, s"delta-$seq", seq)
+        differing.unpersist()
+
+        snapshotId = seq
+        done = done ++ dirty
+        committedFiles = committedFiles ++ files
+        fpsBase = dirty.foldLeft(fpsBase) { (m, b) =>
+          currentFps.get(b) match {
+            case Some(fp) => m.updated(b, fp)
+            case None => m - b
+          }
+        }
+        format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
+          lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir))
+      }
+
+      // ---- full waves for never-committed buckets ----
+      if (uncommitted.nonEmpty) {
+        val waveSize = math.max(1, math.ceil(uncommitted.size.toDouble / config.waves).toInt)
+        uncommitted.grouped(waveSize).zipWithIndex.foreach { case (waveBuckets, waveIdx) =>
+          val seq = snapshotId + 1
+          val input = withBucket.where(col("bucket").isin(waveBuckets: _*)).as[TurnWithBucket]
+          val (staging, files, lineage) =
+            stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx", seq)
+          snapshotId = seq
+          committed = committed ++ waveBuckets
+          done = done ++ waveBuckets
+          committedFiles = committedFiles ++ files
+          fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
+          format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
+            lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir))
+        }
+      }
+      done
+    } finally { convFps.unpersist(); () }
   }
 
   /** Snapshot-isolated read of the committed table (see

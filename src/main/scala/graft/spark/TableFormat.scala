@@ -33,10 +33,14 @@ trait TableFormat {
 
   /** Promote the staged wave into the table and atomically commit snapshot
     * `snapshotId` carrying the cumulative committed buckets/files, the
-    * wave's lineage rows and (optionally) input fingerprints. */
+    * wave's lineage rows and (optionally) input fingerprints. `additive`
+    * promotes delta files INTO existing bucket dirs (merge-on-read commit)
+    * instead of replacing them; `convFpsDir` records the conv-fingerprint
+    * sidecar that matches `inputFps`. */
   def commitWave(outDir: String, staging: String, snapshotId: Int,
                  buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
-                 inputFps: Map[Int, Long]): Unit
+                 inputFps: Map[Int, Long], additive: Boolean = false,
+                 convFpsDir: Option[String] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -64,7 +68,9 @@ object SnapshotManifestFormat extends TableFormat {
     "\\{\"bucket\":(\\d+),\"fp\":(-?\\d+)\\}".r
 
   private val fileEntryRe =
-    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)\\}".r
+    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)(?:,\"seq\":(\\d+))?\\}".r
+
+  private val convFpsDirRe = "\"conv_fps\"\\s*:\\s*\"([^\"]+)\"".r
 
   /** Parse the latest committed manifest. Manifest format:
     * {"snapshot_id":K,"committed_buckets":[..],
@@ -78,10 +84,13 @@ object SnapshotManifestFormat extends TableFormat {
       .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
     val files = fileEntryRe.findAllMatchIn(manifest)
-      .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong)).toVector
+      .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong,
+        seq = Option(f.group(4)).map(_.toInt).getOrElse(0))).toVector
     val fps = fpEntryRe.findAllMatchIn(manifest)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""), inputFps = fps)
+    val convFps = convFpsDirRe.findFirstMatchIn(manifest).map(_.group(1))
+    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
+      inputFps = fps, convFpsDir = convFps)
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -163,20 +172,31 @@ object SnapshotManifestFormat extends TableFormat {
 
   override def commitWave(outDir: String, staging: String, snapshotId: Int,
                           buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
-                          inputFps: Map[Int, Long]): Unit = {
+                          inputFps: Map[Int, Long], additive: Boolean = false,
+                          convFpsDir: Option[String] = None): Unit = {
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
-    listDir(Paths.get(staging))
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .foreach { p =>
-        val target = dataDir.resolve(p.getFileName.toString)
-        if (Files.exists(target)) { // only possible on dirty staging replay
-          deleteRecursively(target)
+    if (Files.isDirectory(Paths.get(staging))) {
+      listDir(Paths.get(staging))
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .foreach { p =>
+          val target = dataDir.resolve(p.getFileName.toString)
+          if (additive) {
+            // merge-on-read delta promote: move the staged FILES into the
+            // existing bucket dir (part names carry a job UUID, no clashes)
+            Files.createDirectories(target)
+            listDir(p).foreach(f => Files.move(f, target.resolve(f.getFileName)))
+            Files.delete(p)
+          } else {
+            if (Files.exists(target)) { // only possible on dirty staging replay
+              deleteRecursively(target)
+            }
+            Files.move(p, target)
+          }
         }
-        Files.move(p, target)
-      }
-    deleteRecursively(Paths.get(staging))
+      deleteRecursively(Paths.get(staging))
+    }
 
     val lineageJson = lineage.sortBy(_.bucket).map { r =>
       s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
@@ -184,17 +204,33 @@ object SnapshotManifestFormat extends TableFormat {
     }.mkString("[\n", ",\n", "\n]")
     atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
     val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
-      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount}}"""
+      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount},"seq":${f.seq}}"""
     }.mkString("[", ",", "]")
     val fpsJson =
       if (inputFps.isEmpty) ""
       else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
         .mkString(""""input_fps":[""", ",", "],")
+    val convFpsJson = convFpsDir.map(d => s""""conv_fps":"$d",""").getOrElse("")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
+  }
+
+  /** Delete-file directories (equality deletes written by conv-grained
+    * delta commits) visible at snapshot `asOf`: deletes/snap-K with K <=
+    * asOf — an uncommitted K > asOf stays invisible (snapshot isolation). */
+  private def deleteDirsAsOf(outDir: String, asOf: Int): Vector[(Int, Path)] = {
+    val root = Paths.get(outDir, "deletes")
+    if (!Files.isDirectory(root)) return Vector.empty
+    listDir(root).flatMap { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("snap-")) {
+        val k = n.stripPrefix("snap-").toInt
+        if (k <= asOf) Some(k -> d) else None
+      } else None
+    }
   }
 
   /** Read the committed table: exactly the data files listed in the latest
@@ -202,16 +238,46 @@ object SnapshotManifestFormat extends TableFormat {
     * commit can leave promoted-but-uncommitted dirs (or extra files) under
     * data/ — readers must not see them (snapshot-isolation read semantics).
     * Legacy manifests without a file list fall back to committed bucket dirs.
+    *
+    * Merge-on-read: when equality delete files exist, each data file is read
+    * with its manifest `seq`, and a row is dropped when some delete entry
+    * for its (bucket, conv_id) carries a HIGHER seq — i.e. the conversation
+    * was re-extracted (or removed) after the file was written. The delete
+    * set is small relative to the data (changed conversations only), so the
+    * anti-filter join broadcasts.
     */
   override def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max}
     val man = readManifest(outDir)
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
-    val paths =
-      if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
-      else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
-    require(paths.nonEmpty, s"empty committed snapshot under $outDir")
-    spark.read
-      .option("basePath", s"$outDir/data")
-      .parquet(paths: _*)
+    val deletes = deleteDirsAsOf(outDir, man.snapshotId)
+    def readPlain(): DataFrame = {
+      val paths =
+        if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
+        else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
+      require(paths.nonEmpty, s"empty committed snapshot under $outDir")
+      spark.read
+        .option("basePath", s"$outDir/data")
+        .parquet(paths: _*)
+    }
+    if (deletes.isEmpty || man.files.isEmpty) readPlain()
+    else {
+      val bySeq = man.files.groupBy(_.seq).toSeq.sortBy(_._1)
+      val data = bySeq.map { case (seq, fs) =>
+        spark.read
+          .option("basePath", s"$outDir/data")
+          .parquet(fs.map(f => s"$outDir/data/${f.path}"): _*)
+          .withColumn("__seq", lit(seq))
+      }.reduce(_ unionByName _)
+      val delDf = spark.read
+        .parquet(deletes.map(_._2.toString): _*)
+        .groupBy(col("bucket").as("__db"), col("conv_id").as("__dc"))
+        .agg(max("seq").as("__delseq"))
+      data
+        .join(delDf,
+          data("bucket") === delDf("__db") && data("conv_id") === delDf("__dc"), "left")
+        .where(col("__delseq").isNull || col("__seq") >= col("__delseq"))
+        .drop("__db", "__dc", "__seq", "__delseq")
+    }
   }
 }

@@ -214,6 +214,71 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
   }
 
+  test("conv-grained resume: only the changed conversation is recomputed (merge-on-read)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-conv").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    val snapAfterFull = ExtractionJob.latestSnapshot(out).get
+    // unchanged input -> nothing recomputes, no new snapshot
+    assert(ExtractionJob.run(spark, turns, cfg) == Set.empty)
+    assert(ExtractionJob.latestSnapshot(out).get == snapAfterFull)
+
+    val filesBefore = ExtractionJob.readManifest(out).get.files
+
+    // mutate ONE conversation (upstream correction)
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\ncorrected line") else t)
+    val victimBucket = changed.where(col("conv_id") === victim)
+      .select(ExtractionJob.bucketOf(4).as("b")).distinct().collect().map(_.getInt(0)).toSet
+    assert(victimBucket.size == 1)
+    val bucketRows = changed
+      .where(ExtractionJob.bucketOf(4) === victimBucket.head).count()
+    val victimRows = changed.where(col("conv_id") === victim).count()
+    assert(victimRows < bucketRows, "victim must not own the whole bucket")
+
+    val recomputed = ExtractionJob.run(spark, changed, cfg)
+    assert(recomputed == victimBucket, s"recomputed $recomputed, expected $victimBucket")
+
+    // merge-on-read: every pre-existing data file survives untouched, and
+    // exactly the delta file(s) for the dirty bucket were added
+    val manAfter = ExtractionJob.readManifest(out).get
+    val (added, carried) = manAfter.files.partition(_.seq > snapAfterFull)
+    assert(carried.toSet == filesBefore.toSet, "surviving files must be untouched")
+    assert(added.nonEmpty && added.forall(_.bucket == victimBucket.head))
+    added.foreach(f => assert(Files.exists(java.nio.file.Paths.get(out, "data", f.path))))
+    filesBefore.foreach(f => assert(Files.exists(java.nio.file.Paths.get(out, "data", f.path))))
+
+    // the recompute covered ONLY the victim conversation's rows
+    val deltaRows = added.map(_.rowCount).sum
+    assert(deltaRows == victimRows, s"delta rows $deltaRows != victim rows $victimRows")
+    assert(deltaRows < bucketRows, "recompute must be smaller than the bucket")
+    // lineage for the delta snapshot records the same bounded recompute
+    val lineage = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "lineage", s"lineage-${manAfter.snapshotId}.json")))
+    assert(lineage.contains(s""""row_count":$victimRows"""), lineage)
+
+    // served table: corrected victim content, no duplicates, stable totals
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.count() == changed.count())
+    assert(served.where(col("conv_id") === victim).count() == victimRows)
+    val servedVictim = served.where(col("conv_id") === victim)
+      .select("conv_id", "turn_idx", "main_text", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val wantVictim = ExtractionJob.extract(spark,
+        changed.where(col("conv_id") === victim).as[graft.spark.Turn])
+      .select("conv_id", "turn_idx", "main_text", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(servedVictim == wantVictim, "served victim rows must equal re-extraction")
+
+    // rerun with the same (changed) input is again a no-op
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
