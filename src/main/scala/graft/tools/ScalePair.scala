@@ -14,7 +14,10 @@ object ScalePair {
     val lo = sys.env.getOrElse("SPARK_GRAFT_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_HI", "32").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000").toLong
+    // sized so the hi-core run takes several seconds: at ~50k turns/s on 32
+    // cores a 3000-conv (~60k-turn) input finishes in ~1.3s and fixed
+    // startup/scheduling costs depress the measured ratio
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "9000").toLong
 
     def measure(cpus: Int): Double = {
       val spark = SparkSession.builder()
