@@ -180,7 +180,10 @@ object SpecNormalization {
   def normalizeFieldKeys(spec: Vector[SpecQ]): Vector[SpecQ] = {
     spec.foreach { q =>
       q.key = directKeyMappings.getOrElse(q.key, {
-        if (q.key.indexOf("_s") < 0) q.key // both patterns need a literal "_s"
+        // tighter gate: possessive1 needs "_s_", possessive2 needs a
+        // trailing "_s" (a bare indexOf("_s") passed for e.g.
+        // marital_status and ran both regexes for nothing)
+        if (q.key.indexOf("_s_") < 0 && !q.key.endsWith("_s")) q.key
         else {
           var k = possessive1.replaceAllIn(q.key, "$1_$2")
           k = possessive2.replaceAllIn(k, "$1")
@@ -393,37 +396,42 @@ object MainValidator {
       true
     }
 
-    def shouldMergeOrRemove(currentIdx: Int): Option[Int] = {
-      val current = spec(currentIdx)
-      if (isNumbered(current.key)) return None
-      val isGeneric = genericFieldWhitelist.contains(current.title)
-      (0 until currentIdx).foreach { prevIdx =>
-        val prev = spec(prevIdx)
-        if (!isNumbered(prev.key) &&
-            prev.title == current.title && current.title.nonEmpty && prev.title.nonEmpty &&
-            current.title.length > 2) {
-          val stateSkip = current.title == "State" && prev.title == "State"
-          if (!stateSkip) {
-            if (isGeneric && prev.section != current.section) {
-              // generic fields only merge within the same section
-            } else if (prev.section == current.section) return Some(prevIdx)
-            else if (!isGeneric && patientSections.contains(prev.section) &&
-                     patientSections.contains(current.section)) return Some(prevIdx)
+    // isNumbered precomputed once per field (the pairwise scan below is
+    // O(n²) and recomputed it per comparison); -1 sentinel instead of
+    // Option so the scan allocates nothing
+    val numbered = Array.tabulate(spec.length)(i => isNumbered(spec(i).key))
+    val toRemove = mutable.ArrayBuffer[Int]()
+    var ci = 0
+    while (ci < spec.length) {
+      var mergeWith = -1
+      if (!numbered(ci)) {
+        val current = spec(ci)
+        val t = current.title
+        if (t.length > 2) { // subsumes the nonEmpty checks
+          val isGeneric = genericFieldWhitelist.contains(t)
+          val stateSkip = t == "State"
+          var p = 0
+          while (p < ci && mergeWith < 0) {
+            val prev = spec(p)
+            if (!numbered(p) && prev.title == t && !stateSkip) {
+              if (isGeneric && prev.section != current.section) {
+                // generic fields only merge within the same section
+              } else if (prev.section == current.section) mergeWith = p
+              else if (!isGeneric && patientSections.contains(prev.section) &&
+                       patientSections.contains(current.section)) mergeWith = p
+            }
+            p += 1
           }
         }
       }
-      None
-    }
-
-    val toRemove = mutable.ArrayBuffer[Int]()
-    spec.indices.foreach { i =>
-      shouldMergeOrRemove(i).foreach { mergeWith =>
-        val current = spec(i)
+      if (mergeWith >= 0) {
+        val current = spec(ci)
         val prev = spec(mergeWith)
         if (current.section == "Patient Information" && prev.section == "Patient Information Form")
           toRemove += mergeWith
-        else toRemove += i
+        else toRemove += ci
       }
+      ci += 1
     }
     toRemove.sorted(Ordering[Int].reverse).foreach(spec.remove)
 
@@ -597,15 +605,12 @@ object MainValidator {
     spec.sortInPlaceBy(_.lineIdx).toVector // stable TimSort, no sorted copy
   }
 
-  private val witnessKeyIndicators = Vector("witness_signature", "witness_printed_name",
-    "witness_name", "witness_date", "witness_relationship", "witness")
-
   def ensureNoWitnessFields(spec: Vector[SpecQ]): Vector[SpecQ] =
-    spec.filterNot { q =>
-      val key = q.key.toLowerCase
-      val title = q.title.toLowerCase
-      witnessKeyIndicators.exists(key.contains) || witnessKeyIndicators.exists(title.contains)
-    }
+    // every indicator contains the bare "witness" token (itself in the
+    // bank), so the whole bank reduces to one case-insensitive scan per
+    // field — no per-field toLowerCase copies
+    spec.filterNot(q => StrUtil.indexOfIgnoreCase(q.key, "witness", 0) >= 0 ||
+      StrUtil.indexOfIgnoreCase(q.title, "witness", 0) >= 0)
 
   /** _ensure_signature_compliance (pdf_to_json_converter.py:5306-5330). */
   def ensureSignatureCompliance(spec0: Vector[SpecQ]): Vector[SpecQ] = {
