@@ -72,14 +72,29 @@ final class MultiSubstring private (
     else if (c == '\u0130') 127
     else cls(Character.toLowerCase(c))
 
+  // accept flag folded into the transition word: sign bit set when the
+  // TARGET state emits at least one pattern, so the scan loops test one
+  // sign bit instead of dereferencing out(st) on every char
+  private val nextF: Array[Int] = {
+    val t = new Array[Int](next.length)
+    var i = 0
+    while (i < t.length) {
+      val tgt = next(i)
+      t(i) = if (out(tgt).length != 0) tgt | Int.MinValue else tgt
+      i += 1
+    }
+    t
+  }
+
   /** containsAny(s.toLowerCase) without building the lowered string. */
   def containsAnyFold(s: String): Boolean = {
     var st = 0
     var i = 0
     val n = s.length
     while (i < n) {
-      st = next(st * width + clsFold(s.charAt(i)))
-      if (out(st).length != 0) return true
+      val v = nextF(st * width + clsFold(s.charAt(i)))
+      if (v < 0) return true
+      st = v
       i += 1
     }
     false
@@ -91,8 +106,9 @@ final class MultiSubstring private (
     var st = 0
     var i = from
     while (i < until) {
-      st = next(st * width + clsFold(s.charAt(i)))
-      if (out(st).length != 0) return true
+      val v = nextF(st * width + clsFold(s.charAt(i)))
+      if (v < 0) return true
+      st = v
       i += 1
     }
     false
@@ -106,13 +122,16 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      st = next(st * width + clsFold(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seen(id)) { seen(id) = true; cnt += 1 }
-        j += 1
+      val v = nextF(st * width + clsFold(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
       }
       i += 1
     }
@@ -125,8 +144,9 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n) {
-      st = next(st * width + cls(s.charAt(i)))
-      if (out(st).length != 0) return true
+      val v = nextF(st * width + cls(s.charAt(i)))
+      if (v < 0) return true
+      st = v
       i += 1
     }
     false
@@ -140,13 +160,16 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      st = next(st * width + cls(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seen(id)) { seen(id) = true; cnt += 1 }
-        j += 1
+      val v = nextF(st * width + cls(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
       }
       i += 1
     }
@@ -167,26 +190,32 @@ final class MultiSubstring private (
     val sepCls = cls(sep)
     while (li < lEnd && cnt < size) {
       if (li > math.max(0, from)) {
-        st = next(st * width + sepCls)
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
+        val v = nextF(st * width + sepCls)
+        st = v & Int.MaxValue
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
         }
       }
       val s = lines(li)
       var i = 0
       val n = s.length
       while (i < n && cnt < size) {
-        st = next(st * width + cls(s.charAt(i)))
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
+        val v = nextF(st * width + cls(s.charAt(i)))
+        st = v & Int.MaxValue
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
         }
         i += 1
       }
@@ -208,21 +237,27 @@ final class MultiSubstring private (
     val sepCls = cls(sep)
     while (li < lines.length) {
       if (li > 0) {
-        st = next(st * width + sepCls)
+        val v = nextF(st * width + sepCls)
+        st = v & Int.MaxValue
         off += 1
-        val o = out(st)
-        var j = 0
-        while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        }
       }
       val s = lines(li)
       var i = 0
       val n = s.length
       while (i < n) {
-        st = next(st * width + cls(s.charAt(i)))
+        val v = nextF(st * width + cls(s.charAt(i)))
+        st = v & Int.MaxValue
         off += 1
-        val o = out(st)
-        var j = 0
-        while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        }
         i += 1
       }
       li += 1
@@ -240,14 +275,17 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cntFull < size) {
-      st = next(st * width + cls(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
-        if (i + 1 <= prefixEnd) seenPre(id) = true
-        j += 1
+      val v = nextF(st * width + cls(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
+          if (i + 1 <= prefixEnd) seenPre(id) = true
+          j += 1
+        }
       }
       i += 1
     }
@@ -269,14 +307,17 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && (cntFull < size || (cntPre < size && i < prefixEnd))) {
-      st = next(st * width + cls(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
-        if (i + 1 <= prefixEnd && !seenPre(id)) { seenPre(id) = true; cntPre += 1 }
-        j += 1
+      val v = nextF(st * width + cls(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
+          if (i + 1 <= prefixEnd && !seenPre(id)) { seenPre(id) = true; cntPre += 1 }
+          j += 1
+        }
       }
       i += 1
     }
@@ -293,13 +334,16 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      st = next(st * width + cls(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seen(id)) { seen(id) = true; cnt += 1 }
-        j += 1
+      val v = nextF(st * width + cls(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
       }
       i += 1
     }
@@ -316,13 +360,16 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      st = next(st * width + clsFold(s.charAt(i)))
-      val o = out(st)
-      var j = 0
-      while (j < o.length) {
-        val id = o(j)
-        if (!seen(id)) { seen(id) = true; cnt += 1 }
-        j += 1
+      val v = nextF(st * width + clsFold(s.charAt(i)))
+      st = v & Int.MaxValue
+      if (v < 0) {
+        val o = out(st)
+        var j = 0
+        while (j < o.length) {
+          val id = o(j)
+          if (!seen(id)) { seen(id) = true; cnt += 1 }
+          j += 1
+        }
       }
       i += 1
     }
