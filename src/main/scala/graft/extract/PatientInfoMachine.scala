@@ -181,7 +181,12 @@ object PatientInfoMachine {
 
   /** Variant taking the caller's already-lowercased line (the machine keeps
     * one lowercase view per line); plain loop, no per-call closure. */
+  // one DFA pass gates the whole bank (this runs on EVERY machine line;
+  // the per-bank contains scans only run when some gate token is present)
+  private lazy val radioBankGateAC = MultiSubstring(radioBanks.map(_._1))
+
   def detectRadioQuestionLower(lower: String): Option[(String, JArr)] = {
+    if (!radioBankGateAC.containsAny(lower)) return None
     var i = 0
     while (i < radioBanks.length) {
       val b = radioBanks(i)
@@ -400,6 +405,20 @@ object PatientInfoMachine {
   }
 
   private val workAddressRe = "(?i)^Work Address:\\s*$".r
+
+  /** Exact equivalent of workAddressRe over the line's lowercase view. */
+  private[graft] def isWorkAddressLine(lineLower: String): Boolean =
+    lineLower.startsWith("work address:") && {
+      var i = "work address:".length
+      var ok = true
+      while (ok && i < lineLower.length) {
+        val c = lineLower.charAt(i)
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
+          ok = false
+        i += 1
+      }
+      ok
+    }
   private val workAddrFieldsRe = "(?i)Street.*City.*State.*Zip".r
   private val initialSplitRe = "(?i)\\s*_+\\s*\\(initial\\)".r
   private val yesNoCheckRe = "(?i)YES.*?N.*?O.*?\\(Check One\\)".r
@@ -462,8 +481,9 @@ object PatientInfoMachine {
         }
       }
 
-      // work-address two-line lookahead
-      if (!consumed && workAddressRe.findFirstIn(line).isDefined && i + 1 < textLines.length) {
+      // work-address two-line lookahead (hand check == the anchored
+      // (?i)^Work Address:\s*$ regex, without a per-line regex scan)
+      if (!consumed && isWorkAddressLine(lineLower) && i + 1 < textLines.length) {
         val next = textLines(i + 1).trim
         if (workAddrFieldsRe.findFirstIn(next).isDefined) {
           val ctxWa = ctxIdx.flags(i - 10, i + 5)

@@ -268,6 +268,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("isWorkAddressLine == the anchored work-address regex") {
+    val re = "(?i)^Work Address:\\s*$".r
+    val cases = Gen.oneOf("Work Address:", "work address:", "WORK ADDRESS:  ",
+      "Work Address: x", "Work Address", " Work Address:", "Work Address:\t",
+      "home address:", "", "Work Address:_")
+    forAll(cases, n = 200) { c =>
+      assert(graft.extract.PatientInfoMachine.isWorkAddressLine(c.toLowerCase) ==
+        re.findFirstIn(c).isDefined, s"c=$c")
+    }
+  }
+
   test("one-pass applyPlaceholders == the chained per-sub form") {
     val frag = Gen.oneOf(
       "Patient Name: ___", "Patient Name:", "patient name: __", "Tooth Number: ___",
