@@ -361,6 +361,10 @@ object ExtractionJob {
     * TableFormat.readCommitted). */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame =
     defaultFormat.readCommitted(spark, outDir)
+
+  /** Merge-on-read compaction (see TableFormat.compact). */
+  def compact(spark: SparkSession, outDir: String): Set[Int] =
+    defaultFormat.compact(spark, outDir)
 }
 
 final case class TurnWithBucket(

@@ -45,6 +45,12 @@ trait TableFormat {
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame
+
+  /** Merge-on-read maintenance (Iceberg rewrite_data_files): rewrite the
+    * buckets carrying equality deletes into clean sorted files, commit a
+    * snapshot whose manifest references only the rewritten files, then
+    * drop the applied delete files. Returns the rewritten buckets. */
+  def compact(spark: SparkSession, outDir: String): Set[Int]
 }
 
 /** The thin file-based snapshot-manifest protocol (no Iceberg jar ships in
@@ -279,5 +285,46 @@ object SnapshotManifestFormat extends TableFormat {
         .where(col("__delseq").isNull || col("__seq") >= col("__delseq"))
         .drop("__db", "__dc", "__seq", "__delseq")
     }
+  }
+
+  override def compact(spark: SparkSession, outDir: String): Set[Int] = {
+    import org.apache.spark.sql.functions.col
+    val man = readManifest(outDir).getOrElse(return Set.empty)
+    val delDirs = deleteDirsAsOf(outDir, man.snapshotId)
+    if (delDirs.isEmpty) return Set.empty
+    val delDf = spark.read.parquet(delDirs.map(_._2.toString): _*)
+    val withDeletes = delDf.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    // only buckets that still have data files need a rewrite; a delete for a
+    // fileless bucket hides nothing and can simply be dropped
+    val affected = withDeletes.intersect(man.files.map(_.bucket).toSet)
+    val seq = man.snapshotId + 1
+    if (affected.nonEmpty) {
+      // the committed view already applies the deletes — rewrite it as
+      // clean sorted files, one dir per bucket
+      val staging = s"$outDir/staging-compact-$seq"
+      readCommitted(spark, outDir)
+        .where(col("bucket").isin(affected.toSeq: _*))
+        .repartition(affected.size, col("bucket"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(staging)
+      val newFiles = listStagedFiles(spark, staging).map(_.copy(seq = seq))
+      val kept = man.files.filterNot(f => affected.contains(f.bucket))
+      // lineage: rewritten row counts (no extraction happened -> field sums 0)
+      val now = java.time.Instant.now().toString
+      val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>
+        LineageRow(seq, b.toLong, fs.map(_.rowCount).sum, 0L, 0L, now)
+      }.toVector
+      // non-additive promote replaces the affected bucket dirs (base +
+      // delta files) with the compacted ones; fingerprints and the conv-fp
+      // sidecar pointer are carried through unchanged
+      commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
+        man.inputFps, additive = false, convFpsDir = man.convFpsDir)
+    }
+    // applied deletes are garbage now; a crash before this point leaves
+    // them in place, where they are harmless (every rewritten file carries
+    // a HIGHER seq than any applied delete)
+    delDirs.foreach(d => deleteRecursively(d._2))
+    affected
   }
 }

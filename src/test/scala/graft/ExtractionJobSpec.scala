@@ -277,6 +277,26 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // rerun with the same (changed) input is again a no-op
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+
+    // ---- compaction folds the delta + deletes back into clean files ----
+    val servedBefore = served
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val compacted = ExtractionJob.compact(spark, out)
+    assert(compacted == victimBucket, s"compacted $compacted")
+    // applied delete files are gone; the rewritten bucket is single-sequence
+    assert(!Files.isDirectory(java.nio.file.Paths.get(out, "deletes", s"snap-${manAfter.snapshotId}")))
+    val manCompacted = ExtractionJob.readManifest(out).get
+    val rewritten = manCompacted.files.filter(_.bucket == victimBucket.head)
+    assert(rewritten.nonEmpty && rewritten.map(_.seq).distinct.size == 1)
+    // content identical before and after compaction
+    val servedAfter = ExtractionJob.readCommitted(spark, out)
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(servedAfter == servedBefore, "compaction must not change the table")
+    // compaction is idempotent and preserves the resume no-op
+    assert(ExtractionJob.compact(spark, out) == Set.empty)
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
   }
 
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
