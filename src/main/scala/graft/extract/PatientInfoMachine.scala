@@ -187,6 +187,10 @@ object PatientInfoMachine {
 
   def detectRadioQuestionLower(lower: String): Option[(String, JArr)] = {
     if (!radioBankGateAC.containsAny(lower)) return None
+    detectRadioQuestionUngated(lower)
+  }
+
+  private def detectRadioQuestionUngated(lower: String): Option[(String, JArr)] = {
     var i = 0
     while (i < radioBanks.length) {
       val b = radioBanks(i)
@@ -231,10 +235,18 @@ object PatientInfoMachine {
   /** Variant taking the caller's lowercase view of lines(startIdx) — the
     * machine keeps one per line; avoids a second per-line toLowerCase. */
   def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int,
-                                  lineLower: String): Option[(String, JArr, Int)] = {
+                                  lineLower: String): Option[(String, JArr, Int)] =
+    detectRadioOptionsUniversal(lines, startIdx, lineLower,
+      bankGateHit = radioBankGateAC.containsAny(lineLower))
+
+  /** Variant taking the caller's precomputed radio-bank gate (the machine
+    * folds it into its one merged per-line DFA pass). */
+  def detectRadioOptionsUniversal(lines: IndexedSeq[String], startIdx: Int,
+                                  lineLower: String, bankGateHit: Boolean): Option[(String, JArr, Int)] = {
     val line = lines(startIdx)
 
-    detectRadioQuestionLower(lineLower).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
+    if (bankGateHit)
+      detectRadioQuestionUngated(lineLower).foreach { case (q, o) => return Some((q, o, startIdx + 1)) }
 
     // Pattern 1: question + checkbox options on the same line
     if (line.indexOf('□') >= 0 || line.indexOf('☐') >= 0 || line.indexOf('!') >= 0)
@@ -466,9 +478,20 @@ object PatientInfoMachine {
 
       if (line.length < 3) { i += 1; consumed = true }
 
+      // one merged DFA pass per line feeds the radio-bank gate AND the
+      // section-header transition below
+      val mlFlags: Array[Boolean] =
+        if (consumed) null else machineLineAC.matchedSetFold(line)
+      @inline def mlAny(from: Int, until: Int): Boolean = {
+        var k = from
+        while (k < until) { if (mlFlags(k)) return true; k += 1 }
+        false
+      }
+
       // main radio detection
       if (!consumed) {
-        detectRadioOptionsUniversal(textLines, i, lineLower) match {
+        detectRadioOptionsUniversal(textLines, i, lineLower,
+          bankGateHit = mlAny(machineRadioBase, mlFlags.length)) match {
           case Some((question, options, nextI)) =>
             val radioKey = getRadioKeyForQuestion(question, currentSection)
             if (!processedKeys.contains(radioKey)) {
@@ -520,17 +543,11 @@ object PatientInfoMachine {
         i += 1; consumed = true
       }
 
-      // section header transitions — one case-folded DFA pass over the raw
-      // line replaces the per-line toUpperCase copy + 13 contains scans
-      // (all phrases are ASCII, so fold-matching == uppercase-contains)
+      // section header transitions — flags come from the shared per-line
+      // DFA pass (fold-matching == uppercase-contains for these ASCII banks)
       if (!consumed) {
-        val hf = sectionHeaderAC.matchedSetFold(line)
-        @inline def any(from: Int, until: Int): Boolean = {
-          var k = from
-          while (k < until) { if (hf(k)) return true; k += 1 }
-          false
-        }
-        val isHeader = line.startsWith("##") || any(0, headerPhrases.length)
+        val hf = mlFlags
+        val isHeader = line.startsWith("##") || mlAny(0, headerPhrases.length)
         if (isHeader) {
           val b = headerPhrases.length
           if (hf(b)) currentSection = "Patient Information Form"
@@ -1031,9 +1048,13 @@ object PatientInfoMachine {
     "PRIMARY DENTAL", "DENTAL BENEFIT PLAN INFORMATION PRIMARY",
     "DENTAL BENEFIT PLAN", "PRIMARY", "MEDICAL", "HEALTH", "SIGNATURE", "CONSENT")
   // fold scanning needs a lowercase bank (uppercase-contains on the
-  // uppercased line == lowercase-pattern fold scan on the raw line)
-  private val sectionHeaderAC =
-    MultiSubstring((headerPhrases ++ sectionBranchTokens).map(_.toLowerCase))
+  // uppercased line == lowercase-pattern fold scan on the raw line).
+  // The machine-line automaton merges three per-line scans into ONE fold
+  // pass: header phrases (0..), section-branch tokens, radio-bank gates
+  // (segment base machineRadioBase).
+  private lazy val machineLineAC = MultiSubstring(
+    (headerPhrases ++ sectionBranchTokens).map(_.toLowerCase) ++ radioBanks.map(_._1))
+  private val machineRadioBase = headerPhrases.length + sectionBranchTokens.length
   // detectSection text-phase banks
   private val dsInsurance = Vector("insurance", "dental plan", "group number", "id number", "plan/group",
     "name of insured", "patient relationship to insured")

@@ -126,8 +126,13 @@ object Json {
 
   /** Indent-2 render of one value at `level` into an existing builder
     * (public for the direct spec renderer). */
+  private val padSpaces = " " * 64
+
   def renderInto(v: JVal, sb: StringBuilder, level: Int, indent: Int = 2): Unit = {
-    def pad(l: Int): Unit = { var n = indent * l; while (n > 0) { sb.append(' '); n -= 1 } }
+    def pad(l: Int): Unit = {
+      var n = indent * l
+      while (n > 0) { val k = math.min(n, padSpaces.length); sb.append(padSpaces, 0, k); n -= k }
+    }
     v match {
       case JStr(s)  => appendStr(s, sb)
       case JBool(b) => sb.append(if (b) "true" else "false")
