@@ -130,8 +130,11 @@ object Json {
 
   def renderInto(v: JVal, sb: StringBuilder, level: Int, indent: Int = 2): Unit = {
     def pad(l: Int): Unit = {
+      // NB: the 3-arg region append exists only on the java builder (the
+      // Scala wrapper auto-tuples the arguments into append(Any))
+      val jsb = sb.underlying
       var n = indent * l
-      while (n > 0) { val k = math.min(n, padSpaces.length); sb.append(padSpaces, 0, k); n -= k }
+      while (n > 0) { val k = math.min(n, padSpaces.length); jsb.append(padSpaces, 0, k); n -= k }
     }
     v match {
       case JStr(s)  => appendStr(s, sb)
