@@ -57,30 +57,35 @@ object Extractor {
       case "pdf_runs" => graft.parse.XYCut.toLines(graft.parse.XYCut.parseRuns(raw))
       case _ => raw.split("\n", -1).toSeq
     }
-    val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
-    val mainText = StrUtil.joinTrimmed(cleaned, '\n')
     // profile dispatch mirrors the reference's entry points: the consent
     // converter (consent_converter.py) vs the main monolith
     // (pdf_to_json_converter.py); the payload tag selects the profile, the
-    // main profile then routes internally by detected form type.
-    val (formType, formSubtype, fields, json) =
+    // main profile then routes internally by detected form type. main_text
+    // uses each profile's own cleaned-lines view: the main route reuses the
+    // lines convertToSpecFull already cleaned (its scan-stage cleaner), the
+    // consent/docx routes the consent cleaner — one cleaning pass per turn
+    // either way, and spans index the text their fields were extracted from.
+    val (formType, formSubtype, fields, json, mainLines) =
       if (profile == "docx") {
+        val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
         val (fis, json) = EnhancedDocxConsent.convertFields(lines)
         val (ft, sub) = FormClassifier.classify(lines)
-        (ft, sub, fis, json)
+        (ft, sub, fis, json, cleaned)
       } else if (profile == "docling_md" || profile == "main") {
         // subtype comes from the same joined lowercase text as the form type
         // inside convertToSpecFull — no second whole-document join per turn
-        val (ft, sub, spec) = MainExtractor.convertToSpecFull(lines)
+        val (ft, sub, spec, cleanedLines) = MainExtractor.convertToSpecFullWithLines(lines)
         val fis = spec.map(q => FieldInfo(q.key, q.title, q.fieldType, q.section,
           q.optional, q.control, q.lineIdx))
-        (ft, sub, fis, graft.extract.SpecRender.renderArray(spec))
+        (ft, sub, fis, graft.extract.SpecRender.renderArray(spec), cleanedLines)
       } else {
+        val cleaned = ConsentExtractor.removePracticeHeadersFooters(lines)
         val (ft, sub) = FormClassifier.classify(lines)
         val fis = ConsentExtractor.validateAndNormalize(
           ConsentExtractor.extractFromCleaned(cleaned.toVector, Map.empty))
-        (ft, sub, fis, Spec.render(fis, includeOptional = false))
+        (ft, sub, fis, Spec.render(fis, includeOptional = false), cleaned)
       }
+    val mainText = StrUtil.joinTrimmed(mainLines, '\n')
     // per-title occurrence cursor: the second field labeled "Date:" maps to
     // the second occurrence in main_text, not an alias of the first; a field
     // whose title has no FURTHER occurrence falls back to the first one

@@ -617,6 +617,14 @@ object MainExtractor {
     * second join per turn — ExtractionJob's hot path).
     */
   def convertToSpecFull(textLines0: Seq[String]): (String, String, Vector[SpecQ]) = {
+    val (ft, sub, spec, _) = convertToSpecFullWithLines(textLines0)
+    (ft, sub, spec)
+  }
+
+  /** Variant also returning the cleaned lines the spec was extracted from
+    * (the Extractor builds main_text from them — no second cleaning pass). */
+  def convertToSpecFullWithLines(textLines0: Seq[String])
+  : (String, String, Vector[SpecQ], Seq[String]) = {
     // main-pipeline line cleaning (scan-stage analog,
     // pdf_to_json_converter.py:792-793): header/footer manager with the
     // form-content whitelist
@@ -633,6 +641,6 @@ object MainExtractor {
     spec = MainValidator.validateAndNormalize(spec)
     spec = MainValidator.ensureSignatureCompliance(spec)
     spec = MainValidator.applyFinalCleanup(spec)
-    (formType, formSubtype, spec)
+    (formType, formSubtype, spec, textLines)
   }
 }
