@@ -743,7 +743,8 @@ object PatientInfoMachine {
           val potential = fieldName.substring(3).trim
           if (potential.length > 5 && !potential.toLowerCase.startsWith("name")) fieldName = potential
         }
-        if (skipStandaloneNames.exists(fieldName.toLowerCase.contains)) {
+        val fieldLower = fieldName.toLowerCase
+        if (skipStandaloneNames.exists(fieldLower.contains)) {
           i += 1; consumed = true
         } else if (fieldName.length > 2 && fieldName.length < 80) {
           var fieldType = detectFieldType(fieldName)
@@ -758,12 +759,12 @@ object PatientInfoMachine {
           var control: JObj = fieldType match {
             case "input" => JObj.of("input_type" -> JStr(detectInputType(fieldName)))
             case "date" =>
-              if (fieldName.toLowerCase.contains("birth") || fieldName.toLowerCase.contains("dob"))
+              if (fieldLower.contains("birth") || fieldLower.contains("dob"))
                 JObj.of("input_type" -> JStr("past"))
               else JObj(Vector.empty)
             case _ => JObj(Vector.empty)
           }
-          if (fieldName.toLowerCase.contains("state") && !fieldName.toLowerCase.contains("estate")) {
+          if (fieldLower.contains("state") && !fieldLower.contains("estate")) {
             fieldType = "states"; control = JObj(Vector.empty)
           }
           val normalizedName = normalizeFieldName(fieldName, line)
@@ -873,33 +874,33 @@ object PatientInfoMachine {
                 case "phone" | "street_4" | "city_5" | "zip_5" => Some("Insurance Company")
                 case _ =>
                   if (detectedSection == "FOR CHILDREN/MINORS ONLY") {
-                    if (firstLastNames.contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
-                    else if (fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
+                    if (firstLastNames.contains(fieldLower)) Some("Name of Responsible Party")
+                    else if (fieldLower.contains("date of birth")) Some("Responsible Party")
                     else if (fullLower.contains("if different from patient")) Some("If different from patient")
                     else if (fullLower.contains("if different from above") ||
                              ctx5(23)) Some("(if different from above)")
                     else None
                   } else if (planSections.contains(detectedSection)) {
                     if ((fullLower.contains("insurance company") || ctx5(21)) &&
-                        insAddrNames.contains(fieldName.toLowerCase)) Some("Insurance Company")
+                        insAddrNames.contains(fieldLower)) Some("Insurance Company")
                     else None
                   } else if (fullLower.contains("if different from patient")) Some("If different from patient")
                   else if (fullLower.contains("if different from above")) Some("(if different from above)")
                   else if (ctx5(3) &&
-                           firstLastNames.contains(fieldName.toLowerCase)) Some("Name of Responsible Party")
+                           firstLastNames.contains(fieldLower)) Some("Name of Responsible Party")
                   else if (ctx5(3) &&
-                           fieldName.toLowerCase.contains("date of birth")) Some("Responsible Party")
+                           fieldLower.contains("date of birth")) Some("Responsible Party")
                   else None
               }
               control = control.updated("hint", hint.map(JStr).getOrElse(JNull))
             } else if (fieldType == "date") {
-              if (fieldName.toLowerCase.contains("birth") || fieldName.toLowerCase.contains("dob"))
+              if (fieldLower.contains("birth") || fieldLower.contains("dob"))
                 control = JObj.of("input_type" -> JStr("past"))
             }
-            if (fieldName.toLowerCase.contains("state") && !fieldName.toLowerCase.contains("estate")) {
+            if (fieldLower.contains("state") && !fieldLower.contains("estate")) {
               fieldType = "states"; control = JObj(Vector.empty)
             }
-            if (fieldName.toLowerCase == "relationship to patient" &&
+            if (fieldLower == "relationship to patient" &&
                 detectedSection == "FOR CHILDREN/MINORS ONLY") {
               val lookahead = textLines.slice(i, math.min(textLines.length, i + 5))
               if (lookahead.exists(l => l.toLowerCase.contains("self") ||
