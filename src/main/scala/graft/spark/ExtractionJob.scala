@@ -243,7 +243,9 @@ object ExtractionJob {
     val extractMs = (System.nanoTime() - t0) / 1000000
     val now = java.time.Instant.now().toString
     val fieldSums: Map[Int, Long] = waveBuckets.map { b =>
-      b -> (obs.get(s"fsum_$b") match {
+      // getOrElse: a zero-row wave (delete-only conv-grained delta) may
+      // observe no metrics at all
+      b -> (obs.get.getOrElse(s"fsum_$b", null) match {
         case null => 0L
         case n: Number => n.longValue()
       })

@@ -299,6 +299,33 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
   }
 
+  test("conv-grained resume: upstream-deleted conversation vanishes via equality delete") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-convdel").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    val victim = turns.select("conv_id").as[String].head()
+    val without = turns.where(col("conv_id") =!= victim)
+    val victimBucket = turns.where(col("conv_id") === victim)
+      .select(ExtractionJob.bucketOf(4).as("b")).distinct().collect().map(_.getInt(0)).toSet
+
+    val recomputed = ExtractionJob.run(spark, without, cfg)
+    assert(recomputed == victimBucket)
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.where(col("conv_id") === victim).count() == 0, "deleted conv must vanish")
+    assert(served.count() == without.count())
+    // rerun no-op; compaction rewrites the bucket and drops the delete file
+    assert(ExtractionJob.run(spark, without, cfg) == Set.empty)
+    assert(ExtractionJob.compact(spark, out) == victimBucket)
+    val after = ExtractionJob.readCommitted(spark, out)
+    assert(after.count() == without.count())
+    assert(after.where(col("conv_id") === victim).count() == 0)
+    assert(ExtractionJob.run(spark, without, cfg) == Set.empty)
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
