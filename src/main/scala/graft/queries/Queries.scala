@@ -159,7 +159,12 @@ object Queries {
     // verification both stay inside whole-stage codegen
     val banded = docs.withColumn("band",
       explode(graft.functions.NativeFns.lshBandKeys(col("text"), 3, 64, 16)))
-    val pairs = banded.as("l").join(banded.as("r"), Seq("band"))
+      .select("doc_id", "band") // prune text BEFORE the band shuffle
+    // shuffle join, not broadcast: at 10^9 docs both banded sides are huge,
+    // and identical shuffle children let Spark REUSE one exchange — the
+    // minhash signatures are computed once, not once per join side
+    val pairs = banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r").hint("shuffle_hash"), Seq("band"))
       .where($"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
       .distinct()

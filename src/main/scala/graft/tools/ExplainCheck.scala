@@ -58,7 +58,11 @@ object ExplainCheck {
     plan("q14_minhash_lsh", graft.queries.Queries.q14MinhashLsh(spark, dir),
       // round-4: band keys + jaccard verification are native expressions
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
-      ("native band-key expression", _.contains("graft_lsh_band_keys")))
+      ("native band-key expression", _.contains("graft_lsh_band_keys")),
+      // shuffle band self-join (identical children -> AQE reuses one
+      // exchange at execution, so signatures compute ONCE; the pre-execution
+      // plan can only show the join shape that enables it)
+      ("shuffle band self-join (reusable exchange)", _.contains("ShuffledHashJoin")))
     plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
       // fully-builtin pipeline: simhash + band math + bit_count(xor)
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
