@@ -74,13 +74,16 @@ final class MultiSubstring private (
 
   // accept flag folded into the transition word: sign bit set when the
   // TARGET state emits at least one pattern, so the scan loops test one
-  // sign bit instead of dereferencing out(st) on every char
-  private val nextF: Array[Int] = {
-    val t = new Array[Int](next.length)
+  // sign bit instead of dereferencing out(st) on every char. Short-typed:
+  // halves the table's cache footprint (the hot loop walks several
+  // automata per line, so table bytes are the scan's real cost).
+  private val nextF: Array[Short] = {
+    require(next.length / width <= 0x7FFF, "automaton too large for short states")
+    val t = new Array[Short](next.length)
     var i = 0
     while (i < t.length) {
       val tgt = next(i)
-      t(i) = if (out(tgt).length != 0) tgt | Int.MinValue else tgt
+      t(i) = (if (out(tgt).length != 0) tgt | 0x8000 else tgt).toShort
       i += 1
     }
     t
@@ -123,7 +126,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cnt < size) {
       val v = nextF(st * width + clsFold(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
@@ -161,7 +164,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cnt < size) {
       val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
@@ -191,7 +194,7 @@ final class MultiSubstring private (
     while (li < lEnd && cnt < size) {
       if (li > math.max(0, from)) {
         val v = nextF(st * width + sepCls)
-        st = v & Int.MaxValue
+        st = v & 0x7FFF
         if (v < 0) {
           val o = out(st)
           var j = 0
@@ -207,7 +210,7 @@ final class MultiSubstring private (
       val n = s.length
       while (i < n && cnt < size) {
         val v = nextF(st * width + cls(s.charAt(i)))
-        st = v & Int.MaxValue
+        st = v & 0x7FFF
         if (v < 0) {
           val o = out(st)
           var j = 0
@@ -238,7 +241,7 @@ final class MultiSubstring private (
     while (li < lines.length) {
       if (li > 0) {
         val v = nextF(st * width + sepCls)
-        st = v & Int.MaxValue
+        st = v & 0x7FFF
         off += 1
         if (v < 0) {
           val o = out(st)
@@ -251,7 +254,7 @@ final class MultiSubstring private (
       val n = s.length
       while (i < n) {
         val v = nextF(st * width + cls(s.charAt(i)))
-        st = v & Int.MaxValue
+        st = v & 0x7FFF
         off += 1
         if (v < 0) {
           val o = out(st)
@@ -276,7 +279,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cntFull < size) {
       val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
@@ -308,7 +311,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && (cntFull < size || (cntPre < size && i < prefixEnd))) {
       val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
@@ -335,7 +338,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cnt < size) {
       val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
@@ -361,7 +364,7 @@ final class MultiSubstring private (
     val n = s.length
     while (i < n && cnt < size) {
       val v = nextF(st * width + clsFold(s.charAt(i)))
-      st = v & Int.MaxValue
+      st = v & 0x7FFF
       if (v < 0) {
         val o = out(st)
         var j = 0
