@@ -5,11 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** spark-submit entry point for the north-star extraction job:
   *
   *   spark-submit --class graft.JobMain <jar> <inputParquet> <outDir> \
-  *     [buckets] [waves] [--fingerprint-inputs]
+  *     [buckets] [waves] [--fingerprint-inputs | --conv-grained] [--compact]
   *
   * --fingerprint-inputs enables change-detection resume: committed buckets
   * whose input content changed since their snapshot are recomputed (one
   * extra narrow aggregation scan of the input per run).
+  * --conv-grained upgrades change detection to conversation grain
+  * (merge-on-read: only changed conversations recompute, committed as
+  * delta + equality-delete files). --compact runs merge-on-read
+  * compaction after the extraction run (rewrite_data_files analog).
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -23,8 +27,11 @@ import org.apache.spark.sql.SparkSession
 object JobMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: JobMain <inputParquet> <outDir> [buckets] [waves] [--fingerprint-inputs]")
+      "usage: JobMain <inputParquet> <outDir> [buckets] [waves] " +
+        "[--fingerprint-inputs | --conv-grained] [--compact]")
     val fingerprint = args.contains("--fingerprint-inputs")
+    val convGrained = args.contains("--conv-grained")
+    val doCompact = args.contains("--compact")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -40,8 +47,10 @@ object JobMain {
     val turns = spark.read.parquet(input).as[graft.spark.Turn]
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
-        fingerprintInputs = fingerprint))
-    println(s"""{"committed_buckets_this_run":${done.size},"out":"$outDir"}""")
+        fingerprintInputs = fingerprint, convGrained = convGrained))
+    val compacted =
+      if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
+    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
 }

@@ -367,6 +367,10 @@ object ExtractionJob {
   /** Merge-on-read compaction (see TableFormat.compact). */
   def compact(spark: SparkSession, outDir: String): Set[Int] =
     defaultFormat.compact(spark, outDir)
+
+  /** Time-travel read (see TableFormat.readCommittedAsOf). */
+  def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
+    defaultFormat.readCommittedAsOf(spark, outDir, snapshotId)
 }
 
 final case class TurnWithBucket(

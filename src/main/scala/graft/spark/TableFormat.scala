@@ -46,6 +46,17 @@ trait TableFormat {
     * manifest (promoted-but-uncommitted data is invisible). */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame
 
+  /** Manifest of a specific snapshot (time travel). */
+  def readManifestAt(outDir: String, snapshotId: Int): Option[Manifest]
+
+  /** Snapshot-isolated read AS OF `snapshotId` (time travel). Valid while
+    * that snapshot's data files still exist: additive (merge-on-read)
+    * commits preserve older files, so conv-grained history is readable
+    * until a replacing commit (full-bucket recompute or compaction)
+    * rewrites a bucket — the same contract as Iceberg after
+    * expire_snapshots/GC. */
+  def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame
+
   /** Merge-on-read maintenance (Iceberg rewrite_data_files): rewrite the
     * buckets carrying equality deletes into clean sorted files, commit a
     * snapshot whose manifest references only the rewritten files, then
@@ -83,9 +94,13 @@ object SnapshotManifestFormat extends TableFormat {
     *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
     *  "committed_at":".."} — `files` lists every committed data file.
     */
-  override def readManifest(outDir: String): Option[Manifest] = latestSnapshot(outDir).map { k =>
-    val manifest = new String(
-      Files.readAllBytes(Paths.get(outDir, "snapshots", s"snap-$k.json")), StandardCharsets.UTF_8)
+  override def readManifest(outDir: String): Option[Manifest] =
+    latestSnapshot(outDir).flatMap(readManifestAt(outDir, _))
+
+  override def readManifestAt(outDir: String, k: Int): Option[Manifest] = {
+    val p = Paths.get(outDir, "snapshots", s"snap-$k.json")
+    if (!Files.exists(p)) return None
+    val manifest = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
       .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
@@ -95,8 +110,8 @@ object SnapshotManifestFormat extends TableFormat {
     val fps = fpEntryRe.findAllMatchIn(manifest)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     val convFps = convFpsDirRe.findFirstMatchIn(manifest).map(_.group(1))
-    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
-      inputFps = fps, convFpsDir = convFps)
+    Some(Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
+      inputFps = fps, convFpsDir = convFps))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -252,10 +267,16 @@ object SnapshotManifestFormat extends TableFormat {
     * set is small relative to the data (changed conversations only), so the
     * anti-filter join broadcasts.
     */
-  override def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+  override def readCommitted(spark: SparkSession, outDir: String): DataFrame =
+    readAt(spark, outDir, readManifest(outDir)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir")))
+
+  override def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
+    readAt(spark, outDir, readManifestAt(outDir, snapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot $snapshotId under $outDir")))
+
+  private def readAt(spark: SparkSession, outDir: String, man: Manifest): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
-    val man = readManifest(outDir)
-      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
     val deletes = deleteDirsAsOf(outDir, man.snapshotId)
     def readPlain(): DataFrame = {
       val paths =

@@ -278,6 +278,19 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rerun with the same (changed) input is again a no-op
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
 
+    // time travel: as-of the pre-correction snapshot the ORIGINAL victim
+    // content is served (additive delta commits preserve older files)
+    val asOf = ExtractionJob.readCommittedAsOf(spark, out, snapAfterFull)
+    assert(asOf.count() == turns.count())
+    val asOfVictim = asOf.where(col("conv_id") === victim)
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val origVictim = ExtractionJob.extract(spark,
+        turns.where(col("conv_id") === victim).as[graft.spark.Turn])
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(asOfVictim == origVictim, "time-travel read must serve the pre-correction content")
+
     // ---- compaction folds the delta + deletes back into clean files ----
     val servedBefore = served
       .select("conv_id", "turn_idx", "fields_json")
