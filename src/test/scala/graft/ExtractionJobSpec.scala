@@ -339,6 +339,34 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, without, cfg) == Set.empty)
   }
 
+  test("conv-grained resume: two successive corrections resolve to the latest (max-seq deletes)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-conv2").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix one") else t)
+    val v2 = v1.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix two") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    assert(ExtractionJob.run(spark, v2, cfg).nonEmpty) // second delta on the same conversation
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.count() == v2.count(), "no duplicates across two delta rounds")
+    val got = served.where(col("conv_id") === victim)
+      .select("turn_idx", "fields_json")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val want = ExtractionJob.extract(spark, v2.where(col("conv_id") === victim).as[graft.spark.Turn])
+      .select("turn_idx", "fields_json")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == want, "latest correction must win")
+    // compaction folds BOTH delta rounds + both delete files away
+    assert(ExtractionJob.compact(spark, out).nonEmpty)
+    assert(ExtractionJob.readCommitted(spark, out).count() == v2.count())
+    assert(ExtractionJob.run(spark, v2, cfg) == Set.empty)
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
