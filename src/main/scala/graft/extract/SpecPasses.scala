@@ -205,8 +205,10 @@ object SpecNormalization {
     var i = 0
     while (!needs && i < s.length) {
       val c = s.charAt(i)
-      if (c != ' ' && isWs(c)) needs = true
-      else if (c == ' ' && i + 1 < s.length && s.charAt(i + 1) == ' ') needs = true
+      if (c <= ' ') { // every \s char is <= 0x20: one compare per ordinary char
+        if (c != ' ' && isWs(c)) needs = true
+        else if (c == ' ' && i + 1 < s.length && s.charAt(i + 1) == ' ') needs = true
+      }
       i += 1
     }
     if (!needs) return s
