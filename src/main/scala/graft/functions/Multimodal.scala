@@ -228,6 +228,219 @@ object Multimodal {
     cs
   }
 
+  // ---- resize (nearest neighbor; deterministic, codec-free) ----
+
+  /** Nearest-neighbor resize of a decoded image — the brief's `resize` step.
+    * Pure function of the pixel grid; identity when dimensions match. */
+  def resizeNearest(img: Decoded, newW: Int, newH: Int): Decoded = {
+    if (newW == img.width && newH == img.height) return img
+    val out = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = (y.toLong * img.height / newH).toInt
+      var x = 0
+      while (x < newW) {
+        val sx = (x.toLong * img.width / newW).toInt
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * newW + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(newW, newH, 3, out)
+  }
+
+  // ---- audio: WAV (RIFF) PCM16 mono — a fully specified public format ----
+
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Audio parameters are deterministic functions of doc_id (SQL-oracle-
+    * recomputable); sample CONTENT derives from (doc_id, text). */
+  def sampleRateOf(docId: Long): Int = 8000 + (docId % 4).toInt * 4000
+  def numSamplesOf(docId: Long): Int = 1600 + (docId % 7).toInt * 800
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def getIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + dataLen)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putIntLE(b, 4, 36 + dataLen)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putIntLE(b, 16, 16)      // fmt chunk size
+    b(20) = 1; b(21) = 0     // PCM
+    b(22) = 1; b(23) = 0     // mono
+    putIntLE(b, 24, sampleRate)
+    putIntLE(b, 28, sampleRate * 2) // byte rate
+    b(32) = 2; b(33) = 0     // block align
+    b(34) = 16; b(35) = 0    // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putIntLE(b, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      b(44 + i * 2) = samples(i).toByte
+      b(45 + i * 2) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    b
+  }
+
+  def decodeWav(blob: Array[Byte]): DecodedAudio = {
+    require(blob.length >= 44 && blob(0) == 'R' && blob(1) == 'I' &&
+      blob(8) == 'W' && blob(12) == 'f', "not a RIFF/WAVE PCM blob")
+    val sampleRate = getIntLE(blob, 24)
+    val dataLen = getIntLE(blob, 40)
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((blob(44 + i * 2) & 0xFF) | (blob(45 + i * 2) << 8)).toShort
+      i += 1
+    }
+    DecodedAudio(sampleRate, out)
+  }
+
+  def synthesizeWav(docId: Long, text: String): Array[Byte] = {
+    val n = numSamplesOf(docId)
+    val rng = new SplitMix(textSeed(text) ^ (docId * 0x9E3779B97F4A7C15L))
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = (rng.next() >>> 48).toShort; i += 1 }
+    encodeWav(sampleRateOf(docId), samples)
+  }
+
+  /** (rms scaled x1000 as long, zero-crossing count, duration ms) — computed
+    * from the DECODED samples. Duration is integer ms (n*1000/rate). */
+  def audioFeatures(a: DecodedAudio): (Long, Int, Int) = {
+    var sum2 = 0.0
+    var zc = 0
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i).toDouble
+      sum2 += v * v
+      if (i > 0 && ((a.samples(i - 1) < 0) != (a.samples(i) < 0))) zc += 1
+      i += 1
+    }
+    val rms = if (a.samples.isEmpty) 0.0 else math.sqrt(sum2 / a.samples.length)
+    (math.round(rms * 1000), zc, (a.samples.length.toLong * 1000 / a.sampleRate).toInt)
+  }
+
+  def audioChecksum(a: DecodedAudio): Long = {
+    var cs = 0xcbf29ce484222325L
+    var i = 0
+    while (i < a.samples.length) {
+      cs = (cs ^ (a.samples(i) & 0xFFFFL)) * 0x100000001B3L
+      i += 1
+    }
+    cs ^ a.sampleRate
+  }
+
+  // ---- video: length-prefixed frame container + frame sampling ----
+
+  /** Frame count is a deterministic function of doc_id. */
+  def frameCountOf(docId: Long): Int = 8 + (docId % 5).toInt * 4
+
+  /** Container: "GVID" magic, int32 frame count, then per frame an int32
+    * byte length followed by a PPM-encoded frame. The length prefixes are
+    * the point: frame sampling SEEKS past unsampled frames without decoding
+    * them (the batch-shape analog of keyframe-only video reads). */
+  def synthesizeVideo(docId: Long, text: String): Array[Byte] = {
+    val frames = frameCountOf(docId)
+    val rng = new SplitMix(textSeed(text) ^ docId)
+    val encoded = (0 until frames).map { f =>
+      val w = 16; val h = 12
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) { rgb(i) = rng.nextByte(); i += 1 }
+      encodePpm(w, h, rgb)
+    }
+    val total = 8 + encoded.map(_.length + 4).sum
+    val b = new Array[Byte](total)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    putIntLE(b, 4, frames)
+    var off = 8
+    encoded.foreach { fr =>
+      putIntLE(b, off, fr.length)
+      System.arraycopy(fr, 0, b, off + 4, fr.length)
+      off += 4 + fr.length
+    }
+    b
+  }
+
+  def videoFrameCount(blob: Array[Byte]): Int = {
+    require(blob.length >= 8 && blob(0) == 'G' && blob(1) == 'V', "not a GVID blob")
+    getIntLE(blob, 4)
+  }
+
+  /** Decode every `stride`-th frame (0, stride, 2*stride, …); other frames
+    * are skipped via their length prefix — no decode cost for them. */
+  def sampleFrames(blob: Array[Byte], stride: Int): Vector[Decoded] = {
+    val frames = videoFrameCount(blob)
+    val out = Vector.newBuilder[Decoded]
+    var off = 8
+    var f = 0
+    while (f < frames) {
+      val len = getIntLE(blob, off)
+      if (f % stride == 0) {
+        val fr = new Array[Byte](len)
+        System.arraycopy(blob, off + 4, fr, 0, len)
+        out += decodePpm(fr)
+      }
+      off += 4 + len
+      f += 1
+    }
+    out.result()
+  }
+
+  def videoChecksum(frames: Seq[Decoded]): Long = {
+    var cs = 0xcbf29ce484222325L
+    frames.foreach { fr =>
+      val feats = features(fr)
+      cs = (cs ^ featureChecksum(feats)) * 0x100000001B3L
+    }
+    cs
+  }
+
+  /** Audio/video/thumbnail pipeline over the documents table (q35):
+    * synthesize WAV + GVID blobs, REAL decode, frame-sample stride 3,
+    * 16x12 nearest-neighbor thumbnail of the image blob. Metadata columns
+    * (sample_rate, n_samples, duration_ms, n_frames, sampled_frames) are
+    * pure functions of doc_id — the DuckDB oracle recomputes them in SQL;
+    * the three checksums (which require decoding) are verified via the
+    * dumped output, exactly the q24 pattern.
+    */
+  def pipelineAV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val audio = decodeWav(synthesizeWav(docId, text))
+        val (_, _, durationMs) = audioFeatures(audio)
+        val video = synthesizeVideo(docId, text)
+        val sampled = sampleFrames(video, 3)
+        val thumb = resizeNearest(decode(synthesizeBlob(docId, text)), 16, 12)
+        (docId, audio.sampleRate, audio.samples.length, durationMs,
+          videoFrameCount(video), sampled.length,
+          audioChecksum(audio), videoChecksum(sampled),
+          featureChecksum(features(thumb)))
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "duration_ms", "n_frames",
+        "sampled_frames", "audio_checksum", "video_checksum", "thumb_checksum")
+      .orderBy("doc_id")
+  }
+
   /** The multimodal pipeline over the documents table: synthesize blob column
     * -> batched REAL decode (mapPartitions keeps the batch shape; no per-row
     * UDF dispatch) -> metadata struct + feature vector. At 100 TB the blob

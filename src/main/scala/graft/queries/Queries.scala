@@ -277,6 +277,14 @@ object Queries {
   def q24Multimodal(spark: SparkSession, dir: String): DataFrame =
     graft.functions.Multimodal.pipeline(spark, dir)
 
+  /** Audio (WAV PCM16) + video (frame-sampled container) + thumbnail resize
+    * over the documents table: the brief's remaining multimodal operations
+    * as REAL decodes. Metadata columns are pure functions of doc_id
+    * (SQL-recomputed by the oracle); the three checksums are verified via
+    * the dumped output — the q24 pattern. */
+  def q35AudioVideo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Multimodal.pipelineAV(spark, dir)
+
   /** Embedding-cosine near-duplicate pairs (exact, subset): the dedup-by-
     * embedding method from the brief, DuckDB-oracled. At scale the LSH
     * bucketing of q23 replaces the cross join. */
@@ -423,6 +431,7 @@ object Queries {
     "q22_turn_buckets" -> q22TurnBuckets _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_multimodal" -> q24Multimodal _,
+    "q35_audio_video" -> q35AudioVideo _,
     "q25_embed_neardup" -> q25EmbedNeardup _,
     "q26_simhash_pairs" -> q26SimhashPairs _,
     "q27_ngram_jaccard" -> q27NgramJaccard _,
@@ -544,6 +553,11 @@ object Queries {
       // pixel decode, so it is taken from the dumped output (its row/schema/
       // hash still participates in the compare).
       """WITH m AS (SELECT doc_id, feature_checksum FROM read_parquet('__OUT__/q24_multimodal/*.parquet')) SELECT d.doc_id, CAST(64 + (d.doc_id % 8) * 16 AS INTEGER) AS width, CAST(48 + (d.doc_id % 5) * 16 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, CAST((64 + (d.doc_id % 8) * 16) * (48 + (d.doc_id % 5) * 16) * 3 AS INTEGER) AS payload_bytes, m.feature_checksum FROM documents d JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id""",
+    "q35_audio_video" ->
+      // audio/video/thumb: every metadata column is a pure function of
+      // doc_id recomputed here; the checksums (which require the real
+      // decode + frame sampling + resize) come from the dumped output
+      """WITH m AS (SELECT doc_id, audio_checksum, video_checksum, thumb_checksum FROM read_parquet('__OUT__/q35_audio_video/*.parquet')) SELECT d.doc_id, CAST(8000 + (d.doc_id % 4) * 4000 AS INTEGER) AS sample_rate, CAST(1600 + (d.doc_id % 7) * 800 AS INTEGER) AS n_samples, CAST(((1600 + (d.doc_id % 7) * 800) * 1000) // (8000 + (d.doc_id % 4) * 4000) AS INTEGER) AS duration_ms, CAST(8 + (d.doc_id % 5) * 4 AS INTEGER) AS n_frames, CAST((8 + (d.doc_id % 5) * 4 + 2) // 3 AS INTEGER) AS sampled_frames, m.audio_checksum, m.video_checksum, m.thumb_checksum FROM documents d JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q16_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank"""
   )

@@ -73,4 +73,73 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.featureChecksum(Multimodal.features(ppm)) ==
       Multimodal.featureChecksum(Multimodal.features(bmp)))
   }
+
+  test("WAV codec round-trips; audio features from decoded samples") {
+    import graft.functions.Multimodal
+    val samples = Array.tabulate(1000)(i => ((i * 131 + 7) % 65536 - 32768).toShort)
+    val decoded = Multimodal.decodeWav(Multimodal.encodeWav(16000, samples))
+    assert(decoded.sampleRate == 16000)
+    assert(decoded.samples.sameElements(samples), "WAV PCM16 round-trip mismatch")
+    val (rms, zc, durMs) = Multimodal.audioFeatures(decoded)
+    assert(durMs == 1000 * 1000 / 16000)
+    assert(rms > 0 && zc > 0)
+    // synthesized blobs decode with the doc_id-determined parameters
+    val blob = Multimodal.synthesizeWav(42L, "some text")
+    val a = Multimodal.decodeWav(blob)
+    assert(a.sampleRate == Multimodal.sampleRateOf(42L))
+    assert(a.samples.length == Multimodal.numSamplesOf(42L))
+  }
+
+  test("video frame sampling decodes exactly the strided subset via length seeks") {
+    import graft.functions.Multimodal
+    val blob = Multimodal.synthesizeVideo(7L, "video doc")
+    val n = Multimodal.videoFrameCount(blob)
+    assert(n == Multimodal.frameCountOf(7L))
+    val all = Multimodal.sampleFrames(blob, 1)
+    assert(all.length == n)
+    val strided = Multimodal.sampleFrames(blob, 3)
+    assert(strided.length == (n + 2) / 3)
+    // the sampled frames equal the corresponding full-decode frames
+    strided.zipWithIndex.foreach { case (f, i) =>
+      assert(f.pixels.sameElements(all(i * 3).pixels), s"frame ${i * 3}")
+    }
+  }
+
+  test("nearest-neighbor resize: identity at same size, exact corner pixels") {
+    import graft.functions.Multimodal
+    val w = 8; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53) % 256).toByte)
+    val img = Multimodal.decode(Multimodal.encodePpm(w, h, rgb))
+    assert(Multimodal.resizeNearest(img, w, h) eq img)
+    val small = Multimodal.resizeNearest(img, 4, 3)
+    assert((small.width, small.height) == ((4, 3)))
+    // top-left pixel maps to source (0,0)
+    assert(small.pixels(0) == rgb(0) && small.pixels(1) == rgb(1) && small.pixels(2) == rgb(2))
+    // deterministic: same input -> same bytes
+    assert(Multimodal.resizeNearest(img, 4, 3).pixels.sameElements(small.pixels))
+  }
+
+  test("q35 audio/video pipeline checksums match independent row-local recomputation") {
+    import graft.functions.Multimodal
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.pipelineAV(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.take(25).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val audio = Multimodal.decodeWav(Multimodal.synthesizeWav(docId, texts(docId)))
+      assert(r.getAs[Int]("sample_rate") == audio.sampleRate)
+      assert(r.getAs[Int]("n_samples") == audio.samples.length)
+      assert(r.getAs[Long]("audio_checksum") == Multimodal.audioChecksum(audio))
+      val video = Multimodal.synthesizeVideo(docId, texts(docId))
+      assert(r.getAs[Int]("n_frames") == Multimodal.videoFrameCount(video))
+      assert(r.getAs[Long]("video_checksum") ==
+        Multimodal.videoChecksum(Multimodal.sampleFrames(video, 3)))
+      val thumb = Multimodal.resizeNearest(
+        Multimodal.decode(Multimodal.synthesizeBlob(docId, texts(docId))), 16, 12)
+      assert(r.getAs[Long]("thumb_checksum") ==
+        Multimodal.featureChecksum(Multimodal.features(thumb)))
+    }
+  }
 }
