@@ -89,12 +89,32 @@ final class MultiSubstring private (
     t
   }
 
+  // root fast path: while the DFA sits at root, chars whose class keeps it
+  // at root can be SKIPPED with one boolean load instead of the class fold +
+  // transition load (most chars of most lines match nothing)
+  private val rootStayFold: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var i = 0
+    while (i < 256) { t(i) = nextF(foldTab(i)) == 0; i += 1 }
+    t
+  }
+  private val rootStay: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var i = 0
+    while (i < 256) { t(i) = nextF(clsTab(i)) == 0; i += 1 }
+    t
+  }
+
   /** containsAny(s.toLowerCase) without building the lowered string. */
   def containsAnyFold(s: String): Boolean = {
     var st = 0
     var i = 0
     val n = s.length
     while (i < n) {
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStayFold(c) }) i += 1
+        if (i >= n) return false
+      }
       val v = nextF(st * width + clsFold(s.charAt(i)))
       if (v < 0) return true
       st = v
@@ -109,6 +129,10 @@ final class MultiSubstring private (
     var st = 0
     var i = from
     while (i < until) {
+      if (st == 0) {
+        while (i < until && { val c = s.charAt(i); c < 256 && rootStayFold(c) }) i += 1
+        if (i >= until) return false
+      }
       val v = nextF(st * width + clsFold(s.charAt(i)))
       if (v < 0) return true
       st = v
@@ -125,18 +149,23 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      val v = nextF(st * width + clsFold(s.charAt(i)))
-      st = v & 0x7FFF
-      if (v < 0) {
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
-        }
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStayFold(c) }) i += 1
       }
-      i += 1
+      if (i < n) {
+        val v = nextF(st * width + clsFold(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     seen
   }
@@ -147,6 +176,10 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n) {
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
+        if (i >= n) return false
+      }
       val v = nextF(st * width + cls(s.charAt(i)))
       if (v < 0) return true
       st = v
@@ -163,18 +196,23 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & 0x7FFF
-      if (v < 0) {
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
-        }
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
       }
-      i += 1
+      if (i < n) {
+        val v = nextF(st * width + cls(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     seen
   }
@@ -337,18 +375,23 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & 0x7FFF
-      if (v < 0) {
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
-        }
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
       }
-      i += 1
+      if (i < n) {
+        val v = nextF(st * width + cls(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     cnt
   }
@@ -363,18 +406,23 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cnt < size) {
-      val v = nextF(st * width + clsFold(s.charAt(i)))
-      st = v & 0x7FFF
-      if (v < 0) {
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seen(id)) { seen(id) = true; cnt += 1 }
-          j += 1
-        }
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStayFold(c) }) i += 1
       }
-      i += 1
+      if (i < n) {
+        val v = nextF(st * width + clsFold(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seen(id)) { seen(id) = true; cnt += 1 }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     cnt
   }

@@ -315,3 +315,36 @@ object AllocText3 {
     alloc("formatTemporaryHtml")(graft.extract.Text3Formatter.formatTemporaryHtml(fullText))
   }
 }
+
+/** Steal-immune throughput: per-payload CPU-ns/turn via
+  * ThreadMXBean.getCurrentThreadCpuTime (wall-clock noise from host
+  * contention does not move this number). Reports per-route turns/s-of-CPU
+  * and the payload-mix aggregate — the honest single-core capacity.
+  */
+object CpuBench {
+  def main(args: Array[String]): Unit = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    require(mx.isCurrentThreadCpuTimeSupported)
+    val payloads = graft.spark.Transcripts.payloads
+    // warmup: everything JITs
+    (0 until 200).foreach(_ => payloads.foreach { case (tag, text) =>
+      graft.extract.Extractor.extractTurn(text, tag) })
+    var mixCpu = 0.0
+    payloads.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (tag, ps) =>
+      var cpuPerTurn = 0.0
+      ps.foreach { case (_, text) =>
+        val reps = math.max(50, 200000 / math.max(1, text.length))
+        val t0 = mx.getCurrentThreadCpuTime
+        (0 until reps).foreach(_ => graft.extract.Extractor.extractTurn(text, tag))
+        val per = (mx.getCurrentThreadCpuTime - t0).toDouble / reps
+        println(f"  $tag%-20s ${text.length}%7d ch ${per / 1000.0}%9.1f us-cpu/turn")
+        cpuPerTurn += per
+      }
+      cpuPerTurn /= ps.length
+      mixCpu += cpuPerTurn * ps.length
+      println(f"$tag%-22s ${cpuPerTurn / 1000.0}%9.1f us-cpu/turn  ${1e9 / cpuPerTurn}%9.0f turns/s-cpu")
+    }
+    val mixAvg = mixCpu / payloads.length
+    println(f"MIX (uniform payloads)  ${mixAvg / 1000.0}%9.1f us-cpu/turn  ${1e9 / mixAvg}%9.0f turns/s-cpu")
+  }
+}
