@@ -371,6 +371,10 @@ object ExtractionJob {
   /** Time-travel read (see TableFormat.readCommittedAsOf). */
   def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
     defaultFormat.readCommittedAsOf(spark, outDir, snapshotId)
+
+  /** Snapshot expiry (see TableFormat.expireSnapshots). */
+  def expireSnapshots(outDir: String, retainLast: Int): (Int, Int) =
+    defaultFormat.expireSnapshots(outDir, retainLast)
 }
 
 final case class TurnWithBucket(

@@ -62,6 +62,13 @@ trait TableFormat {
     * snapshot whose manifest references only the rewritten files, then
     * drop the applied delete files. Returns the rewritten buckets. */
   def compact(spark: SparkSession, outDir: String): Set[Int]
+
+  /** Snapshot expiry (Iceberg expire_snapshots): drop manifests + lineage
+    * older than the `retainLast` most recent snapshots and garbage-collect
+    * data files and conv-fp sidecars no retained manifest references.
+    * Time travel remains valid for retained snapshots only. Returns
+    * (expired snapshot count, deleted data file count). */
+  def expireSnapshots(outDir: String, retainLast: Int): (Int, Int)
 }
 
 /** The thin file-based snapshot-manifest protocol (no Iceberg jar ships in
@@ -361,5 +368,56 @@ object SnapshotManifestFormat extends TableFormat {
     // a HIGHER seq than any applied delete)
     delDirs.foreach(d => deleteRecursively(d._2))
     affected
+  }
+
+  override def expireSnapshots(outDir: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val latest = latestSnapshot(outDir).getOrElse(return (0, 0))
+    val snapDir = Paths.get(outDir, "snapshots")
+    val existing = listDir(snapDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("snap-") && n.endsWith(".json"))
+        Some(n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      else None
+    }.sorted
+    val retained = existing.filter(_ > latest - retainLast)
+    val expired = existing.filterNot(retained.contains)
+    if (expired.isEmpty) return (0, 0)
+    val retainedMans = retained.flatMap(k => readManifestAt(outDir, k))
+    // legacy manifests carry no file list — references can't be proven, so
+    // refuse to GC rather than delete live data
+    require(retainedMans.forall(_.hasFilesList),
+      "cannot expire: a retained manifest has no file list (legacy format)")
+    val referenced: Set[String] = retainedMans.flatMap(_.files.map(_.path)).toSet
+    val referencedFps: Set[String] = retainedMans.flatMap(_.convFpsDir).toSet
+
+    // GC unreferenced data files (empty bucket dirs stay; harmless)
+    var deletedFiles = 0
+    val dataDir = Paths.get(outDir, "data")
+    if (Files.isDirectory(dataDir)) {
+      listDir(dataDir).filter(_.getFileName.toString.startsWith("bucket=")).foreach { bd =>
+        val bucketName = bd.getFileName.toString
+        listDir(bd).foreach { f =>
+          val rel = s"$bucketName/${f.getFileName}"
+          if (!referenced.contains(rel)) { Files.delete(f); deletedFiles += 1 }
+        }
+      }
+    }
+    // GC unreferenced conv-fp sidecars
+    val fpRoot = Paths.get(outDir, "conv_fps")
+    if (Files.isDirectory(fpRoot)) {
+      listDir(fpRoot).foreach { d =>
+        if (!referencedFps.contains(d.getFileName.toString)) deleteRecursively(d)
+      }
+    }
+    // drop expired manifests + their lineage
+    expired.foreach { k =>
+      Files.deleteIfExists(snapDir.resolve(s"snap-$k.json"))
+      Files.deleteIfExists(Paths.get(outDir, "lineage", s"lineage-$k.json"))
+    }
+    // applied equality deletes are still needed by retained snapshots that
+    // predate their application; compact() is the operation that retires
+    // them — expiry leaves deletes/ alone.
+    (expired.size, deletedFiles)
   }
 }

@@ -367,6 +367,40 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, v2, cfg) == Set.empty)
   }
 
+  test("snapshot expiry GCs unreferenced files and old manifests; latest read intact") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graft-expire").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nfix") else t)
+    assert(ExtractionJob.run(spark, changed, cfg).nonEmpty) // delta snapshot
+    assert(ExtractionJob.compact(spark, out).nonEmpty)      // rewrite snapshot
+    val latest = ExtractionJob.latestSnapshot(out).get
+    val preCount = ExtractionJob.readCommitted(spark, out).count()
+
+    val (expired, deleted) = ExtractionJob.expireSnapshots(out, retainLast = 1)
+    assert(expired > 0, "older manifests must expire")
+    assert(deleted > 0, "pre-compaction files must be garbage-collected")
+    // latest snapshot fully intact
+    assert(ExtractionJob.latestSnapshot(out).contains(latest))
+    assert(ExtractionJob.readCommitted(spark, out).count() == preCount)
+    val man = ExtractionJob.readManifest(out).get
+    man.files.foreach(f => assert(Files.exists(Paths.get(out, "data", f.path))))
+    // expired snapshots are gone for time travel
+    intercept[IllegalStateException] {
+      ExtractionJob.readCommittedAsOf(spark, out, latest - 1)
+    }
+    // expiry is idempotent; resume is still a no-op
+    assert(ExtractionJob.expireSnapshots(out, retainLast = 1) == ((0, 0)))
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
