@@ -45,7 +45,11 @@ object ExtractionJob {
       // conversations, committed as an additive delta file plus an equality
       // delete file — the Iceberg merge-on-read shape. Surviving data files
       // are never rewritten or re-extracted.
-      convGrained: Boolean = false
+      convGrained: Boolean = false,
+      // auto-compaction policy: after a conv-grained run, compact when the
+      // accumulated equality-delete entries reach this count (0 = manual
+      // compaction only). Bounds MOR read overhead without operator action.
+      autoCompactDeletes: Int = 0
   )
 
   final case class LineageRow(
@@ -353,6 +357,16 @@ object ExtractionJob {
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
             lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir))
+        }
+      }
+      // auto-compaction policy: bound the accumulated MOR delete debt
+      if (config.autoCompactDeletes > 0) {
+        val delRoot = new java.io.File(s"${config.outDir}/deletes")
+        val delDirs = Option(delRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+        if (delDirs.nonEmpty) {
+          val nDeletes = spark.read.parquet(delDirs.map(_.getAbsolutePath).toSeq: _*).count()
+          if (nDeletes >= config.autoCompactDeletes) format.compact(spark, config.outDir)
         }
       }
       done

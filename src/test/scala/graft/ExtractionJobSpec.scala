@@ -367,6 +367,38 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, v2, cfg) == Set.empty)
   }
 
+  test("auto-compaction triggers once accumulated deletes reach the threshold") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-autocompact").toString
+    val turns = Transcripts.generate(spark, 25)
+    val victim = turns.select("conv_id").as[String].head()
+    val victimTurns = turns.where(col("conv_id") === victim).count()
+    // threshold just above one correction's delete count -> first delta
+    // leaves deletes in place, second crosses and compacts
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 2)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    def deleteDirs() = {
+      val d = new java.io.File(s"$out/deletes")
+      if (d.isDirectory) d.listFiles().length else 0
+    }
+    assert(deleteDirs() == 0)
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix1") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    // one conversation changed -> 1 delete entry < threshold 2: no compaction
+    assert(deleteDirs() == 1)
+    val v2 = v1.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix2") else t)
+    assert(ExtractionJob.run(spark, v2, cfg).nonEmpty)
+    // second correction reaches 2 accumulated deletes -> auto-compacted
+    assert(deleteDirs() == 0, "auto-compaction must have retired the deletes")
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.count() == v2.count())
+    assert(served.where(col("conv_id") === victim).count() == victimTurns)
+    assert(ExtractionJob.run(spark, v2, cfg) == Set.empty)
+  }
+
   test("snapshot expiry GCs unreferenced files and old manifests; latest read intact") {
     val ss = spark
     import ss.implicits._
