@@ -50,6 +50,9 @@ object StrUtil {
     */
   def replaceLiterals(src: String, pairs: Array[(String, String)]): String = {
     val k = pairs.length
+    // an empty target would zero-width-match forever — fail fast
+    var g = 0
+    while (g < k) { require(pairs(g)._1.nonEmpty, "replaceLiterals: empty target"); g += 1 }
     val next = new Array[Int](k)
     var i = 0
     var any = false
@@ -97,6 +100,8 @@ object StrUtil {
   def replaceLiteralsInto(sb: java.lang.StringBuilder, src: String, from: Int, to: Int,
       pairs: Array[(String, String)]): Unit = {
     val k = pairs.length
+    var g = 0
+    while (g < k) { require(pairs(g)._1.nonEmpty, "replaceLiterals: empty target"); g += 1 }
     val next = new Array[Int](k)
     var i = 0
     while (i < k) {

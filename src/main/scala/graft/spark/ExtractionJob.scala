@@ -70,7 +70,8 @@ object ExtractionJob {
     * granularity existed — the two need different resume verification. */
   final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry],
                             hasFilesList: Boolean, inputFps: Map[Int, Long],
-                            convFpsDir: Option[String] = None)
+                            convFpsDir: Option[String] = None,
+                            deleteDirs: Vector[String] = Vector.empty)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -170,7 +171,8 @@ object ExtractionJob {
       if (config.fingerprintInputs) inputFingerprints(spark, turns, config.buckets)
       else Map.empty
     val verified = format.committedBuckets(config.outDir)
-    val manFps = format.readManifest(config.outDir).map(_.inputFps).getOrElse(Map.empty)
+    val priorMan = format.readManifest(config.outDir)
+    val manFps = priorMan.map(_.inputFps).getOrElse(Map.empty)
     val already =
       if (config.fingerprintInputs && manFps.nonEmpty)
         verified.filter(b => manFps.get(b) == currentFps.get(b))
@@ -185,8 +187,15 @@ object ExtractionJob {
     var doneThisRun = Set.empty[Int]
     // carry forward only files of buckets still verified-committed; stale
     // entries of recomputed buckets are dropped and replaced by this run's
-    var committedFiles: Vector[FileEntry] = format.readManifest(config.outDir)
+    var committedFiles: Vector[FileEntry] = priorMan
       .map(_.files.filter(f => already.contains(f.bucket))).getOrElse(Vector.empty)
+    // a bucket-grained commit on a conv-grained table must not destroy the
+    // incremental state: carry the conv-fp sidecar pointer, the recorded
+    // fingerprints (merged under the current mode's values) and the tracked
+    // delete dirs through every commit
+    val carriedConvFps = priorMan.flatMap(_.convFpsDir)
+    val carriedDeleteDirs = priorMan.map(_.deleteDirs).getOrElse(Vector.empty)
+    val carriedFps = manFps
 
     val withBucket = turns
       .withColumn("bucket", bucketOf(config.buckets))
@@ -202,8 +211,10 @@ object ExtractionJob {
       committedFiles = committedFiles ++ waveFiles
       // promote the staged wave and atomically commit the snapshot
       format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
-        lineage, if (config.fingerprintInputs) currentFps else Map.empty,
-        additive = false, convFpsDir = None)
+        lineage,
+        if (config.fingerprintInputs) carriedFps ++ currentFps else carriedFps,
+        additive = false, convFpsDir = carriedConvFps,
+        deleteDirs = carriedDeleteDirs)
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -299,7 +310,11 @@ object ExtractionJob {
       var committedFiles: Vector[FileEntry] =
         man.map(_.files.filter(f => verified.contains(f.bucket))).getOrElse(Vector.empty)
       var fpsBase = manFps
+      // tracked delete dirs carry through every commit (manifest-referenced,
+      // like data files); the delta stage appends its new dir
+      var deleteDirs: Vector[String] = man.map(_.deleteDirs).getOrElse(Vector.empty)
       var done = Set.empty[Int]
+      var waveCounter = 0 // failAfterWave hook counts the delta stage as wave 0
       val withBucket = turns.withColumn("bucket", bucketOf(config.buckets))
 
       // ---- delta stage: changed conversations of dirty buckets ----
@@ -338,8 +353,13 @@ object ExtractionJob {
             case None => m - b
           }
         }
+        deleteDirs = deleteDirs :+ s"snap-$seq"
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
-          lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir))
+          lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
+          deleteDirs = deleteDirs)
+        if (config.failAfterWave == waveCounter)
+          throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
+        waveCounter += 1
       }
 
       // ---- full waves for never-committed buckets ----
@@ -356,16 +376,20 @@ object ExtractionJob {
           committedFiles = committedFiles ++ files
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
-            lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir))
+            lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir),
+            deleteDirs = deleteDirs)
+          if (config.failAfterWave == waveCounter)
+            throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
+          waveCounter += 1
         }
       }
       // auto-compaction policy: bound the accumulated MOR delete debt
-      if (config.autoCompactDeletes > 0) {
-        val delRoot = new java.io.File(s"${config.outDir}/deletes")
-        val delDirs = Option(delRoot.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-        if (delDirs.nonEmpty) {
-          val nDeletes = spark.read.parquet(delDirs.map(_.getAbsolutePath).toSeq: _*).count()
+      // (counted over the MANIFEST-tracked delete dirs — orphans don't count)
+      if (config.autoCompactDeletes > 0 && deleteDirs.nonEmpty) {
+        val paths = deleteDirs.map(d => s"${config.outDir}/deletes/$d")
+          .filter(d => new java.io.File(d).isDirectory)
+        if (paths.nonEmpty) {
+          val nDeletes = spark.read.parquet(paths: _*).count()
           if (nDeletes >= config.autoCompactDeletes) format.compact(spark, config.outDir)
         }
       }

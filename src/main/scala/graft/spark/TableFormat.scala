@@ -40,7 +40,8 @@ trait TableFormat {
   def commitWave(outDir: String, staging: String, snapshotId: Int,
                  buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                  inputFps: Map[Int, Long], additive: Boolean = false,
-                 convFpsDir: Option[String] = None): Unit
+                 convFpsDir: Option[String] = None,
+                 deleteDirs: Seq[String] = Seq.empty): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -96,6 +97,8 @@ object SnapshotManifestFormat extends TableFormat {
 
   private val convFpsDirRe = "\"conv_fps\"\\s*:\\s*\"([^\"]+)\"".r
 
+  private val deleteDirsRe = "\"delete_dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
+
   /** Parse the latest committed manifest. Manifest format:
     * {"snapshot_id":K,"committed_buckets":[..],
     *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
@@ -117,8 +120,10 @@ object SnapshotManifestFormat extends TableFormat {
     val fps = fpEntryRe.findAllMatchIn(manifest)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     val convFps = convFpsDirRe.findFirstMatchIn(manifest).map(_.group(1))
+    val delDirs = deleteDirsRe.findFirstMatchIn(manifest).map(_.group(1)).toVector
+      .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
     Some(Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
-      inputFps = fps, convFpsDir = convFps))
+      inputFps = fps, convFpsDir = convFps, deleteDirs = delDirs))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -201,7 +206,8 @@ object SnapshotManifestFormat extends TableFormat {
   override def commitWave(outDir: String, staging: String, snapshotId: Int,
                           buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                           inputFps: Map[Int, Long], additive: Boolean = false,
-                          convFpsDir: Option[String] = None): Unit = {
+                          convFpsDir: Option[String] = None,
+                          deleteDirs: Seq[String] = Seq.empty): Unit = {
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
@@ -239,27 +245,25 @@ object SnapshotManifestFormat extends TableFormat {
       else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
         .mkString(""""input_fps":[""", ",", "],")
     val convFpsJson = convFpsDir.map(d => s""""conv_fps":"$d",""").getOrElse("")
+    val deleteDirsJson =
+      if (deleteDirs.isEmpty) ""
+      else deleteDirs.sorted.map(d => "\"" + d + "\"").mkString(""""delete_dirs":[""", ",", "],")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$deleteDirsJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
 
-  /** Delete-file directories (equality deletes written by conv-grained
-    * delta commits) visible at snapshot `asOf`: deletes/snap-K with K <=
-    * asOf — an uncommitted K > asOf stays invisible (snapshot isolation). */
-  private def deleteDirsAsOf(outDir: String, asOf: Int): Vector[(Int, Path)] = {
-    val root = Paths.get(outDir, "deletes")
-    if (!Files.isDirectory(root)) return Vector.empty
-    listDir(root).flatMap { d =>
-      val n = d.getFileName.toString
-      if (n.startsWith("snap-")) {
-        val k = n.stripPrefix("snap-").toInt
-        if (k <= asOf) Some(k -> d) else None
-      } else None
-    }
-  }
+  /** Delete-file directories visible at a snapshot: exactly the manifest's
+    * delete_dirs list (manifest-tracked like data files — an orphan
+    * deletes/snap-K dir left by a killed run is NEVER activated, even if a
+    * later unrelated commit reuses snapshot id K). Missing dirs (already
+    * GC'd) are skipped. */
+  private def manifestDeleteDirs(outDir: String, man: Manifest): Vector[Path] =
+    man.deleteDirs
+      .map(d => Paths.get(outDir, "deletes", d))
+      .filter(Files.isDirectory(_))
 
   /** Read the committed table: exactly the data files listed in the latest
     * committed manifest. A crash between bucket promotion and the snapshot
@@ -284,7 +288,7 @@ object SnapshotManifestFormat extends TableFormat {
 
   private def readAt(spark: SparkSession, outDir: String, man: Manifest): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
-    val deletes = deleteDirsAsOf(outDir, man.snapshotId)
+    val deletes = manifestDeleteDirs(outDir, man)
     def readPlain(): DataFrame = {
       val paths =
         if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
@@ -299,7 +303,7 @@ object SnapshotManifestFormat extends TableFormat {
       // only delete-affected BUCKETS pay the anti-filter join; every other
       // bucket's files are read plain (at 4096 buckets with one dirty
       // bucket, 99.98% of the table skips the join entirely)
-      val delDf0 = spark.read.parquet(deletes.map(_._2.toString): _*)
+      val delDf0 = spark.read.parquet(deletes.map(_.toString): _*)
       val delBuckets = delDf0.select("bucket").distinct().collect().map(_.getInt(0)).toSet
       val (affectedFiles, cleanFiles) = man.files.partition(f => delBuckets.contains(f.bucket))
       def read(fs: Seq[FileEntry]): DataFrame = spark.read
@@ -332,9 +336,9 @@ object SnapshotManifestFormat extends TableFormat {
   override def compact(spark: SparkSession, outDir: String): Set[Int] = {
     import org.apache.spark.sql.functions.col
     val man = readManifest(outDir).getOrElse(return Set.empty)
-    val delDirs = deleteDirsAsOf(outDir, man.snapshotId)
+    val delDirs = manifestDeleteDirs(outDir, man)
     if (delDirs.isEmpty) return Set.empty
-    val delDf = spark.read.parquet(delDirs.map(_._2.toString): _*)
+    val delDf = spark.read.parquet(delDirs.map(_.toString): _*)
     val withDeletes = delDf.select("bucket").distinct().collect().map(_.getInt(0)).toSet
     // only buckets that still have data files need a rewrite; a delete for a
     // fileless bucket hides nothing and can simply be dropped
@@ -361,12 +365,13 @@ object SnapshotManifestFormat extends TableFormat {
       // delta files) with the compacted ones; fingerprints and the conv-fp
       // sidecar pointer are carried through unchanged
       commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
-        man.inputFps, additive = false, convFpsDir = man.convFpsDir)
+        man.inputFps, additive = false, convFpsDir = man.convFpsDir,
+        deleteDirs = Seq.empty) // every tracked delete is applied by the rewrite
     }
     // applied deletes are garbage now; a crash before this point leaves
-    // them in place, where they are harmless (every rewritten file carries
-    // a HIGHER seq than any applied delete)
-    delDirs.foreach(d => deleteRecursively(d._2))
+    // them in place, where they are harmless (no manifest references them
+    // any more, and every rewritten file carries a HIGHER seq)
+    delDirs.foreach(deleteRecursively)
     affected
   }
 
@@ -415,9 +420,15 @@ object SnapshotManifestFormat extends TableFormat {
       Files.deleteIfExists(snapDir.resolve(s"snap-$k.json"))
       Files.deleteIfExists(Paths.get(outDir, "lineage", s"lineage-$k.json"))
     }
-    // applied equality deletes are still needed by retained snapshots that
-    // predate their application; compact() is the operation that retires
-    // them — expiry leaves deletes/ alone.
+    // GC delete dirs no retained manifest references (deletes are
+    // manifest-tracked like data files)
+    val referencedDeletes: Set[String] = retainedMans.flatMap(_.deleteDirs).toSet
+    val delRoot = Paths.get(outDir, "deletes")
+    if (Files.isDirectory(delRoot)) {
+      listDir(delRoot).foreach { d =>
+        if (!referencedDeletes.contains(d.getFileName.toString)) deleteRecursively(d)
+      }
+    }
     (expired.size, deletedFiles)
   }
 }

@@ -433,6 +433,64 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
   }
 
+  test("orphan delete dir from a killed run is never activated by a later commit") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-orphan").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    // commit only part of the table, simulating a kill mid-run
+    intercept[RuntimeException] {
+      ExtractionJob.run(spark, turns, cfg.copy(failAfterWave = 0))
+    }
+    val latest = ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    // a killed conv-grained delta left an ORPHAN delete dir at the id the
+    // next commit will reuse, listing a live conversation
+    Seq((ExtractionJob.bucketOf(4), victim)) // (doc only)
+    turns.where(col("conv_id") === victim)
+      .select(ExtractionJob.bucketOf(4).as("bucket"), col("conv_id"),
+        org.apache.spark.sql.functions.lit(latest + 1).as("seq"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$out/deletes/snap-${latest + 1}")
+    // resume commits snapshot latest+1 (an unrelated full wave)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    assert(ExtractionJob.latestSnapshot(out).get >= latest + 1)
+    // the orphan is NOT referenced by any manifest, so the victim stays served
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.where(col("conv_id") === victim).count() ==
+      turns.where(col("conv_id") === victim).count(),
+      "orphan delete dir must not hide live rows")
+    assert(ExtractionJob.readManifest(out).get.deleteDirs.isEmpty)
+  }
+
+  test("bucket-grained commit on a conv-grained table preserves the incremental state") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-mix").toString
+    val turns = Transcripts.generate(spark, 25)
+    val convCfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, convCfg) == Set(0, 1, 2, 3))
+    val manBefore = ExtractionJob.readManifest(out).get
+
+    // delete one bucket's files -> a plain bucket-grained run recomputes it
+    val lost = manBefore.files.head.bucket
+    manBefore.files.filter(_.bucket == lost).foreach(f =>
+      Files.delete(java.nio.file.Paths.get(out, "data", f.path)))
+    val plainCfg = ExtractionJob.Config(out, buckets = 4, waves = 2)
+    assert(ExtractionJob.run(spark, turns, plainCfg) == Set(lost))
+
+    // the bucket-grained commit carried the conv fingerprints + sidecar
+    val manAfter = ExtractionJob.readManifest(out).get
+    assert(manAfter.convFpsDir == manBefore.convFpsDir, "sidecar pointer must survive")
+    assert(manAfter.inputFps == manBefore.inputFps, "conv fingerprints must survive")
+    // so an unchanged-input conv-grained rerun is still a NO-OP
+    assert(ExtractionJob.run(spark, turns, convCfg) == Set.empty,
+      "mode mixing must not force a mass re-extraction")
+  }
+
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graft-legacy").toString
