@@ -50,13 +50,12 @@ object StrUtil {
     */
   def replaceLiterals(src: String, pairs: Array[(String, String)]): String = {
     val k = pairs.length
-    // an empty target would zero-width-match forever — fail fast
-    var g = 0
-    while (g < k) { require(pairs(g)._1.nonEmpty, "replaceLiterals: empty target"); g += 1 }
     val next = new Array[Int](k)
     var i = 0
     var any = false
     while (i < k) {
+      // an empty target would zero-width-match forever — fail fast
+      require(pairs(i)._1.nonEmpty, "replaceLiterals: empty target")
       next(i) = src.indexOf(pairs(i)._1)
       if (next(i) >= 0) any = true
       i += 1
@@ -100,11 +99,10 @@ object StrUtil {
   def replaceLiteralsInto(sb: java.lang.StringBuilder, src: String, from: Int, to: Int,
       pairs: Array[(String, String)]): Unit = {
     val k = pairs.length
-    var g = 0
-    while (g < k) { require(pairs(g)._1.nonEmpty, "replaceLiterals: empty target"); g += 1 }
     val next = new Array[Int](k)
     var i = 0
     while (i < k) {
+      require(pairs(i)._1.nonEmpty, "replaceLiterals: empty target")
       val idx = src.indexOf(pairs(i)._1, from)
       next(i) = if (idx >= 0 && idx + pairs(i)._1.length <= to) idx else -1
       i += 1

@@ -71,7 +71,14 @@ object ExtractionJob {
   final case class Manifest(snapshotId: Int, buckets: Set[Int], files: Vector[FileEntry],
                             hasFilesList: Boolean, inputFps: Map[Int, Long],
                             convFpsDir: Option[String] = None,
-                            deleteDirs: Vector[String] = Vector.empty)
+                            deleteDirs: Vector[String] = Vector.empty,
+                            // distinguishes "no deletes" from a manifest written
+                            // before deletes were manifest-tracked (legacy scan)
+                            hasDeleteDirsList: Boolean = false,
+                            // which fingerprint formula inputFps was computed
+                            // with: "conv" (bucketFpsFromConv) or "bucket"
+                            // (inputFingerprints); formulas are not comparable
+                            fpMode: Option[String] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -173,8 +180,12 @@ object ExtractionJob {
     val verified = format.committedBuckets(config.outDir)
     val priorMan = format.readManifest(config.outDir)
     val manFps = priorMan.map(_.inputFps).getOrElse(Map.empty)
+    // recorded fps are only comparable when the same formula produced them:
+    // a conv-grained table's fps never equal inputFingerprints values, and
+    // comparing them would mass-recompute the whole table
+    val fpModeOk = priorMan.flatMap(_.fpMode).forall(_ == "bucket")
     val already =
-      if (config.fingerprintInputs && manFps.nonEmpty)
+      if (config.fingerprintInputs && manFps.nonEmpty && fpModeOk)
         verified.filter(b => manFps.get(b) == currentFps.get(b))
       else verified
     val remaining = (0 until config.buckets).filterNot(already.contains)
@@ -210,11 +221,17 @@ object ExtractionJob {
       doneThisRun = doneThisRun ++ waveBuckets
       committedFiles = committedFiles ++ waveFiles
       // promote the staged wave and atomically commit the snapshot
+      // recomputed buckets' carried fps are stale (data now reflects the
+      // CURRENT input) — drop them unless this run records fresh ones
       format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
         lineage,
-        if (config.fingerprintInputs) carriedFps ++ currentFps else carriedFps,
+        if (config.fingerprintInputs) (carriedFps -- doneThisRun) ++ currentFps
+        else carriedFps -- doneThisRun,
         additive = false, convFpsDir = carriedConvFps,
-        deleteDirs = carriedDeleteDirs)
+        deleteDirs = carriedDeleteDirs,
+        fpMode =
+          if (config.fingerprintInputs) Some("bucket")
+          else priorMan.flatMap(_.fpMode))
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -295,7 +312,13 @@ object ExtractionJob {
       val man = format.readManifest(config.outDir)
       val verified = format.committedBuckets(config.outDir)
       val manFps = man.map(_.inputFps).getOrElse(Map.empty)
-      val dirty = verified.toSeq.filter(b => manFps.get(b) != currentFps.get(b)).sorted
+      // recorded fps from another formula are not comparable: treat every
+      // verified bucket as dirty — the conversation-level diff then bounds
+      // the actual re-extraction to genuinely changed conversations
+      val fpModeOk = man.flatMap(_.fpMode).forall(_ == "conv")
+      val dirty =
+        if (fpModeOk) verified.toSeq.filter(b => manFps.get(b) != currentFps.get(b)).sorted
+        else verified.toSeq.sorted
       val uncommitted = (0 until config.buckets).filterNot(verified.contains)
       if (dirty.isEmpty && uncommitted.isEmpty) return Set.empty
 
@@ -309,7 +332,7 @@ object ExtractionJob {
       // keep ALL verified buckets' files — dirty buckets' survivors stay
       var committedFiles: Vector[FileEntry] =
         man.map(_.files.filter(f => verified.contains(f.bucket))).getOrElse(Vector.empty)
-      var fpsBase = manFps
+      var fpsBase = if (fpModeOk) manFps else Map.empty[Int, Long]
       // tracked delete dirs carry through every commit (manifest-referenced,
       // like data files); the delta stage appends its new dir
       var deleteDirs: Vector[String] = man.map(_.deleteDirs).getOrElse(Vector.empty)
@@ -332,31 +355,40 @@ object ExtractionJob {
         val differing = cur.join(pri, Seq("bucket", "conv_id"), "full_outer")
           .where(!(col("cfp") <=> col("pfp"))).cache()
         val seq = snapshotId + 1
-        // equality delete file (the Iceberg MOR shape): rows for these
-        // conversations in files with a LOWER seq are invisible to readers
-        differing.select(col("bucket"), col("conv_id"), lit(seq).as("seq"))
-          .write.mode(SaveMode.Overwrite).parquet(s"${config.outDir}/deletes/snap-$seq")
-        // recompute ONLY conversations that still exist with changed content
-        val changedKeys = differing.where(col("cfp").isNotNull).select("bucket", "conv_id")
-        val toRecompute = withBucket
-          .join(changedKeys, Seq("bucket", "conv_id"), "left_semi").as[TurnWithBucket]
-        val (staging, files, lineage) =
-          stageWave(spark, toRecompute, config, format, dirty, s"delta-$seq", seq)
-        differing.unpersist()
-
-        snapshotId = seq
-        done = done ++ dirty
-        committedFiles = committedFiles ++ files
+        val nDiff = differing.count()
         fpsBase = dirty.foldLeft(fpsBase) { (m, b) =>
           currentFps.get(b) match {
             case Some(fp) => m.updated(b, fp)
             case None => m - b
           }
         }
-        deleteDirs = deleteDirs :+ s"snap-$seq"
+        val (staging, files, lineage) =
+          if (nDiff > 0) {
+            // equality delete file (the Iceberg MOR shape): rows for these
+            // conversations in files with a LOWER seq are invisible to readers
+            differing.select(col("bucket"), col("conv_id"), lit(seq).as("seq"))
+              .write.mode(SaveMode.Overwrite).parquet(s"${config.outDir}/deletes/snap-$seq")
+            deleteDirs = deleteDirs :+ s"snap-$seq"
+            // recompute ONLY conversations that still exist with changed content
+            val changedKeys = differing.where(col("cfp").isNotNull).select("bucket", "conv_id")
+            val toRecompute = withBucket
+              .join(changedKeys, Seq("bucket", "conv_id"), "left_semi").as[TurnWithBucket]
+            stageWave(spark, toRecompute, config, format, dirty, s"delta-$seq", seq)
+          } else {
+            // bucket fps were marked dirty but no conversation actually
+            // differs (fp-formula re-baseline after mode mixing): commit the
+            // refreshed fingerprints without writing deletes or data
+            (s"${config.outDir}/staging-delta-$seq", Vector.empty[FileEntry],
+              Vector.empty[LineageRow])
+          }
+        differing.unpersist()
+
+        snapshotId = seq
+        done = done ++ dirty
+        committedFiles = committedFiles ++ files
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
           lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
-          deleteDirs = deleteDirs)
+          deleteDirs = deleteDirs, fpMode = Some("conv"))
         if (config.failAfterWave == waveCounter)
           throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
         waveCounter += 1
@@ -377,7 +409,7 @@ object ExtractionJob {
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
             lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir),
-            deleteDirs = deleteDirs)
+            deleteDirs = deleteDirs, fpMode = Some("conv"))
           if (config.failAfterWave == waveCounter)
             throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
           waveCounter += 1

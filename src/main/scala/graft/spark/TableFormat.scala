@@ -41,7 +41,8 @@ trait TableFormat {
                  buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                  inputFps: Map[Int, Long], additive: Boolean = false,
                  convFpsDir: Option[String] = None,
-                 deleteDirs: Seq[String] = Seq.empty): Unit
+                 deleteDirs: Seq[String] = Seq.empty,
+                 fpMode: Option[String] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -99,6 +100,8 @@ object SnapshotManifestFormat extends TableFormat {
 
   private val deleteDirsRe = "\"delete_dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
 
+  private val fpModeRe = "\"fp_mode\"\\s*:\\s*\"([^\"]+)\"".r
+
   /** Parse the latest committed manifest. Manifest format:
     * {"snapshot_id":K,"committed_buckets":[..],
     *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
@@ -123,7 +126,9 @@ object SnapshotManifestFormat extends TableFormat {
     val delDirs = deleteDirsRe.findFirstMatchIn(manifest).map(_.group(1)).toVector
       .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
     Some(Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
-      inputFps = fps, convFpsDir = convFps, deleteDirs = delDirs))
+      inputFps = fps, convFpsDir = convFps, deleteDirs = delDirs,
+      hasDeleteDirsList = manifest.contains("\"delete_dirs\""),
+      fpMode = fpModeRe.findFirstMatchIn(manifest).map(_.group(1))))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -207,7 +212,8 @@ object SnapshotManifestFormat extends TableFormat {
                           buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                           inputFps: Map[Int, Long], additive: Boolean = false,
                           convFpsDir: Option[String] = None,
-                          deleteDirs: Seq[String] = Seq.empty): Unit = {
+                          deleteDirs: Seq[String] = Seq.empty,
+                          fpMode: Option[String] = None): Unit = {
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
@@ -245,12 +251,14 @@ object SnapshotManifestFormat extends TableFormat {
       else inputFps.toSeq.sorted.map { case (b, fp) => s"""{"bucket":$b,"fp":$fp}""" }
         .mkString(""""input_fps":[""", ",", "],")
     val convFpsJson = convFpsDir.map(d => s""""conv_fps":"$d",""").getOrElse("")
+    // always written (possibly empty): its presence marks a manifest whose
+    // delete liveness is manifest-tracked, vs legacy filesystem-scan tables
     val deleteDirsJson =
-      if (deleteDirs.isEmpty) ""
-      else deleteDirs.sorted.map(d => "\"" + d + "\"").mkString(""""delete_dirs":[""", ",", "],")
+      deleteDirs.sorted.map(d => "\"" + d + "\"").mkString(""""delete_dirs":[""", ",", "],")
+    val fpModeJson = fpMode.map(m => s""""fp_mode":"$m",""").getOrElse("")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$deleteDirsJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
@@ -258,12 +266,27 @@ object SnapshotManifestFormat extends TableFormat {
   /** Delete-file directories visible at a snapshot: exactly the manifest's
     * delete_dirs list (manifest-tracked like data files — an orphan
     * deletes/snap-K dir left by a killed run is NEVER activated, even if a
-    * later unrelated commit reuses snapshot id K). Missing dirs (already
-    * GC'd) are skipped. */
+    * later unrelated commit reuses snapshot id K). A tracked dir that is
+    * missing on disk is an integrity error and fails LOUDLY, like a missing
+    * data file — silently skipping it would serve deleted rows. Manifests
+    * written before deletes were manifest-tracked (no delete_dirs key) fall
+    * back to the legacy filesystem scan (snap-K dirs with K <= snapshot),
+    * mirroring the hasFilesList fallback. */
   private def manifestDeleteDirs(outDir: String, man: Manifest): Vector[Path] =
-    man.deleteDirs
-      .map(d => Paths.get(outDir, "deletes", d))
-      .filter(Files.isDirectory(_))
+    if (man.hasDeleteDirsList) {
+      man.deleteDirs.map { d =>
+        val p = Paths.get(outDir, "deletes", d)
+        require(Files.isDirectory(p), s"manifest-tracked delete dir missing: $p")
+        p
+      }
+    } else {
+      val root = Paths.get(outDir, "deletes")
+      if (!Files.isDirectory(root)) Vector.empty
+      else listDir(root).filter { d =>
+        val n = d.getFileName.toString
+        n.startsWith("snap-") && n.stripPrefix("snap-").toInt <= man.snapshotId
+      }
+    }
 
   /** Read the committed table: exactly the data files listed in the latest
     * committed manifest. A crash between bucket promotion and the snapshot
@@ -344,7 +367,14 @@ object SnapshotManifestFormat extends TableFormat {
     // fileless bucket hides nothing and can simply be dropped
     val affected = withDeletes.intersect(man.files.map(_.bucket).toSet)
     val seq = man.snapshotId + 1
-    if (affected.nonEmpty) {
+    if (affected.isEmpty) {
+      // no data to rewrite, but the tracked deletes must still be RETIRED
+      // through a manifest commit BEFORE their dirs are removed — deleting
+      // dirs a live manifest references would trip the integrity check
+      commitWave(outDir, s"$outDir/staging-compact-$seq", seq, man.buckets, man.files,
+        Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
+        deleteDirs = Seq.empty, fpMode = man.fpMode)
+    } else {
       // the committed view already applies the deletes — rewrite it as
       // clean sorted files, one dir per bucket
       val staging = s"$outDir/staging-compact-$seq"
@@ -366,7 +396,8 @@ object SnapshotManifestFormat extends TableFormat {
       // sidecar pointer are carried through unchanged
       commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
         man.inputFps, additive = false, convFpsDir = man.convFpsDir,
-        deleteDirs = Seq.empty) // every tracked delete is applied by the rewrite
+        deleteDirs = Seq.empty, // every tracked delete is applied by the rewrite
+        fpMode = man.fpMode)
     }
     // applied deletes are garbage now; a crash before this point leaves
     // them in place, where they are harmless (no manifest references them

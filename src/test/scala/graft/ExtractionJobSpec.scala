@@ -448,7 +448,6 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val victim = turns.select("conv_id").as[String].head()
     // a killed conv-grained delta left an ORPHAN delete dir at the id the
     // next commit will reuse, listing a live conversation
-    Seq((ExtractionJob.bucketOf(4), victim)) // (doc only)
     turns.where(col("conv_id") === victim)
       .select(ExtractionJob.bucketOf(4).as("bucket"), col("conv_id"),
         org.apache.spark.sql.functions.lit(latest + 1).as("seq"))
@@ -482,13 +481,27 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plainCfg = ExtractionJob.Config(out, buckets = 4, waves = 2)
     assert(ExtractionJob.run(spark, turns, plainCfg) == Set(lost))
 
-    // the bucket-grained commit carried the conv fingerprints + sidecar
+    // the bucket-grained commit carried the conv fingerprints + sidecar;
+    // the RECOMPUTED bucket's fp is dropped (its provenance is fresh data,
+    // not the recorded formula) — everyone else's survives
     val manAfter = ExtractionJob.readManifest(out).get
     assert(manAfter.convFpsDir == manBefore.convFpsDir, "sidecar pointer must survive")
-    assert(manAfter.inputFps == manBefore.inputFps, "conv fingerprints must survive")
-    // so an unchanged-input conv-grained rerun is still a NO-OP
+    assert(manAfter.inputFps == manBefore.inputFps - lost,
+      "conv fingerprints must survive for untouched buckets")
+    // the conv-grained rerun re-baselines ONLY the recomputed bucket —
+    // and since no conversation actually changed, it commits refreshed
+    // fingerprints without writing deletes or re-extracting anything
+    val snapBefore = ExtractionJob.latestSnapshot(out).get
+    assert(ExtractionJob.run(spark, turns, convCfg) == Set(lost))
+    val manRebased = ExtractionJob.readManifest(out).get
+    assert(manRebased.deleteDirs.isEmpty, "re-baseline must not write deletes")
+    assert(manRebased.files.toSet == manAfter.files.toSet, "re-baseline must not write data")
+    assert(ExtractionJob.latestSnapshot(out).get == snapBefore + 1)
+    // and from here on, unchanged input is a true no-op
     assert(ExtractionJob.run(spark, turns, convCfg) == Set.empty,
       "mode mixing must not force a mass re-extraction")
+    // the served table never regressed
+    assert(ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
 
   test("legacy manifest (no files list) verifies bucket dirs, not vacuous-forall") {
