@@ -119,6 +119,32 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resizeNearest(img, 4, 3).pixels.sameElements(small.pixels))
   }
 
+  test("codec fuzz: corrupt blobs fail fast, never hang") {
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(42)
+    val goodWav = Multimodal.synthesizeWav(3L, "x")
+    val goodVid = Multimodal.synthesizeVideo(3L, "x")
+    val goodImg = Multimodal.synthesizeBlob(3L, "x")
+    val cases = Seq(
+      Array.empty[Byte], Array[Byte](1, 2, 3),
+      goodWav.take(10), goodWav.map(b => (b ^ 0x5A).toByte),
+      goodVid.take(6), goodVid.dropRight(50),
+      goodImg.take(3), goodImg.map(b => (b ^ 0x33).toByte)) ++
+      (0 until 20).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+      }
+    cases.foreach { blob =>
+      // decoding corrupt input must terminate promptly with an exception or
+      // a result — anything but a hang / unbounded allocation
+      def attempt(f: => Any): Unit =
+        try { f; () } catch { case _: RuntimeException | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException | _: IllegalArgumentException => () }
+      attempt(Multimodal.decodeWav(blob))
+      attempt(Multimodal.decode(blob))
+      attempt(Multimodal.sampleFrames(blob, 3))
+    }
+  }
+
   test("q35 audio/video pipeline checksums match independent row-local recomputation") {
     import graft.functions.Multimodal
     val texts = spark.read.parquet(s"$dir/documents.parquet")
