@@ -300,6 +300,11 @@ object Multimodal {
       blob(8) == 'W' && blob(12) == 'f', "not a RIFF/WAVE PCM blob")
     val sampleRate = getIntLE(blob, 24)
     val dataLen = getIntLE(blob, 40)
+    // bound the declared length against the actual blob BEFORE allocating:
+    // a corrupt header claiming ~Int.MaxValue must fail fast, not OOM
+    require(dataLen >= 0 && 44L + dataLen <= blob.length,
+      s"WAV data length $dataLen exceeds blob (${blob.length} bytes)")
+    require(sampleRate > 0, s"invalid WAV sample rate $sampleRate")
     val n = dataLen / 2
     val out = new Array[Short](n)
     var i = 0
@@ -379,7 +384,11 @@ object Multimodal {
 
   def videoFrameCount(blob: Array[Byte]): Int = {
     require(blob.length >= 8 && blob(0) == 'G' && blob(1) == 'V', "not a GVID blob")
-    getIntLE(blob, 4)
+    val n = getIntLE(blob, 4)
+    // each frame costs at least a 4-byte length prefix, so a valid count is
+    // bounded by the blob size — rejects corrupt headers claiming billions
+    require(n >= 0 && 8L + 4L * n <= blob.length, s"GVID frame count $n exceeds blob")
+    n
   }
 
   /** Decode every `stride`-th frame (0, stride, 2*stride, …); other frames
@@ -390,7 +399,12 @@ object Multimodal {
     var off = 8
     var f = 0
     while (f < frames) {
+      require(off + 4 <= blob.length, s"truncated GVID blob at frame $f")
       val len = getIntLE(blob, off)
+      // bound each declared frame length before allocating (corrupt prefix
+      // claiming ~2GB must fail fast, not OutOfMemoryError)
+      require(len >= 0 && off + 4L + len <= blob.length,
+        s"GVID frame $f length $len exceeds blob (${blob.length} bytes)")
       if (f % stride == 0) {
         val fr = new Array[Byte](len)
         System.arraycopy(blob, off + 4, fr, 0, len)

@@ -48,8 +48,11 @@ object ExtractionJob {
       convGrained: Boolean = false,
       // auto-compaction policy: after a conv-grained run, compact when the
       // accumulated equality-delete entries reach this count (0 = manual
-      // compaction only). Bounds MOR read overhead without operator action.
-      autoCompactDeletes: Int = 0
+      // compaction only). Default is non-zero so an unattended pipeline
+      // bounds its MOR delete debt (and the broadcast-pinned delete-read
+      // join stays under the readAt size guard) without operator action;
+      // the threshold is far above anything the specs' small tables reach.
+      autoCompactDeletes: Int = 100000
   )
 
   final case class LineageRow(
@@ -418,12 +421,15 @@ object ExtractionJob {
       // auto-compaction policy: bound the accumulated MOR delete debt
       // (counted over the MANIFEST-tracked delete dirs — orphans don't count)
       if (config.autoCompactDeletes > 0 && deleteDirs.nonEmpty) {
-        val paths = deleteDirs.map(d => s"${config.outDir}/deletes/$d")
-          .filter(d => new java.io.File(d).isDirectory)
-        if (paths.nonEmpty) {
-          val nDeletes = spark.read.parquet(paths: _*).count()
-          if (nDeletes >= config.autoCompactDeletes) format.compact(spark, config.outDir)
+        // same loud policy as the read path: a MANIFEST-tracked delete dir
+        // missing on disk is an integrity error, not something to skip over
+        val paths = deleteDirs.map { d =>
+          val p = s"${config.outDir}/deletes/$d"
+          require(new java.io.File(p).isDirectory, s"manifest-tracked delete dir missing: $p")
+          p
         }
+        val nDeletes = spark.read.parquet(paths: _*).count()
+        if (nDeletes >= config.autoCompactDeletes) format.compact(spark, config.outDir)
       }
       done
     } finally { convFps.unpersist(); () }

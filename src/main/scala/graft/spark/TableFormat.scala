@@ -7,6 +7,14 @@ import scala.jdk.CollectionConverters._
 
 import ExtractionJob.{FileEntry, LineageRow, Manifest}
 
+/** Optimistic-concurrency conflict: the table advanced past the snapshot
+  * this commit was computed against (another writer committed first). The
+  * losing commit leaves the table unchanged — nothing was promoted. The
+  * caller may recompute against the new state and retry, exactly like
+  * Iceberg's CommitFailedException.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Table-format seam (SURVEY.md §7.4.7): everything ExtractionJob needs
   * from the underlying table format — snapshot lookup, committed-state
   * verification, wave commit (promote + manifest + lineage, atomically
@@ -60,9 +68,13 @@ trait TableFormat {
   def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame
 
   /** Merge-on-read maintenance (Iceberg rewrite_data_files): rewrite the
-    * buckets carrying equality deletes into clean sorted files, commit a
-    * snapshot whose manifest references only the rewritten files, then
-    * drop the applied delete files. Returns the rewritten buckets. */
+    * buckets carrying equality deletes into clean sorted files and commit a
+    * snapshot whose manifest references only the rewritten files (no delete
+    * dirs). Applied delete files stay on disk while older manifests still
+    * reference them — time travel to intermediate snapshots keeps working —
+    * and are GC'd by expireSnapshots, mirroring Iceberg's
+    * rewrite_data_files / expire_snapshots split. Returns the rewritten
+    * buckets. */
   def compact(spark: SparkSession, outDir: String): Set[Int]
 
   /** Snapshot expiry (Iceberg expire_snapshots): drop manifests + lineage
@@ -214,6 +226,19 @@ object SnapshotManifestFormat extends TableFormat {
                           convFpsDir: Option[String] = None,
                           deleteDirs: Seq[String] = Seq.empty,
                           fpMode: Option[String] = None): Unit = {
+    // Optimistic-concurrency precondition (Iceberg's commit re-check): the
+    // commit was computed against snapshot `snapshotId - 1`; if `_latest`
+    // has moved past that, another writer won the race — refuse BEFORE
+    // promoting anything, so the loser's table state is untouched and no
+    // manifest ever references its staged files. The atomic `_latest`
+    // rename below is the swap; a real catalog's compare-and-swap would
+    // close the residual window between this check and that rename.
+    val current = latestSnapshot(outDir)
+    val expectedBase = if (snapshotId > 0) Some(snapshotId - 1) else None
+    if (current != expectedBase)
+      throw new CommitConflictException(
+        s"commit of snapshot $snapshotId computed against ${expectedBase.getOrElse("<none>")} " +
+          s"but table is at ${current.getOrElse("<none>")} under $outDir — another writer committed first")
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
@@ -283,8 +308,10 @@ object SnapshotManifestFormat extends TableFormat {
       val root = Paths.get(outDir, "deletes")
       if (!Files.isDirectory(root)) Vector.empty
       else listDir(root).filter { d =>
+        // numeric-name filter first: a stray non-numeric dir (snap-tmp,
+        // editor backup) must not break every read of a legacy table
         val n = d.getFileName.toString
-        n.startsWith("snap-") && n.stripPrefix("snap-").toInt <= man.snapshotId
+        n.matches("snap-\\d+") && n.stripPrefix("snap-").toInt <= man.snapshotId
       }
     }
 
@@ -305,12 +332,33 @@ object SnapshotManifestFormat extends TableFormat {
     readAt(spark, outDir, readManifest(outDir)
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir")))
 
-  override def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
-    readAt(spark, outDir, readManifestAt(outDir, snapshotId)
-      .getOrElse(throw new IllegalStateException(s"no snapshot $snapshotId under $outDir")))
+  override def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame = {
+    val man = readManifestAt(outDir, snapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot $snapshotId under $outDir"))
+    // Time travel to a NON-latest snapshot whose files were rewritten
+    // (compaction) or GC'd (expiry) is history loss, not corruption — report
+    // it distinctly instead of tripping the integrity checks meant for the
+    // live snapshot. The existence sweep is driver-side, manifest-sized.
+    if (!latestSnapshot(outDir).contains(snapshotId)) {
+      val dataGone = man.files.exists(f => !Files.exists(Paths.get(outDir, "data", f.path)))
+      val deletesGone = man.hasDeleteDirsList &&
+        man.deleteDirs.exists(d => !Files.isDirectory(Paths.get(outDir, "deletes", d)))
+      if (dataGone || deletesGone)
+        throw new IllegalStateException(
+          s"snapshot $snapshotId history has been rewritten or expired " +
+            "(compaction / expireSnapshots GC'd its files); time travel to it is no longer available")
+    }
+    readAt(spark, outDir, man)
+  }
+
+  /** Above this many accumulated equality-delete rows the aggregated delete
+    * set stops being broadcast-pinned and falls back to the planner's choice
+    * (AQE may still broadcast; else sort-merge). ~24 bytes/row keyed struct:
+    * 5M rows ≈ 120 MB on each executor — the safe ceiling for a pinned hint. */
+  private val BroadcastDeleteRowLimit = 5000000L
 
   private def readAt(spark: SparkSession, outDir: String, man: Manifest): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val deletes = manifestDeleteDirs(outDir, man)
     def readPlain(): DataFrame = {
       val paths =
@@ -321,13 +369,24 @@ object SnapshotManifestFormat extends TableFormat {
         .option("basePath", s"$outDir/data")
         .parquet(paths: _*)
     }
-    if (deletes.isEmpty || man.files.isEmpty) readPlain()
+    // a legacy manifest (no file list) cannot carry per-file seq numbers, so
+    // equality deletes CANNOT be applied — reading plain would silently
+    // serve deleted rows; fail loudly instead
+    if (deletes.nonEmpty && !man.hasFilesList)
+      throw new IllegalStateException(
+        s"equality deletes exist under $outDir but manifest ${man.snapshotId} has no file " +
+          "list (legacy format): deletes cannot be applied — compact or rewrite the table")
+    if (deletes.isEmpty) readPlain()
     else {
       // only delete-affected BUCKETS pay the anti-filter join; every other
       // bucket's files are read plain (at 4096 buckets with one dirty
       // bucket, 99.98% of the table skips the join entirely)
       val delDf0 = spark.read.parquet(deletes.map(_.toString): _*)
-      val delBuckets = delDf0.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      // one driver job yields both the affected-bucket set and the total
+      // delete count (for the broadcast size guard)
+      val perBucket = delDf0.groupBy("bucket").count().collect()
+      val delBuckets = perBucket.map(_.getInt(0)).toSet
+      val delRows = perBucket.map(_.getLong(1)).sum
       val (affectedFiles, cleanFiles) = man.files.partition(f => delBuckets.contains(f.bucket))
       def read(fs: Seq[FileEntry]): DataFrame = spark.read
         .option("basePath", s"$outDir/data")
@@ -338,9 +397,13 @@ object SnapshotManifestFormat extends TableFormat {
           val bySeq = affectedFiles.groupBy(_.seq).toSeq.sortBy(_._1)
           val data = bySeq.map { case (seq, fs) => read(fs).withColumn("__seq", lit(seq)) }
             .reduce(_ unionByName _)
-          val delDf = delDf0
+          val delAgg = delDf0
             .groupBy(col("bucket").as("__db"), col("conv_id").as("__dc"))
             .agg(max("seq").as("__delseq"))
+          // pin the broadcast while the delete set is provably small — AQE
+          // alone can silently degrade this to sort-merge over every
+          // delete-affected file when delete debt accumulates
+          val delDf = if (delRows <= BroadcastDeleteRowLimit) broadcast(delAgg) else delAgg
           Some(data
             .join(delDf,
               data("bucket") === delDf("__db") && data("conv_id") === delDf("__dc"), "left")
@@ -399,10 +462,26 @@ object SnapshotManifestFormat extends TableFormat {
         deleteDirs = Seq.empty, // every tracked delete is applied by the rewrite
         fpMode = man.fpMode)
     }
-    // applied deletes are garbage now; a crash before this point leaves
-    // them in place, where they are harmless (no manifest references them
-    // any more, and every rewritten file carries a HIGHER seq)
-    delDirs.foreach(deleteRecursively)
+    // The applied deletes are dead for the NEW manifest, but older retained
+    // manifests still reference them — deleting those would turn time travel
+    // to an intermediate delta snapshot into an integrity error. Drop only
+    // dirs no on-disk manifest references (normally none until the history
+    // is expired; expireSnapshots GCs the rest — the Iceberg split between
+    // rewrite_data_files and expire_snapshots). A legacy manifest without a
+    // tracked list implicitly references every snap-K dir ≤ its id, so its
+    // presence blocks this GC entirely.
+    val snapDir = Paths.get(outDir, "snapshots")
+    val allMans = listDir(snapDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.matches("snap-\\d+\\.json"))
+        readManifestAt(outDir, n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      else None
+    }
+    if (allMans.forall(_.hasDeleteDirsList)) {
+      val stillReferenced = allMans.flatMap(_.deleteDirs).toSet
+      delDirs.filterNot(d => stillReferenced.contains(d.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
     affected
   }
 

@@ -71,6 +71,21 @@ object ExplainCheck {
     val pruned = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
     val rs = pruned.queryExecution.executedPlan.toString
     println("pruning ReadSchema: " + rs.linesIterator.find(_.contains("ReadSchema")).getOrElse("?").trim.take(120))
+    // MOR delete-read plan: the aggregated equality-delete set must be
+    // BROADCAST (pinned with a size guard in readAt) — relying on AQE alone
+    // can silently degrade to sort-merge once delete debt accumulates
+    locally {
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("explain-mor").toString
+      val turns = graft.spark.Transcripts.generate(spark, 12)
+      val cfg = graft.spark.ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true)
+      graft.spark.ExtractionJob.run(spark, turns, cfg)
+      val victim = turns.select("conv_id").as[String].head()
+      val changed = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix") else t)
+      graft.spark.ExtractionJob.run(spark, changed, cfg) // writes an equality delete
+      plan("mor_delete_read", graft.spark.ExtractionJob.readCommitted(spark, out),
+        ("broadcast delete anti-filter join", _.contains("BroadcastHashJoin")))
+    }
     spark.stop()
   }
 }

@@ -145,6 +145,31 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("codec fuzz: huge claimed lengths are rejected before allocating") {
+    import graft.functions.Multimodal
+    def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    // small WAV whose header claims ~Int.MaxValue data bytes: must be a
+    // fast require failure, not a ~2GB Array[Short] allocation
+    val wav = Multimodal.synthesizeWav(3L, "x").clone()
+    putIntLE(wav, 40, Int.MaxValue - 7)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(wav))
+    // GVID header claiming two billion frames
+    val vid = Multimodal.synthesizeVideo(3L, "x").clone()
+    putIntLE(vid, 4, Int.MaxValue / 2)
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(vid, 3))
+    // GVID with a single frame whose length prefix claims ~2GB
+    val vid2 = Multimodal.synthesizeVideo(3L, "x").clone()
+    putIntLE(vid2, 8, Int.MaxValue - 15)
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(vid2, 1))
+    // negative lengths are rejected the same way
+    val wavNeg = Multimodal.synthesizeWav(3L, "x").clone()
+    putIntLE(wavNeg, 40, -8)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(wavNeg))
+  }
+
   test("q35 audio/video pipeline checksums match independent row-local recomputation") {
     import graft.functions.Multimodal
     val texts = spark.read.parquet(s"$dir/documents.parquet")

@@ -297,9 +297,20 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     val compacted = ExtractionJob.compact(spark, out)
     assert(compacted == victimBucket, s"compacted $compacted")
-    // applied delete files are gone; the rewritten bucket is single-sequence
-    assert(!Files.isDirectory(java.nio.file.Paths.get(out, "deletes", s"snap-${manAfter.snapshotId}")))
     val manCompacted = ExtractionJob.readManifest(out).get
+    // the new manifest references no deletes; the applied delete dir stays
+    // on disk while the delta manifest still references it (retired by
+    // expireSnapshots, not compact — the Iceberg split)
+    assert(manCompacted.deleteDirs.isEmpty, "compacted manifest must track no deletes")
+    assert(Files.isDirectory(java.nio.file.Paths.get(out, "deletes", s"snap-${manAfter.snapshotId}")),
+      "delete dir referenced by a retained manifest must survive compact")
+    // compaction rewrote the bucket's files, so time travel to the delta
+    // snapshot is genuinely gone — reported as history loss, NOT as a
+    // corruption/integrity error
+    val historyGone = intercept[IllegalStateException] {
+      ExtractionJob.readCommittedAsOf(spark, out, manAfter.snapshotId)
+    }
+    assert(historyGone.getMessage.contains("rewritten or expired"), historyGone.getMessage)
     val rewritten = manCompacted.files.filter(_.bucket == victimBucket.head)
     assert(rewritten.nonEmpty && rewritten.map(_.seq).distinct.size == 1)
     // content identical before and after compaction
@@ -391,8 +402,11 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deleteDirs() == 1)
     val v2 = v1.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix2") else t)
     assert(ExtractionJob.run(spark, v2, cfg).nonEmpty)
-    // second correction reaches 2 accumulated deletes -> auto-compacted
-    assert(deleteDirs() == 0, "auto-compaction must have retired the deletes")
+    // second correction reaches 2 accumulated deletes -> auto-compacted:
+    // the live manifest tracks no deletes any more (physical dirs linger
+    // for older snapshots' time travel until expiry)
+    assert(ExtractionJob.readManifest(out).get.deleteDirs.isEmpty,
+      "auto-compaction must have retired the deletes from the live manifest")
     val served = ExtractionJob.readCommitted(spark, out)
     assert(served.count() == v2.count())
     assert(served.where(col("conv_id") === victim).count() == victimTurns)
@@ -525,5 +539,49 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.committedBuckets(out) == Set(0, 1, 3))
     val recomputed = ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 4, waves = 2))
     assert(recomputed == Set(2), "legacy resume must recompute exactly the lost bucket")
+  }
+
+  test("optimistic commit: of two writers computed from one table state, the loser throws and the table is unchanged") {
+    import java.nio.file.Paths
+    import graft.spark.{CommitConflictException, SnapshotManifestFormat}
+    val out = Files.createTempDirectory("graft-conflict").toString
+    val turns = Transcripts.generate(spark, 15)
+    ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1))
+    val fmt = SnapshotManifestFormat
+    val base = ExtractionJob.readManifest(out).get
+    val wantRows = ExtractionJob.readCommitted(spark, out).count()
+
+    // both drivers read snapshot `base` and plan snapshot base+1
+    val next = base.snapshotId + 1
+    // writer A wins: a manifest-only additive commit
+    fmt.commitWave(out, s"$out/staging-a", next, base.buckets, base.files,
+      Vector.empty, base.inputFps, additive = true, deleteDirs = base.deleteDirs)
+    val winner = new String(Files.readAllBytes(Paths.get(out, "snapshots", s"snap-$next.json")))
+
+    // writer B, computed against the SAME base, loses — and must refuse
+    // BEFORE promoting its staged files
+    val stagingB = Paths.get(out, "staging-b", "bucket=0")
+    Files.createDirectories(stagingB)
+    Files.write(stagingB.resolve("part-loser.parquet"), Array[Byte](1, 2, 3))
+    intercept[CommitConflictException] {
+      fmt.commitWave(out, s"$out/staging-b", next, base.buckets, base.files,
+        Vector.empty, base.inputFps, additive = true, deleteDirs = base.deleteDirs)
+    }
+    // the loser changed nothing: winner's manifest byte-identical, _latest
+    // unmoved, loser's staged file still in staging, NOT promoted into data/
+    assert(ExtractionJob.latestSnapshot(out).contains(next))
+    assert(new String(Files.readAllBytes(
+      Paths.get(out, "snapshots", s"snap-$next.json"))) == winner)
+    assert(Files.exists(stagingB.resolve("part-loser.parquet")))
+    assert(!Files.exists(Paths.get(out, "data", "bucket=0", "part-loser.parquet")))
+    // a commit that skips ahead of the table (lost update the other way)
+    // refuses too
+    intercept[CommitConflictException] {
+      fmt.commitWave(out, s"$out/staging-b", next + 2, base.buckets, base.files,
+        Vector.empty, base.inputFps, additive = true, deleteDirs = base.deleteDirs)
+    }
+    // the table still serves the winner's data and a fresh run still resumes
+    assert(ExtractionJob.readCommitted(spark, out).count() == wantRows)
+    assert(ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1)) == Set.empty)
   }
 }
