@@ -42,10 +42,19 @@ object Bench {
       graft.spark.Transcripts.generate(spark, 1500, cpus.toInt * 4))
       .write.mode("overwrite").format("noop").save()
     // best-of-3: this VM shows 15-30% run-to-run noise (steal time); min is
-    // the least-contended estimate of the engine's own throughput
-    val runSecs = (1 to 3).map { _ =>
+    // the least-contended estimate of the engine's own throughput. When even
+    // the three samples spread >2x, the whole window was contended and min-of-3
+    // is not enough (BENCH_r04 lesson) — take extra samples before reporting.
+    val runSecs0 = (1 to 3).map { _ =>
       time { pipeline().write.mode("overwrite").format("noop").save() }._2
     }
+    val extractResampled = runSecs0.max / runSecs0.min > 2.0
+    val runSecs =
+      if (extractResampled)
+        runSecs0 ++ (1 to 2).map { _ =>
+          time { pipeline().write.mode("overwrite").format("noop").save() }._2
+        }
+      else runSecs0
     val extractSec = runSecs.min
     val turnsPerSec = nTurns / extractSec
 
@@ -68,6 +77,18 @@ object Bench {
       runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
       okMap(name) = okMap.getOrElse(name, true) && ok
     }
+    // steal-outlier guard: a query whose three samples spread >3x was hit by
+    // a host contention window — its min may still be contaminated. Give
+    // each such query two extra interleaved samples and report them, so the
+    // artifact doesn't need after-the-fact noise adjudication.
+    val noisy = names.filter(n => okMap(n) && runs(n).min > 0 && runs(n).max / runs(n).min > 3.0)
+    for (_ <- 1 to 2; name <- noisy) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+    }
     // failed queries are reported with negative elapsed plus a failed list so
     // a throwing query can never masquerade as a fast healthy run; the
     // headline total sums ONLY healthy queries (plus extraction) so it stays
@@ -79,9 +100,11 @@ object Bench {
       "\"" + k + "\":[" + runs(k).map(r => f"$r%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failed = names.filterNot(okMap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val resampled = (noisy ++ (if (extractResampled) Seq("extract") else Seq.empty))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.filter(okMap).map(runs(_).min).sum + extractSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_runs":$qruns,"failed":$failed,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_runs":$qruns,"failed":$failed,"resampled":$resampled,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -8,21 +8,25 @@ import scala.util.matching.Regex
   */
 object FormClassifier {
 
+  // NO (?i): these banks only ever scan the pre-lowered fullText /
+  // analysisText, and the case flag would disable java.util.regex's fast
+  // literal-prefix scan (Boyer-Moore) — the patterns are all-lowercase, so
+  // matching the lowered text case-sensitively is identical
   private val recordsRelease: Vector[Regex] = Vector(
     "release\\s*of\\s*(?:patient\\s*)?records",
     "(?:medical|dental|patient)\\s*records?\\s*release",
     "authorization\\s*to\\s*release",
     "consent\\s*for\\s*release",
     "section\\s*a:\\s*patient\\s*information",
-    "select\\s*information\\s*to\\s*be\\s*released").map(p => ("(?i)" + p).r)
+    "select\\s*information\\s*to\\s*be\\s*released").map(_.r)
 
   private val structuredConsent: Vector[Regex] = Vector(
     "informed\\s*consent", "treatment\\s*consent", "procedure\\s*consent")
-    .map(p => ("(?i)" + p).r)
+    .map(_.r)
 
   private val narrativeConsent: Vector[Regex] = Vector(
     "risks?\\s*and\\s*benefits?", "complications", "side\\s*effects?")
-    .map(p => ("(?i)" + p).r)
+    .map(_.r)
 
   private val consentKeywords = Vector(
     "informed consent", "consent form", "risks", "complications",
@@ -150,6 +154,24 @@ object FormClassifier {
     val (preFlags, fullFlags) = allAC.matchedSetPrefixAndFull(fullText, prefixEnd)
     (detectFormTypeFlags(fullText, prefixEnd, preFlags, fullFlags),
       detectFormSubtypeFlags(fullText, textLines.length, fullFlags))
+  }
+
+  /** classify() that also returns the per-line lowercase views it lowered
+    * anyway (joined, they ARE the classify text: Java lowercases per
+    * codepoint) — the patient-info machine reuses them instead of
+    * re-lowering every line. A variant that additionally collected the
+    * machine's context-token end positions in this walk was measured and
+    * rejected: two thirds of docling documents never query a context
+    * window, and for them the fatter union automaton plus per-hit position
+    * appends cost more than the machine's own small lazy pass saves. */
+  def classifyWithLowers(textLines: Seq[String])
+  : (String, String, IndexedSeq[String]) = {
+    val lowers: IndexedSeq[String] = textLines.map(_.toLowerCase).toIndexedSeq
+    val fullText = StrUtil.join(lowers, ' ')
+    val prefixEnd = typePrefixEnd(fullText, lowers) // offsets are into the lowered join
+    val (preFlags, fullFlags) = allAC.matchedSetPrefixAndFull(fullText, prefixEnd)
+    (detectFormTypeFlags(fullText, prefixEnd, preFlags, fullFlags),
+      detectFormSubtypeFlags(fullText, textLines.length, fullFlags), lowers)
   }
 
   def detectFormType(textLines: Seq[String]): String =

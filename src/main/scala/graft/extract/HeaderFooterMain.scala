@@ -54,17 +54,47 @@ object HeaderFooterMain {
   private val practiceKeywordsAC = MultiSubstring(practiceKeywords)
   private val facilityWordsAC = MultiSubstring(facilityWords)
 
+  // ---- merged line-cleaning automaton: ONE case-folded DFA walk per line
+  // computes every bank + every substring gate the cleaning stage needs
+  // (whitelist, practice keywords, facility words, mixed-content gates and
+  // the regex-bank prechecks). The separate per-bank walks and the per-line
+  // trim+toLowerCase copy were ~15% of the docling route's CPU; every
+  // pattern here is edge-whitespace-free ASCII, so fold presence on the raw
+  // line == contains on the trimmed lowercase (PropertySpec pins this).
+  private val gateTokens = Vector("page", "revised", "www.", "dental",
+    "dentistry", "dontic", "periodont", "smile", "kingery", "darien",
+    "rights", "form")
+  private val cleanBanks: Vector[Vector[String]] = Vector(
+    formContentWhitelist,         // seg 0: whitelist -> never removed
+    practiceKeywords,             // seg 1: unconditional practice keywords
+    facilityWords,                // seg 2: facilityRe gate
+    Vector("smile@", "www."),     // seg 3: mixed-content gate
+    Vector("informed consent"),   // seg 4: mixed-content subject
+    gateTokens)                   // seg 5: regex-bank substring gates
+  private val cleanOff: Array[Int] = cleanBanks.scanLeft(0)(_ + _.length).toArray
+  private val cleanAC = MultiSubstring(cleanBanks.flatten)
+  @inline private def segAny(flags: Array[Boolean], seg: Int): Boolean = {
+    var i = cleanOff(seg)
+    val end = cleanOff(seg + 1)
+    while (i < end) { if (flags(i)) return true; i += 1 }
+    false
+  }
+  @inline private def gate(flags: Array[Boolean], i: Int): Boolean =
+    flags(cleanOff(5) + i)
+
   // fold scans: no pattern in these banks has edge whitespace, so presence
   // in trim+toLowerCase == presence under the case-folded scan of the raw
   // line (trim only strips edge ws; matches begin/end on non-ws chars)
   def isFormContent(line: String): Boolean =
     formContentAC.containsAnyFold(line)
 
-  def isPracticeInformation(line0: String): Boolean = {
-    // common case (real form content) exits before any per-line copies
-    if (formContentAC.containsAnyFold(line0)) return false
+  def isPracticeInformation(line0: String): Boolean =
+    isPracticeInformationFlags(line0, cleanAC.matchedSetFold(line0))
+
+  private def isPracticeInformationFlags(line0: String, flags: Array[Boolean]): Boolean = {
+    // common case (real form content) exits on the whitelist flags
+    if (segAny(flags, 0)) return false
     val line = line0.trim
-    val lower = line.toLowerCase
     // anchored specials: ^[^a-zA-Z]*$ (subsumes ^\s*•\s*$)
     var hasLetter = false
     var hasDigit = false
@@ -80,24 +110,24 @@ object HeaderFooterMain {
       if (phoneRe.findFirstIn(line).isDefined) return true
       if (streetAddrRe.findFirstIn(line).isDefined) return true
       if (line.indexOf(',') >= 0 && cityStateZipRe.findFirstIn(line).isDefined) return true
-      if (lower.contains("page") && pageNumRe.findFirstIn(line).isDefined) return true
+      if (gate(flags, 0) && pageNumRe.findFirstIn(line).isDefined) return true
       if (line.indexOf('©') >= 0 && copyrightRe.findFirstIn(line).isDefined) return true
-      if (lower.contains("revised") && revisedRe.findFirstIn(line).isDefined) return true
+      if (gate(flags, 1) && revisedRe.findFirstIn(line).isDefined) return true
     }
     if (line.indexOf('@') >= 0 && emailRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("www.") && wwwRe.findFirstIn(line).isDefined) return true
-    if ((lower.contains("dental") || lower.contains("dentistry")) &&
+    if (gate(flags, 2) && wwwRe.findFirstIn(line).isDefined) return true
+    if ((gate(flags, 3) || gate(flags, 4)) &&
         dentistryRe.findFirstIn(line).isDefined) return true
-    if ((lower.contains("dontic") || lower.contains("periodont")) &&
+    if ((gate(flags, 5) || gate(flags, 6)) &&
         specialtyRe.findFirstIn(line).isDefined) return true
-    if (facilityWordsAC.containsAny(lower) && facilityRe.findFirstIn(line).isDefined) return true
+    if (segAny(flags, 2) && facilityRe.findFirstIn(line).isDefined) return true
     if (line.indexOf('•') >= 0 && tripleBulletRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("smile") && smileDentalRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("kingery") && kingeryRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("darien") && darienRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("rights") && rightsRe.findFirstIn(line).isDefined) return true
-    if (lower.contains("form") && formIdRe.findFirstIn(line).isDefined) return true
-    practiceKeywordsAC.containsAny(lower)
+    if (gate(flags, 7) && smileDentalRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 8) && kingeryRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 9) && darienRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 10) && rightsRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 11) && formIdRe.findFirstIn(line).isDefined) return true
+    segAny(flags, 1)
   }
 
   private val mixedConsentRe = "(?i)(informed\\s+consent[^•]*)".r
@@ -108,6 +138,9 @@ object HeaderFooterMain {
   def hasMixedPracticeContent(line: String): Boolean =
     mixedGateAC.containsAnyFold(line) && informedConsentAC.containsAnyFold(line)
 
+  @inline private def hasMixedPracticeContentFlags(flags: Array[Boolean]): Boolean =
+    segAny(flags, 3) && segAny(flags, 4)
+
   def extractFormContent(line: String): String =
     mixedConsentRe.findFirstMatchIn(line).map(_.group(1).trim).getOrElse("")
 
@@ -116,11 +149,14 @@ object HeaderFooterMain {
   def removePracticeHeadersFooters(lines: Seq[String]): Seq[String] =
     lines.flatMap { line =>
       if (StrUtil.isBlank(line)) None
-      else if (isPracticeInformation(line)) None
-      else if (hasMixedPracticeContent(line)) {
-        val extracted = extractFormContent(line)
-        if (extracted.nonEmpty) Some(extracted) else None
-      } else Some(line)
+      else {
+        val flags = cleanAC.matchedSetFold(line) // one walk feeds every check
+        if (isPracticeInformationFlags(line, flags)) None
+        else if (hasMixedPracticeContentFlags(flags)) {
+          val extracted = extractFormContent(line)
+          if (extracted.nonEmpty) Some(extracted) else None
+        } else Some(line)
+      }
     }
 
   /** Positional heuristic (header_footer_manager.py:185-215): first/last 5%

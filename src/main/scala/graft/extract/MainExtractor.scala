@@ -589,11 +589,14 @@ object MainExtractor {
     * dominant avoidable allocation in the docling_md route).
     */
   def extractFieldsAndClassify(textLines: Seq[String]): (String, String, Vector[FieldInfo]) = {
-    val (formType, formSubtype) = FormClassifier.classify(textLines)
+    // the classifier lowered every line anyway; the machine reuses the
+    // lowers instead of re-lowering (its context index stays lazy — built
+    // only by documents that actually query a context window)
+    val (formType, formSubtype, lowers) = FormClassifier.classifyWithLowers(textLines)
     val fields = formType match {
       case "structured_consent" | "narrative_consent" => extractConsentFormFieldsEnhanced(textLines)
       case "records_release" => RecordsRelease.extract(textLines)
-      case "patient_info" => PatientInfo.extract(textLines)
+      case "patient_info" => PatientInfoMachine.extract(textLines, lowers, null)
       case "consent" => extractConsentFormFields(textLines)
       case _ => UniversalExtractor.extract(textLines)
     }

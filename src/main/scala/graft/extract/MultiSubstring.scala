@@ -333,6 +333,7 @@ final class MultiSubstring private (
     (seenPre, seenFull)
   }
 
+
   /** One pass computing BOTH counts the classifier needs: distinct patterns
     * occurring within the prefix s[0, prefixEnd) and within all of s. An
     * occurrence lies in the prefix iff its end offset is <= prefixEnd.
@@ -398,6 +399,41 @@ final class MultiSubstring private (
 
   /** countDistinct(s.toLowerCase) without building the lowered string
     * (lowercase pattern bank required, like the other *Fold scans). */
+  /** First and last match END positions per pattern under case folding
+    * (-1 where absent), in ONE walk — serves presence tests, distinct
+    * counts AND ordered-substring ("A then B after it") queries that would
+    * otherwise each rescan the text:
+    * `last(b) >= first(a) + patLen(b)` iff an occurrence of b starts at or
+    * after the end of a's first occurrence. */
+  def matchedFirstLastFold(s: String): (Array[Int], Array[Int]) = {
+    val first = Array.fill(size)(-1)
+    val last = Array.fill(size)(-1)
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (st == 0) {
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStayFold(c) }) i += 1
+      }
+      if (i < n) {
+        val v = nextF(st * width + clsFold(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (first(id) < 0) first(id) = i + 1
+            last(id) = i + 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    (first, last)
+  }
+
   def countDistinctFold(s: String): Int = {
     if (size == 0) return 0
     val seen = new Array[Boolean](size)
@@ -505,6 +541,16 @@ object MultiSubstring {
   * joined string a substring of the whole document's, so locality holds).
   */
 final class CtxIndex(ac: MultiSubstring, lines: IndexedSeq[String], sep: Char) {
+  // Eager on first construction (the caller holds the instance in a lazy
+  // val, so documents that never query skip the pass entirely). Two lazier
+  // variants were measured and rejected: (a) per-window direct scans with a
+  // build budget — on the docling corpus every querying document fires ~40
+  // window queries, so the budget always ran out and the hybrid paid
+  // twice; (b) collecting these end positions inside the classifier's
+  // full-text walk — two thirds of documents never query a window, and the
+  // fatter union automaton taxed them all.
+  private val ends: Array[Array[Int]] = ac.matchEnds(lines, sep)
+
   private val lineOff: Array[Int] = {
     val a = new Array[Int](lines.length)
     var off = 0
@@ -512,7 +558,6 @@ final class CtxIndex(ac: MultiSubstring, lines: IndexedSeq[String], sep: Char) {
     while (l < lines.length) { a(l) = off; off += lines(l).length + 1; l += 1 }
     a
   }
-  private val ends: Array[Array[Int]] = ac.matchEnds(lines, sep)
 
   /** Equivalent to ac.matchedSetLines(lines, from, until, sep). */
   def flags(from: Int, until: Int): Array[Boolean] = {

@@ -455,16 +455,26 @@ object PatientInfoMachine {
 
   // ================= THE MACHINE =================
 
-  def extract(textLines0: Seq[String]): Vector[FieldInfo] = {
+  def extract(textLines0: Seq[String]): Vector[FieldInfo] =
+    extract(textLines0, null, null)
+
+  /** Hot-path variant: the classifier already lowercased the lines and its
+    * combined full-text walk produced the context-token end positions, so
+    * the machine reuses both instead of re-lowering + re-scanning
+    * (`preLowers`/`preCtx` nullable; both or neither). */
+  def extract(textLines0: Seq[String], preLowers: IndexedSeq[String],
+              preCtx: CtxIndex): Vector[FieldInfo] = {
     val textLines = textLines0.toIndexedSeq
     // one lowercase view per line, shared by the main loop, the context
     // windows and the second pass (Java lowercases per codepoint, so joining
     // lowered lines == lowering the joined window)
-    val lowers: IndexedSeq[String] = textLines.map(_.toLowerCase)
+    val lowers: IndexedSeq[String] =
+      if (preLowers != null) preLowers else textLines.map(_.toLowerCase)
     // positional context-token index: ONE DFA pass over the document; every
     // ±N-line window query below is then a binary search, not a rescan.
-    // Lazy: documents that never hit a window query skip the pass entirely.
-    lazy val ctxIdx = new CtxIndex(ctxAC, lowers, ' ')
+    // Lazy: documents that never hit a window query skip the pass entirely
+    // (already paid for when the classifier's shared walk supplied it).
+    lazy val ctxIdx = if (preCtx != null) preCtx else new CtxIndex(ctxAC, lowers, ' ')
     val fields = mutable.ArrayBuffer[FieldInfo]()
     var currentSection = "Patient Information Form"
     val processedKeys = mutable.Set[String]()
@@ -1072,7 +1082,7 @@ object PatientInfoMachine {
   // ---- context-window token bank (one DFA pass per window, no joined
   // string): indices 0-15 are the four sectionIndicators banks in order;
   // 16+ are the text-phase / context5 tokens ----
-  private val ctxTokens: Vector[String] = Vector(
+  private[graft] val ctxTokens: Vector[String] = Vector(
     "for children/minors only", "minor", "children", "responsible party", // 0-3
     "primary dental plan", "dental benefit plan information primary", "primary dental", // 4-6
     "secondary dental plan",                                              // 7
@@ -1087,7 +1097,7 @@ object PatientInfoMachine {
     "if different from patient", // 22
     "employer"                   // 23
   )
-  private val ctxAC = MultiSubstring(ctxTokens)
+  private[graft] val ctxAC = MultiSubstring(ctxTokens)
 
   private def contextVerdictFlags(f: Array[Boolean]): Option[String] = {
     if (f(0) || f(1) || f(2) || f(3)) return Some("FOR CHILDREN/MINORS ONLY")

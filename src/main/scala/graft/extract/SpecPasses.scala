@@ -298,19 +298,37 @@ object ConsentShaping {
     ("informed", "consent"))
   private val consentKeywords = Vector("consent", "acknowledge", "understand", "agree",
     "authorize", "risks", "benefits", "complications", "treatment", "procedure")
-  private val singleConsentMarkersAC = MultiSubstring(singleConsentMarkers)
-  private val consentKeywordsAC = MultiSubstring(consentKeywords)
+  // all three marker groups in ONE automaton: a single first/last-position
+  // fold walk over the (multi-KB) html answers the single-marker presence,
+  // every ordered A-then-B pair AND the distinct-keyword count — the
+  // chained form rescanned the text up to 7x per call (PropertySpec pins
+  // the equivalence)
+  private val ccSingleN = singleConsentMarkers.length
+  private val ccPairBase = ccSingleN
+  private val ccKwBase = ccPairBase + 2 * orderedConsentMarkers.length
+  private val ccAC = MultiSubstring(
+    singleConsentMarkers ++
+      orderedConsentMarkers.flatMap { case (a, b) => Vector(a, b) } ++
+      consentKeywords)
 
   def isConsentContent(text: String): Boolean = {
     if (text == null || text.isEmpty) return false
-    // fold scans + ignore-case indexOf: no lowered copy of the (multi-KB)
-    // html text per call
-    if (singleConsentMarkersAC.containsAnyFold(text)) return true
-    if (orderedConsentMarkers.exists { case (a, b) =>
-      val i = StrUtil.indexOfIgnoreCase(text, a, 0)
-      i >= 0 && StrUtil.indexOfIgnoreCase(text, b, i + a.length) >= 0
-    }) return true
-    consentKeywordsAC.countDistinctFold(text) >= 2
+    val (first, last) = ccAC.matchedFirstLastFold(text)
+    var k = 0
+    while (k < ccSingleN) { if (first(k) >= 0) return true; k += 1 }
+    var p = 0
+    while (p < orderedConsentMarkers.length) {
+      val ia = ccPairBase + 2 * p
+      val ib = ia + 1
+      // b occurs starting at or after the end of a's FIRST occurrence —
+      // exactly indexOfIgnoreCase(b, firstIndexOf(a) + a.length) >= 0
+      if (first(ia) >= 0 && last(ib) >= first(ia) + ccAC.patLen(ib)) return true
+      p += 1
+    }
+    var cnt = 0
+    var k2 = ccKwBase
+    while (k2 < ccKwBase + consentKeywords.length) { if (first(k2) >= 0) cnt += 1; k2 += 1 }
+    cnt >= 2
   }
 
   def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {

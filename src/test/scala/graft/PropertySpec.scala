@@ -177,6 +177,9 @@ class PropertySpec extends AnyFunSuite {
       assert(idx.flags(from, until).toVector ==
         ms.matchedSetLines(lines, from, until, ' ').toVector,
         s"idx lines=$lines from=$from until=$until")
+      assert(idx.flags(0, lines.length).toVector ==
+        ms.matchedSetLines(lines, 0, lines.length, ' ').toVector,
+        s"idx-full lines=$lines")
     }
     // case-folded scans == scans of the lowered text (mixed-case + Kelvin)
     val mixedGen = Gen.listOfN(8, Gen.oneOf("DENTAL", "Office", "dental OFFICE",
@@ -327,5 +330,108 @@ class PropertySpec extends AnyFunSuite {
       assert(SpecRender.renderArray(spec) == Json.render(JArr(spec.map(_.render))), name)
     }
     assert(SpecRender.renderArray(Vector.empty) == Json.render(JArr(Vector.empty)))
+  }
+
+  test("merged line-cleaning automaton == the chained contains/regex form") {
+    import graft.extract.HeaderFooterMain
+    // the pre-merge reference form: independent contains-gates on the
+    // trimmed lowercase plus the same regex banks, order-independent
+    val practiceKeywords = Vector(
+      "smile solutions", "dental office", "family dentistry", "cosmetic dentistry",
+      "orthodontics", "endodontics", "periodontics", "oral surgery", "implant dentistry")
+    val facilityRe = "(?i)\\b(clinic|center|associates|group|practice|office|care|solutions)\\b".r
+    val facilityWords = Vector("clinic", "center", "associates", "group", "practice", "office", "care", "solutions")
+    def referencePractice(line0: String): Boolean = {
+      if (HeaderFooterMain.isFormContent(line0)) return false
+      val line = line0.trim
+      val lower = line.toLowerCase
+      if (!line.exists(_.isLetter)) return true
+      def re(p: String) = p.r.findFirstIn(line).isDefined
+      if (line.exists(_.isDigit) && (
+        re("(?i)\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b") ||
+        re("(?i)\\b\\d+\\s+[A-Za-z\\s]+(?:street|st|avenue|ave|road|rd|drive|dr|lane|ln|blvd|boulevard)\\b") ||
+        re("(?i)\\b[A-Za-z\\s]+,\\s*[A-Z]{2}\\s+\\d{5}") ||
+        (lower.contains("page") && re("(?i)page\\s+\\d+")) ||
+        re("©.*\\d{4}") ||
+        (lower.contains("revised") && re("(?i)revised.*\\d{4}")))) return true
+      if (re("(?i)@.*\\.(com|org|net|edu)") && line.contains("@")) return true
+      if (lower.contains("www.") && re("(?i)www\\..*\\.com")) return true
+      if (re("(?i)\\b(family\\s+dental|cosmetic\\s+dentistry|pediatric\\s+dentistry|general\\s+dentistry)\\b")) return true
+      if (re("(?i)\\b(orthodontic\\s+office|endodontic\\s+practice|periodontal\\s+office)\\b")) return true
+      if (facilityWords.exists(lower.contains) && facilityRe.findFirstIn(line).isDefined) return true
+      if (re("•.*•.*•")) return true
+      if (lower.contains("smile") && re("(?i)smile.*dental")) return true
+      if (lower.contains("kingery") && re("(?i)kingery.*dental")) return true
+      if (lower.contains("darien") && re("(?i)darien.*il")) return true
+      if (lower.contains("rights") && re("(?i)all\\s+rights\\s+reserved")) return true
+      if (lower.contains("form") && re("(?i)form\\s*(id|number|version)")) return true
+      practiceKeywords.exists(lower.contains)
+    }
+    def referenceMixed(line: String): Boolean = {
+      val lower = line.toLowerCase
+      (lower.contains("smile@") || lower.contains("www.")) && lower.contains("informed consent")
+    }
+    val frag = Gen.oneOf(
+      "Smile Solutions Dental", "page 3", "Page 12 of 14", "call 555-123-4567",
+      "123 Main Street", "Darien, IL 60561", "© 2023", "Revised 2019",
+      "info@practice.com", "www.smiledental.com", "Family Dental Care",
+      "orthodontic office", "our practice", "I authorize the release",
+      "check one", "•", "• a • b • c", "informed consent", "smile@x",
+      "FAMILY DENTISTRY", "periodontal office", "All Rights Reserved",
+      "Form ID 7", "patient name:", "history of disease", "", "   ", "-",
+      "KINGERY dental", "general dentistry office")
+    val lineGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString(" "))
+    forAll(lineGen, n = 400) { line =>
+      assert(HeaderFooterMain.isPracticeInformation(line) == referencePractice(line), line)
+      assert(HeaderFooterMain.hasMixedPracticeContent(line) == referenceMixed(line), line)
+    }
+  }
+
+  test("classifyWithLowers == classify; lowers are the per-line lowercase views") {
+    import graft.extract.FormClassifier
+    val frag = Gen.oneOf(
+      "FOR CHILDREN/MINORS ONLY", "Primary Dental Plan", "secondary",
+      "insurance company", "Patient Name:", "signature", "date", "agree",
+      "I authorize the release of records", "medical history", "",
+      "employer", "different from above", "Street", "City", "State  Zip",
+      "informed consent for extraction", "risks and complications",
+      "□ Yes □ No", "initial", "Dental Benefit Plan Information PRIMARY",
+      "responsible party", "patient responsibilities payment")
+    val docGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, frag))
+    forAll(docGen, n = 200) { lines =>
+      val (t1, s1) = FormClassifier.classify(lines)
+      val (t2, s2, lowers) = FormClassifier.classifyWithLowers(lines)
+      assert((t1, s1) == ((t2, s2)), s"classify mismatch on $lines")
+      assert(lowers == lines.map(_.toLowerCase).toIndexedSeq)
+    }
+  }
+
+  test("one-pass isConsentContent == the chained scan form") {
+    import graft.extract.{ConsentShaping, StrUtil}
+    val singles = Vector("i understand", "i acknowledge", "i agree", "i consent", "i authorize")
+    val pairs = Vector(
+      ("i have been", "informed"), ("risks", "benefits"),
+      ("alternative", "treatment"), ("financial", "responsibility"),
+      ("informed", "consent"))
+    val kws = Vector("consent", "acknowledge", "understand", "agree",
+      "authorize", "risks", "benefits", "complications", "treatment", "procedure")
+    def reference(text: String): Boolean = {
+      if (text == null || text.isEmpty) return false
+      val lower = text.toLowerCase
+      if (singles.exists(lower.contains)) return true
+      if (pairs.exists { case (a, b) =>
+        val i = StrUtil.indexOfIgnoreCase(text, a, 0)
+        i >= 0 && StrUtil.indexOfIgnoreCase(text, b, i + a.length) >= 0
+      }) return true
+      kws.count(lower.contains) >= 2
+    }
+    val frag = Gen.oneOf("I Understand", "risks", "BENEFITS", "informed",
+      "consent", "treatment", "alternative", "financial", "responsibility",
+      "i have been", "procedure", "complications", "acknowledge", "xyz",
+      "benefits and risks", "<p>", "</p>", "", " ", "I AGREE")
+    val textGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString(" "))
+    forAll(textGen, n = 500) { t =>
+      assert(ConsentShaping.isConsentContent(t) == reference(t), s"text=$t")
+    }
   }
 }
