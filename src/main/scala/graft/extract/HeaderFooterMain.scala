@@ -73,14 +73,21 @@ object HeaderFooterMain {
     gateTokens)                   // seg 5: regex-bank substring gates
   private val cleanOff: Array[Int] = cleanBanks.scanLeft(0)(_ + _.length).toArray
   private val cleanAC = MultiSubstring(cleanBanks.flatten)
-  @inline private def segAny(flags: Array[Boolean], seg: Int): Boolean = {
-    var i = cleanOff(seg)
-    val end = cleanOff(seg + 1)
+  // cleaner banks UNIONED with the patient-info machine's per-line bank:
+  // the cleaning walk then yields the machine's per-line flags for free on
+  // every line it passes through (ids [0, machineN) are the machine's,
+  // exactly machineLineAC's layout; the cleaner reads from machineN up)
+  private[extract] lazy val unionBase: Int = PatientInfoMachine.machineN
+  private[extract] lazy val unionAC: MultiSubstring =
+    MultiSubstring(PatientInfoMachine.machineLinePatterns ++ cleanBanks.flatten)
+  @inline private def segAny(flags: Array[Boolean], seg: Int, base: Int): Boolean = {
+    var i = base + cleanOff(seg)
+    val end = base + cleanOff(seg + 1)
     while (i < end) { if (flags(i)) return true; i += 1 }
     false
   }
-  @inline private def gate(flags: Array[Boolean], i: Int): Boolean =
-    flags(cleanOff(5) + i)
+  @inline private def gate(flags: Array[Boolean], i: Int, base: Int): Boolean =
+    flags(base + cleanOff(5) + i)
 
   // fold scans: no pattern in these banks has edge whitespace, so presence
   // in trim+toLowerCase == presence under the case-folded scan of the raw
@@ -89,11 +96,12 @@ object HeaderFooterMain {
     formContentAC.containsAnyFold(line)
 
   def isPracticeInformation(line0: String): Boolean =
-    isPracticeInformationFlags(line0, cleanAC.matchedSetFold(line0))
+    isPracticeInformationFlags(line0, cleanAC.matchedSetFold(line0), 0)
 
-  private def isPracticeInformationFlags(line0: String, flags: Array[Boolean]): Boolean = {
+  private def isPracticeInformationFlags(line0: String, flags: Array[Boolean],
+                                         base: Int): Boolean = {
     // common case (real form content) exits on the whitelist flags
-    if (segAny(flags, 0)) return false
+    if (segAny(flags, 0, base)) return false
     val line = line0.trim
     // anchored specials: ^[^a-zA-Z]*$ (subsumes ^\s*•\s*$)
     var hasLetter = false
@@ -110,24 +118,24 @@ object HeaderFooterMain {
       if (phoneRe.findFirstIn(line).isDefined) return true
       if (streetAddrRe.findFirstIn(line).isDefined) return true
       if (line.indexOf(',') >= 0 && cityStateZipRe.findFirstIn(line).isDefined) return true
-      if (gate(flags, 0) && pageNumRe.findFirstIn(line).isDefined) return true
+      if (gate(flags, 0, base) && pageNumRe.findFirstIn(line).isDefined) return true
       if (line.indexOf('©') >= 0 && copyrightRe.findFirstIn(line).isDefined) return true
-      if (gate(flags, 1) && revisedRe.findFirstIn(line).isDefined) return true
+      if (gate(flags, 1, base) && revisedRe.findFirstIn(line).isDefined) return true
     }
     if (line.indexOf('@') >= 0 && emailRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 2) && wwwRe.findFirstIn(line).isDefined) return true
-    if ((gate(flags, 3) || gate(flags, 4)) &&
+    if (gate(flags, 2, base) && wwwRe.findFirstIn(line).isDefined) return true
+    if ((gate(flags, 3, base) || gate(flags, 4, base)) &&
         dentistryRe.findFirstIn(line).isDefined) return true
-    if ((gate(flags, 5) || gate(flags, 6)) &&
+    if ((gate(flags, 5, base) || gate(flags, 6, base)) &&
         specialtyRe.findFirstIn(line).isDefined) return true
-    if (segAny(flags, 2) && facilityRe.findFirstIn(line).isDefined) return true
+    if (segAny(flags, 2, base) && facilityRe.findFirstIn(line).isDefined) return true
     if (line.indexOf('•') >= 0 && tripleBulletRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 7) && smileDentalRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 8) && kingeryRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 9) && darienRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 10) && rightsRe.findFirstIn(line).isDefined) return true
-    if (gate(flags, 11) && formIdRe.findFirstIn(line).isDefined) return true
-    segAny(flags, 1)
+    if (gate(flags, 7, base) && smileDentalRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 8, base) && kingeryRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 9, base) && darienRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 10, base) && rightsRe.findFirstIn(line).isDefined) return true
+    if (gate(flags, 11, base) && formIdRe.findFirstIn(line).isDefined) return true
+    segAny(flags, 1, base)
   }
 
   private val mixedConsentRe = "(?i)(informed\\s+consent[^•]*)".r
@@ -138,8 +146,8 @@ object HeaderFooterMain {
   def hasMixedPracticeContent(line: String): Boolean =
     mixedGateAC.containsAnyFold(line) && informedConsentAC.containsAnyFold(line)
 
-  @inline private def hasMixedPracticeContentFlags(flags: Array[Boolean]): Boolean =
-    segAny(flags, 3) && segAny(flags, 4)
+  @inline private def hasMixedPracticeContentFlags(flags: Array[Boolean], base: Int): Boolean =
+    segAny(flags, 3, base) && segAny(flags, 4, base)
 
   def extractFormContent(line: String): String =
     mixedConsentRe.findFirstMatchIn(line).map(_.group(1).trim).getOrElse("")
@@ -151,13 +159,37 @@ object HeaderFooterMain {
       if (StrUtil.isBlank(line)) None
       else {
         val flags = cleanAC.matchedSetFold(line) // one walk feeds every check
-        if (isPracticeInformationFlags(line, flags)) None
-        else if (hasMixedPracticeContentFlags(flags)) {
+        if (isPracticeInformationFlags(line, flags, 0)) None
+        else if (hasMixedPracticeContentFlags(flags, 0)) {
           val extracted = extractFormContent(line)
           if (extracted.nonEmpty) Some(extracted) else None
         } else Some(line)
       }
     }
+
+  /** Cleaning variant whose per-line walk uses the UNION automaton (machine
+    * bank + cleaner banks): returns the kept lines plus, aligned 1:1, each
+    * kept line's union flag array — the patient-info machine reads its own
+    * per-line flags from the [0, machineN) prefix instead of re-walking
+    * every line. A rewritten mixed-content line gets a null entry (its
+    * text changed; the machine rescans it). */
+  def removePracticeHeadersFootersFlags(lines: Seq[String])
+  : (Vector[String], Array[Array[Boolean]]) = {
+    val kept = Vector.newBuilder[String]
+    val flagsOut = Array.newBuilder[Array[Boolean]]
+    val base = unionBase
+    lines.foreach { line =>
+      if (!StrUtil.isBlank(line)) {
+        val flags = unionAC.matchedSetFold(line)
+        if (isPracticeInformationFlags(line, flags, base)) ()
+        else if (hasMixedPracticeContentFlags(flags, base)) {
+          val extracted = extractFormContent(line)
+          if (extracted.nonEmpty) { kept += extracted; flagsOut += null }
+        } else { kept += line; flagsOut += flags }
+      }
+    }
+    (kept.result(), flagsOut.result())
+  }
 
   /** Positional heuristic (header_footer_manager.py:185-215): first/last 5%
     * of lines + practice info → header/footer. */

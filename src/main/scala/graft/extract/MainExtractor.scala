@@ -588,7 +588,15 @@ object MainExtractor {
     * classification on large forms; computing it twice per turn was the
     * dominant avoidable allocation in the docling_md route).
     */
-  def extractFieldsAndClassify(textLines: Seq[String]): (String, String, Vector[FieldInfo]) = {
+  def extractFieldsAndClassify(textLines: Seq[String]): (String, String, Vector[FieldInfo]) =
+    extractFieldsAndClassify(textLines, null)
+
+  /** Hot-path variant: `lineFlags` (nullable) are the per-line union-automaton
+    * flags the cleaning stage already computed — the patient-info machine
+    * reads its own per-line bank from their prefix instead of re-walking
+    * every line. */
+  private[extract] def extractFieldsAndClassify(textLines: Seq[String],
+      lineFlags: Array[Array[Boolean]]): (String, String, Vector[FieldInfo]) = {
     // the classifier lowered every line anyway; the machine reuses the
     // lowers instead of re-lowering (its context index stays lazy — built
     // only by documents that actually query a context window)
@@ -596,7 +604,7 @@ object MainExtractor {
     val fields = formType match {
       case "structured_consent" | "narrative_consent" => extractConsentFormFieldsEnhanced(textLines)
       case "records_release" => RecordsRelease.extract(textLines)
-      case "patient_info" => PatientInfoMachine.extract(textLines, lowers, null)
+      case "patient_info" => PatientInfoMachine.extract(textLines, lowers, lineFlags)
       case "consent" => extractConsentFormFields(textLines)
       case _ => UniversalExtractor.extract(textLines)
     }
@@ -631,8 +639,9 @@ object MainExtractor {
     // main-pipeline line cleaning (scan-stage analog,
     // pdf_to_json_converter.py:792-793): header/footer manager with the
     // form-content whitelist
-    val textLines = HeaderFooterMain.removePracticeHeadersFooters(textLines0)
-    val (formType, formSubtype, fields0) = extractFieldsAndClassify(textLines)
+    val (textLines, lineFlags) =
+      HeaderFooterMain.removePracticeHeadersFootersFlags(textLines0)
+    val (formType, formSubtype, fields0) = extractFieldsAndClassify(textLines, lineFlags)
     var fields = FieldOrdering.ensureRequiredSignatureFields(fields0)
     fields = FieldOrdering.ensureDateSignedField(fields)
     fields = FieldOrdering.orderFields(fields)

@@ -458,12 +458,13 @@ object PatientInfoMachine {
   def extract(textLines0: Seq[String]): Vector[FieldInfo] =
     extract(textLines0, null, null)
 
-  /** Hot-path variant: the classifier already lowercased the lines and its
-    * combined full-text walk produced the context-token end positions, so
-    * the machine reuses both instead of re-lowering + re-scanning
-    * (`preLowers`/`preCtx` nullable; both or neither). */
+  /** Hot-path variant: the classifier already lowercased the lines (reused
+    * via `preLowers`), and the line-cleaning stage's union automaton walk
+    * already produced this machine's per-line flags (`preFlags` — aligned
+    * with textLines0; null entries mean the cleaner rewrote that line and
+    * the machine rescans it). All params nullable. */
   def extract(textLines0: Seq[String], preLowers: IndexedSeq[String],
-              preCtx: CtxIndex): Vector[FieldInfo] = {
+              preFlags: Array[Array[Boolean]]): Vector[FieldInfo] = {
     val textLines = textLines0.toIndexedSeq
     // one lowercase view per line, shared by the main loop, the context
     // windows and the second pass (Java lowercases per codepoint, so joining
@@ -474,7 +475,7 @@ object PatientInfoMachine {
     // ±N-line window query below is then a binary search, not a rescan.
     // Lazy: documents that never hit a window query skip the pass entirely
     // (already paid for when the classifier's shared walk supplied it).
-    lazy val ctxIdx = if (preCtx != null) preCtx else new CtxIndex(ctxAC, lowers, ' ')
+    lazy val ctxIdx = new CtxIndex(ctxAC, lowers, ' ')
     val fields = mutable.ArrayBuffer[FieldInfo]()
     var currentSection = "Patient Information Form"
     val processedKeys = mutable.Set[String]()
@@ -489,9 +490,13 @@ object PatientInfoMachine {
       if (line.length < 3) { i += 1; consumed = true }
 
       // one merged DFA pass per line feeds the radio-bank gate AND the
-      // section-header transition below
+      // section-header transition below; the cleaner's union walk already
+      // produced these flags for lines it passed through untouched (the
+      // machine segment is the [0, machineN) prefix of the union array)
       val mlFlags: Array[Boolean] =
-        if (consumed) null else machineLineAC.matchedSetFold(line)
+        if (consumed) null
+        else if (preFlags != null && preFlags(i) != null) preFlags(i)
+        else machineLineAC.matchedSetFold(line)
       @inline def mlAny(from: Int, until: Int): Boolean = {
         var k = from
         while (k < until) { if (mlFlags(k)) return true; k += 1 }
@@ -501,7 +506,7 @@ object PatientInfoMachine {
       // main radio detection
       if (!consumed) {
         detectRadioOptionsUniversal(textLines, i, lineLower,
-          bankGateHit = mlAny(machineRadioBase, mlFlags.length)) match {
+          bankGateHit = mlAny(machineRadioBase, machineN)) match {
           case Some((question, options, nextI)) =>
             val radioKey = getRadioKeyForQuestion(question, currentSection)
             if (!processedKeys.contains(radioKey)) {
@@ -1063,8 +1068,10 @@ object PatientInfoMachine {
   // The machine-line automaton merges three per-line scans into ONE fold
   // pass: header phrases (0..), section-branch tokens, radio-bank gates
   // (segment base machineRadioBase).
-  private lazy val machineLineAC = MultiSubstring(
-    (headerPhrases ++ sectionBranchTokens).map(_.toLowerCase) ++ radioBanks.map(_._1))
+  private[graft] lazy val machineLinePatterns: Vector[String] =
+    (headerPhrases ++ sectionBranchTokens).map(_.toLowerCase) ++ radioBanks.map(_._1)
+  private[graft] lazy val machineN: Int = machineLinePatterns.length
+  private lazy val machineLineAC = MultiSubstring(machineLinePatterns)
   private val machineRadioBase = headerPhrases.length + sectionBranchTokens.length
   // detectSection text-phase banks
   private val dsInsurance = Vector("insurance", "dental plan", "group number", "id number", "plan/group",

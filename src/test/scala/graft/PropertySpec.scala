@@ -406,6 +406,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cleaner union-flag path == separate cleaner + machine walks") {
+    import graft.extract.{HeaderFooterMain, PatientInfoMachine}
+    val frag = Gen.oneOf(
+      "Patient Name:", "First   MI   Last", "Date of Birth:", "## MEDICAL HISTORY",
+      "FOR CHILDREN/MINORS ONLY", "Primary Dental Plan", "□ Yes □ No",
+      "Smile Solutions Dental", "page 3", "www.smiledental.com informed consent for implants",
+      "123 Main Street", "I authorize the release", "Sex: □ M □ F",
+      "Marital Status", "signature", "", "   ", "Phone:", "SECONDARY DENTAL PLAN",
+      "Employer", "City", "State", "Zip", "e-mail:", "x" * 250)
+    val docGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, frag))
+    forAll(docGen, n = 150) { lines =>
+      val (cleaned, flags) = HeaderFooterMain.removePracticeHeadersFootersFlags(lines)
+      assert(cleaned == HeaderFooterMain.removePracticeHeadersFooters(lines).toVector,
+        s"cleaner mismatch on $lines")
+      val viaFlags = PatientInfoMachine.extract(cleaned, null, flags)
+      val own = PatientInfoMachine.extract(cleaned, null, null)
+      assert(viaFlags == own, s"machine mismatch on $lines")
+    }
+  }
+
   test("one-pass isConsentContent == the chained scan form") {
     import graft.extract.{ConsentShaping, StrUtil}
     val singles = Vector("i understand", "i acknowledge", "i agree", "i consent", "i authorize")
