@@ -85,9 +85,16 @@ object Bench {
     for (_ <- 1 to 2; name <- noisy) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED in resample: ${e.getMessage}"); false
+        }
+      // a failed resample must not contribute a fast bogus minimum — same
+      // invariant as the main loop: a throwing query can never masquerade
+      // as a fast healthy run
+      if (ok) runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+      else okMap(name) = false
     }
     // failed queries are reported with negative elapsed plus a failed list so
     // a throwing query can never masquerade as a fast healthy run; the

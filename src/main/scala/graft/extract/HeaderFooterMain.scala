@@ -48,11 +48,9 @@ object HeaderFooterMain {
     "personal information necessary to process", "yes  n o (check one)",
     "check one", "(initial)", "contracted provider")
 
-  // one-pass Aho-Corasick DFAs over the per-line keyword banks (the
-  // per-line exists(contains) scans were the hottest part of line cleaning)
+  // one-pass Aho-Corasick DFA over the whitelist (isFormContent); the
+  // other per-line banks live only inside cleanAC/unionAC below
   private val formContentAC = MultiSubstring(formContentWhitelist)
-  private val practiceKeywordsAC = MultiSubstring(practiceKeywords)
-  private val facilityWordsAC = MultiSubstring(facilityWords)
 
   // ---- merged line-cleaning automaton: ONE case-folded DFA walk per line
   // computes every bank + every substring gate the cleaning stage needs

@@ -498,6 +498,10 @@ object Multimodal {
       .as[(Long, Array[Byte], Array[Byte], Array[Byte])]
       .mapPartitions { it =>
         it.map { case (docId, imgBlob, wavBlob, vidBlob) =>
+          // binary parquet columns are nullable: fail with the doc id, not
+          // an opaque NPE from inside a codec
+          require(imgBlob != null && wavBlob != null && vidBlob != null,
+            s"null blob column for doc $docId")
           val img = decode(imgBlob)
           val audio = decodeWav(wavBlob)
           val sampled = sampleFrames(vidBlob, 3)

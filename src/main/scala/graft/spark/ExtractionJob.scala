@@ -52,6 +52,11 @@ object ExtractionJob {
       // bounds its MOR delete debt (and the broadcast-pinned delete-read
       // join stays under the readAt size guard) without operator action;
       // the threshold is far above anything the specs' small tables reach.
+      // NOTE: like Iceberg maintenance, compaction rewrites the affected
+      // buckets' files, so time travel to PRE-compact snapshots of those
+      // buckets becomes unavailable (reported as history loss, not
+      // corruption). Pipelines that must keep deep time travel should set
+      // 0 and compact/expire on their own schedule.
       autoCompactDeletes: Int = 100000
   )
 
