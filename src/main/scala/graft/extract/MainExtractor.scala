@@ -265,12 +265,38 @@ object MainExtractor {
     "cf gingivectomy", "form code:", "doc id:", "page", "header:", "footer:")
   private val reFormCode = "^\\([A-Z\\s]+\\w+\\)$".r
 
+  // one fold walk computes all three substring banks (no lowered copy per
+  // line); the contact regexes are gated on the chars they require
+  private val hfcBanks = Vector(practiceIndicators, medicalContext, technicalArtifacts)
+  private val hfcOff: Array[Int] = hfcBanks.scanLeft(0)(_ + _.length).toArray
+  private val hfcAC = MultiSubstring(hfcBanks.flatten)
+  @inline private def hfcAny(flags: Array[Boolean], seg: Int): Boolean = {
+    var i = hfcOff(seg)
+    val end = hfcOff(seg + 1)
+    while (i < end) { if (flags(i)) return true; i += 1 }
+    false
+  }
+
   def isHeaderFooterContent(line: String): Boolean = {
-    val lower = line.toLowerCase
-    if (practiceIndicators.exists(lower.contains) && !medicalContext.exists(lower.contains)) return true
-    if (contactPatterns.exists(_.findFirstIn(line).isDefined)) return true
-    if (technicalArtifacts.exists(lower.contains)) return true
-    if (reFormCode.findFirstIn(line.trim).isDefined) return true
+    val flags = hfcAC.matchedSetFold(line)
+    if (hfcAny(flags, 0) && !hfcAny(flags, 1)) return true
+    // phone + street need a digit, email needs '@' — skip the regex engine
+    // on lines that can't match
+    var hasDigit = false
+    var hasAt = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c >= '0' && c <= '9') hasDigit = true
+      else if (c == '@') hasAt = true
+      i += 1
+    }
+    if ((hasDigit && (contactPatterns(0).findFirstIn(line).isDefined ||
+          contactPatterns(2).findFirstIn(line).isDefined)) ||
+        (hasAt && contactPatterns(1).findFirstIn(line).isDefined)) return true
+    if (hfcAny(flags, 2)) return true
+    val trimmed = line.trim
+    if (trimmed.startsWith("(") && reFormCode.findFirstIn(trimmed).isDefined) return true
     false
   }
 

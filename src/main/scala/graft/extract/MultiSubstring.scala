@@ -399,15 +399,22 @@ final class MultiSubstring private (
 
   /** countDistinct(s.toLowerCase) without building the lowered string
     * (lowercase pattern bank required, like the other *Fold scans). */
-  /** First and last match END positions per pattern under case folding
-    * (-1 where absent), in ONE walk — serves presence tests, distinct
-    * counts AND ordered-substring ("A then B after it") queries that would
-    * otherwise each rescan the text:
-    * `last(b) >= first(a) + patLen(b)` iff an occurrence of b starts at or
-    * after the end of a's first occurrence. */
-  def matchedFirstLastFold(s: String): (Array[Int], Array[Int]) = {
-    val first = Array.fill(size)(-1)
-    val last = Array.fill(size)(-1)
+  /** Early-exit disjunction over a segmented bank, in ONE case-folded walk:
+    * true as soon as
+    *  (a) any pattern with id < singleN matches, or
+    *  (b) for some pair k in [0, nPairs) — laid out as adjacent ids (a, b)
+    *      from pairBase — b matches starting at or after the END of a's
+    *      first match (the "A then B after it" ordered-substring test:
+    *      end_b >= firstEnd_a + patLen(b)), or
+    *  (c) distinct matched patterns with id >= kwFrom reach kwNeed.
+    * Equivalent to computing full first/last position sets and evaluating
+    * the three conditions, but stops at the earliest satisfying character —
+    * consent-like text usually decides within its first line.
+    */
+  def foldSegmentedDisjunction(s: String, singleN: Int, pairBase: Int,
+                               nPairs: Int, kwFrom: Int, kwNeed: Int): Boolean = {
+    val firstEnd = Array.fill(size)(-1)
+    var kwCnt = 0
     var st = 0
     var i = 0
     val n = s.length
@@ -423,15 +430,20 @@ final class MultiSubstring private (
           var j = 0
           while (j < o.length) {
             val id = o(j)
-            if (first(id) < 0) first(id) = i + 1
-            last(id) = i + 1
+            if (id < singleN) return true
+            if (firstEnd(id) < 0) {
+              firstEnd(id) = i + 1
+              if (id >= kwFrom) { kwCnt += 1; if (kwCnt >= kwNeed) return true }
+            }
+            if (id >= pairBase && id < pairBase + 2 * nPairs && ((id - pairBase) & 1) == 1 &&
+                firstEnd(id - 1) >= 0 && i + 1 >= firstEnd(id - 1) + patLens(id)) return true
             j += 1
           }
         }
         i += 1
       }
     }
-    (first, last)
+    false
   }
 
   def countDistinctFold(s: String): Int = {

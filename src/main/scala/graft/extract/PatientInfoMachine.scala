@@ -674,8 +674,10 @@ object PatientInfoMachine {
         i += 1; consumed = true
       }
 
-      // YES/NO (Check One) consent question (short-line variant)
-      if (!consumed && line.toUpperCase.contains("YES") && yesNoCheckRe.findFirstIn(line).isDefined) {
+      // YES/NO (Check One) consent question (short-line variant) — the
+      // "YES" gate reads the shared lowercase view (an uppercase copy per
+      // line showed up in allocation profiles)
+      if (!consumed && lineLower.contains("yes") && yesNoCheckRe.findFirstIn(line).isDefined) {
         yesNoQuestionRe.findFirstMatchIn(line).foreach { _ =>
           if (!processedKeys.contains(authKey)) {
             fields += FieldInfo(authKey,
@@ -917,9 +919,10 @@ object PatientInfoMachine {
             }
             if (fieldLower == "relationship to patient" &&
                 detectedSection == "FOR CHILDREN/MINORS ONLY") {
-              val lookahead = textLines.slice(i, math.min(textLines.length, i + 5))
-              if (lookahead.exists(l => l.toLowerCase.contains("self") ||
-                  l.toLowerCase.contains("spouse") || l.toLowerCase.contains("parent"))) {
+              // read the shared lowercase views (no per-line lowering here)
+              val lookahead = lowers.slice(i, math.min(lowers.length, i + 5))
+              if (lookahead.exists(l => l.contains("self") ||
+                  l.contains("spouse") || l.contains("parent"))) {
                 fieldType = "radio"
                 control = JObj.of("options" -> opts("Self" -> JStr("Self"), "Spouse" -> JStr("Spouse"),
                   "Parent" -> JStr("Parent"), "Other" -> JStr("Other")))

@@ -313,22 +313,10 @@ object ConsentShaping {
 
   def isConsentContent(text: String): Boolean = {
     if (text == null || text.isEmpty) return false
-    val (first, last) = ccAC.matchedFirstLastFold(text)
-    var k = 0
-    while (k < ccSingleN) { if (first(k) >= 0) return true; k += 1 }
-    var p = 0
-    while (p < orderedConsentMarkers.length) {
-      val ia = ccPairBase + 2 * p
-      val ib = ia + 1
-      // b occurs starting at or after the end of a's FIRST occurrence —
-      // exactly indexOfIgnoreCase(b, firstIndexOf(a) + a.length) >= 0
-      if (first(ia) >= 0 && last(ib) >= first(ia) + ccAC.patLen(ib)) return true
-      p += 1
-    }
-    var cnt = 0
-    var k2 = ccKwBase
-    while (k2 < ccKwBase + consentKeywords.length) { if (first(k2) >= 0) cnt += 1; k2 += 1 }
-    cnt >= 2
+    // disjunction of single markers / ordered pairs / >=2 distinct keywords,
+    // decided in one walk that stops at the earliest satisfying character
+    ccAC.foldSegmentedDisjunction(text, ccSingleN, ccPairBase,
+      orderedConsentMarkers.length, ccKwBase, 2)
   }
 
   def applyConsentShaping(spec: Vector[SpecQ]): Vector[SpecQ] = {

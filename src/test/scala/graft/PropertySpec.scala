@@ -426,6 +426,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass isHeaderFooterContent == the chained contains/regex form") {
+    import graft.extract.MainExtractor
+    val practiceIndicators = Vector("dental practice", "dental office", "dental clinic",
+      "dental center", "dental group", "dentistry", "orthodontics", "oral surgery",
+      "periodontics", "endodontics")
+    val medicalContext = Vector("treatment", "procedure", "surgery", "therapy", "care", "condition")
+    val contactPatterns = Vector(
+      "(?i)\\b\\d{3}[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b",
+      "(?i)\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b",
+      "(?i)\\b\\d+\\s+[A-Za-z\\s]+(street|st|avenue|ave|road|rd|drive|dr|lane|ln|way|blvd|boulevard)\\b").map(_.r)
+    val technicalArtifacts = Vector("<!-- image -->", "<image>", "</image>",
+      "cf gingivectomy", "form code:", "doc id:", "page", "header:", "footer:")
+    val reFormCode = "^\\([A-Z\\s]+\\w+\\)$".r
+    def reference(line: String): Boolean = {
+      val lower = line.toLowerCase
+      if (practiceIndicators.exists(lower.contains) && !medicalContext.exists(lower.contains)) return true
+      if (contactPatterns.exists(_.findFirstIn(line).isDefined)) return true
+      if (technicalArtifacts.exists(lower.contains)) return true
+      if (reFormCode.findFirstIn(line.trim).isDefined) return true
+      false
+    }
+    val frag = Gen.oneOf("Dental Practice", "treatment", "555-123-4567",
+      "a@b.com", "123 Main Street", "<!-- image -->", "page", "(FORM A1)",
+      "ORAL SURGERY", "surgery care", "Doc ID:", "footer:", "x", "",
+      "Endodontics office", "patient name:", "header: x", "PERIODONTICS")
+    val lineGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString(" "))
+    forAll(lineGen, n = 400) { line =>
+      assert(MainExtractor.isHeaderFooterContent(line) == reference(line), s"line=$line")
+    }
+  }
+
   test("one-pass isConsentContent == the chained scan form") {
     import graft.extract.{ConsentShaping, StrUtil}
     val singles = Vector("i understand", "i acknowledge", "i agree", "i consent", "i authorize")
