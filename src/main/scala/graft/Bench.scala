@@ -66,6 +66,15 @@ object Bench {
     val runs = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val okMap = scala.collection.mutable.Map[String, Boolean]()
+    // one untimed warmup pass first: codegen compilation + JIT for 35
+    // queries takes long enough that it bleeds past the first TIMED pass
+    // into the second (per-query samples were still falling monotonically
+    // at run 3) — the bench measures steady-state execution, like the
+    // flagship's explicit warmup above
+    for (name <- names)
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () } // failures surface in the timed passes
     for (_ <- 1 to 3; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -91,15 +91,70 @@ object TextFns {
     else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" ")).toArray
   }
 
+  /** Shingle hash streamed over word WINDOWS of the lowered text (offsets
+    * into `t`), identical to shingleHash64 over the materialized words. */
+  private def shingleHashOffsets(t: String, starts: Array[Int], ends: Array[Int],
+                                 from: Int, k: Int): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var wi = from
+    val end = from + k
+    while (wi < end) {
+      var i = starts(wi)
+      val e = ends(wi)
+      while (i < e) { h = (h ^ t.charAt(i).toLong) * 0x100000001B3L; i += 1 }
+      if (wi < end - 1) h = (h ^ ' '.toLong) * 0x100000001B3L
+      wi += 1
+    }
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  // exactly regex \s without UNICODE_CHARACTER_CLASS: [ \t\n\x0B\f\r]
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** MinHash signature over k-word shingles; `perms` independent hash
-    * functions realized as seeds. O(|shingles| * perms).
+    * functions realized as seeds. O(|shingles| * perms). Values identical
+    * to hashing wordShingles output (PropertySpec pins it, incl. the
+    * String.trim-vs-regex-\s edge on control chars); neither the token
+    * strings nor the shingle strings are materialized — only two int
+    * offset arrays per document.
     */
   def minHashSignature(text: String, k: Int, perms: Int): Array[Long] = {
-    val sh = wordShingles(text, k)
     val sig = Array.fill(perms)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      val base = hash64(sh(i))
+    if (text == null) return sig
+    val t = text.toLowerCase
+    // String.trim semantics (chars <= ' ' stripped from the ends), then
+    // words = maximal runs of non-\s chars — exactly wsRe.split(t.trim)
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) <= ' ') hi -= 1
+    if (lo >= hi) return sig
+    var words = 0
+    var i = lo
+    while (i < hi) { // count first: exact-size offset arrays
+      if (!isRegexWs(t.charAt(i)) && (i == lo || isRegexWs(t.charAt(i - 1)))) words += 1
+      i += 1
+    }
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    i = lo
+    while (i < hi) {
+      if (!isRegexWs(t.charAt(i))) {
+        if (i == lo || isRegexWs(t.charAt(i - 1))) { starts(w) = i; w += 1 }
+        ends(w - 1) = i + 1
+      }
+      i += 1
+    }
+    // short text: ONE shingle of all words (wordShingles' t.mkString case)
+    val kk = if (words < k) words else k
+    val n = if (words < k) 1 else words - k + 1
+    var s = 0
+    while (s < n) {
+      val base = shingleHashOffsets(t, starts, ends, s, kk)
       var p = 0
       while (p < perms) {
         // cheap independent permutations from one base hash (Zobrist-style)
@@ -107,7 +162,7 @@ object TextFns {
         if (h < sig(p)) sig(p) = h
         p += 1
       }
-      i += 1
+      s += 1
     }
     sig
   }

@@ -168,11 +168,15 @@ object Queries {
       .where($"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
       .distinct()
+    // ONE text lookup side: both candidate joins probe the same aliased
+    // child, so the planner reuses a single exchange/broadcast instead of
+    // scanning + building the documents lookup twice
+    val lookup = docs.as("da")
     pairs
-      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
-      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .join(lookup.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(lookup.as("db"), col("doc_b") === col("db.doc_id"))
       .withColumn("jaccard_x1000",
-        graft.functions.NativeFns.jaccardShingles1000(col("text_a"), col("text_b"), 3))
+        graft.functions.NativeFns.jaccardShingles1000(col("da.text"), col("db.text"), 3))
       .where(col("jaccard_x1000") >= 500)
       .select("doc_a", "doc_b", "jaccard_x1000")
       .orderBy("doc_a", "doc_b")

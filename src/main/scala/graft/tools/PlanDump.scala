@@ -16,7 +16,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    println(df.queryExecution.executedPlan.toString.linesIterator.take(80).mkString("\n"))
+    // "exec": run the query first so the ADAPTIVE final plan (with runtime
+    // exchange reuse) is printed instead of the initial static plan
+    if (args.lift(1).contains("exec")) df.collect()
+    println(df.queryExecution.executedPlan.toString.linesIterator.take(120).mkString("\n"))
     spark.stop()
   }
 }

@@ -23,12 +23,16 @@ object QueryProbe {
     val qs = graft.SparkEntry.queries
     for (_ <- 1 to 2; n <- names) // warmup pass over all probed queries
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // interleaved like Bench (rep-major), so cross-query GC/cache context
+    // is reproduced when several names are probed together
+    val acc = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; n <- names) {
+      val t0 = System.nanoTime()
+      qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      acc(n) = acc(n) :+ (System.nanoTime() - t0) / 1e9
+    }
     for (n <- names) {
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
+      val samples = acc(n)
       println(f"$n%-24s min=${samples.min}%.3f samples=${samples.map(s => f"$s%.3f").mkString(",")}")
     }
     spark.stop()

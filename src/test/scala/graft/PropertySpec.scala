@@ -91,6 +91,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming minhash == hashing the materialized shingle strings") {
+    // the allocation-free signature must be value-identical to the
+    // wordShingles+hash64 reference form, incl. the short-text single
+    // shingle and empty/null cases
+    val word = Gen.oneOf("spark", "scala", "data", "Table", "ROW", "a", "", " ",
+      "join,", "agg.", "café", "xy", "a\tb", "z")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    forAll(doc, n = 400) { d =>
+      val sh = TextFns.wordShingles(d, 3)
+      val ref = Array.fill(64)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = TextFns.hash64(s)
+        var p = 0
+        while (p < 64) {
+          val h = base * (2 * p + 1) + 0x9E3779B97F4A7C15L * p
+          if (h < ref(p)) ref(p) = h
+          p += 1
+        }
+      }
+      assert(TextFns.minHashSignature(d, 3, 64).sameElements(ref), s"doc=$d")
+    }
+    assert(TextFns.minHashSignature(null, 3, 64).forall(_ == Long.MaxValue))
+  }
+
   test("simhash of identical docs is identical; hamming <= 64") {
     forAll(anyText, anyText) { (a, b) =>
       assert(TextFns.simHash(a) == TextFns.simHash(a))
