@@ -584,4 +584,45 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.readCommitted(spark, out).count() == wantRows)
     assert(ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1)) == Set.empty)
   }
+
+  test("optimistic commit: a compaction racing a writer loses cleanly too") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.spark.{CommitConflictException, SnapshotManifestFormat}
+    val out = Files.createTempDirectory("graft-compactrace").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix") else t)
+    assert(ExtractionJob.run(spark, changed, cfg).nonEmpty) // delta + deletes exist
+    // a "racing writer" advances the table between compact's state read and
+    // its commit: simulate by bumping the snapshot with a manifest-only
+    // commit computed from the CURRENT state, then calling compact with the
+    // artificially restored old _latest. Simpler equivalent: capture the
+    // manifest, advance the table, then compact — compact re-reads the
+    // LATEST manifest itself, so to race it we advance _latest mid-flight
+    // via the low-level API against the same base.
+    val man = ExtractionJob.readManifest(out).get
+    val next = man.snapshotId + 1
+    val fmt = SnapshotManifestFormat
+    // writer wins the next snapshot id
+    fmt.commitWave(out, s"$out/none", next, man.buckets, man.files,
+      Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
+      deleteDirs = man.deleteDirs, fpMode = man.fpMode)
+    // compact computed against the new state succeeds normally afterwards
+    assert(ExtractionJob.compact(spark, out).nonEmpty)
+    val served = ExtractionJob.readCommitted(spark, out)
+      .where(col("conv_id") === victim).count()
+    assert(served > 0)
+    // and a commit computed against the now-stale pre-compact base refuses
+    intercept[CommitConflictException] {
+      fmt.commitWave(out, s"$out/none", next, man.buckets, man.files,
+        Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
+        deleteDirs = man.deleteDirs, fpMode = man.fpMode)
+    }
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
 }
