@@ -247,18 +247,23 @@ final class MultiSubstring private (
       var i = 0
       val n = s.length
       while (i < n && cnt < size) {
-        val v = nextF(st * width + cls(s.charAt(i)))
-        st = v & 0x7FFF
-        if (v < 0) {
-          val o = out(st)
-          var j = 0
-          while (j < o.length) {
-            val id = o(j)
-            if (!seen(id)) { seen(id) = true; cnt += 1 }
-            j += 1
-          }
+        if (st == 0) { // root fast path
+          while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
         }
-        i += 1
+        if (i < n) {
+          val v = nextF(st * width + cls(s.charAt(i)))
+          st = v & 0x7FFF
+          if (v < 0) {
+            val o = out(st)
+            var j = 0
+            while (j < o.length) {
+              val id = o(j)
+              if (!seen(id)) { seen(id) = true; cnt += 1 }
+              j += 1
+            }
+          }
+          i += 1
+        }
       }
       li += 1
     }
@@ -291,15 +296,22 @@ final class MultiSubstring private (
       var i = 0
       val n = s.length
       while (i < n) {
-        val v = nextF(st * width + cls(s.charAt(i)))
-        st = v & 0x7FFF
-        off += 1
-        if (v < 0) {
-          val o = out(st)
-          var j = 0
-          while (j < o.length) { bufs(o(j)) += off; j += 1 }
+        if (st == 0) { // root fast path (off advances with i)
+          val i0 = i
+          while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
+          off += i - i0
         }
-        i += 1
+        if (i < n) {
+          val v = nextF(st * width + cls(s.charAt(i)))
+          st = v & 0x7FFF
+          off += 1
+          if (v < 0) {
+            val o = out(st)
+            var j = 0
+            while (j < o.length) { bufs(o(j)) += off; j += 1 }
+          }
+          i += 1
+        }
       }
       li += 1
     }
@@ -316,19 +328,24 @@ final class MultiSubstring private (
     var i = 0
     val n = s.length
     while (i < n && cntFull < size) {
-      val v = nextF(st * width + cls(s.charAt(i)))
-      st = v & 0x7FFF
-      if (v < 0) {
-        val o = out(st)
-        var j = 0
-        while (j < o.length) {
-          val id = o(j)
-          if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
-          if (i + 1 <= prefixEnd) seenPre(id) = true
-          j += 1
-        }
+      if (st == 0) { // root fast path: skip chars that keep the DFA at root
+        while (i < n && { val c = s.charAt(i); c < 256 && rootStay(c) }) i += 1
       }
-      i += 1
+      if (i < n) {
+        val v = nextF(st * width + cls(s.charAt(i)))
+        st = v & 0x7FFF
+        if (v < 0) {
+          val o = out(st)
+          var j = 0
+          while (j < o.length) {
+            val id = o(j)
+            if (!seenFull(id)) { seenFull(id) = true; cntFull += 1 }
+            if (i + 1 <= prefixEnd) seenPre(id) = true
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     (seenPre, seenFull)
   }

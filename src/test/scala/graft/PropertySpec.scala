@@ -205,6 +205,15 @@ class PropertySpec extends AnyFunSuite {
         ms.matchedSetLines(lines, 0, lines.length, ' ').toVector,
         s"idx-full lines=$lines")
     }
+    // prefix+full flags == independent matchedSet over the prefix slice and
+    // the full text (covers the root-fast-path variant of the walk)
+    forAll(Gen.zip(textGen, Gen.choose(0, 60)), n = 300) { case (t, pe) =>
+      val prefixEnd = math.min(pe, t.length)
+      val (pre, full) = ms.matchedSetPrefixAndFull(t, prefixEnd)
+      assert(full.toVector == ms.matchedSet(t).toVector, s"full t=$t")
+      assert(pre.toVector == ms.matchedSet(t.substring(0, prefixEnd)).toVector,
+        s"pre t=$t prefixEnd=$prefixEnd")
+    }
     // case-folded scans == scans of the lowered text (mixed-case + Kelvin)
     val mixedGen = Gen.listOfN(8, Gen.oneOf("DENTAL", "Office", "dental OFFICE",
       "SMILE", "Care", "ALL RIGHTS RESERVED", "X-Ray", "A", "K", "b", "", "\u212AELVIN", "\u0130stanbul"))
