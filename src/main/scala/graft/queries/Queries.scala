@@ -430,6 +430,17 @@ object Queries {
       .orderBy("conv_id", "turn_idx", "field_idx")
   }
 
+  /** Near-dup cluster assignment: connected components over the q14
+    * candidate-pair graph (jaccard >= 500), cluster id = min member doc_id
+    * — the "keep one per duplicate cluster" step of a dedup pipeline.
+    * Oracled independently: DuckDB recomputes the transitive closure over
+    * the dumped q14 pairs with a recursive CTE and takes min reachable id.
+    */
+  def q36DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.DedupCluster.connectedComponents(
+      spark, q14MinhashLsh(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -465,7 +476,8 @@ object Queries {
     "q31_ann_lsh_cands" -> q31AnnLshCands _,
     "q32_ann_ivf_cands" -> q32AnnIvfCands _,
     "q33_field_dump" -> q33FieldDump _,
-    "q34_turn_field_dump" -> q34TurnFieldDump _
+    "q34_turn_field_dump" -> q34TurnFieldDump _,
+    "q36_dedup_clusters" -> q36DedupClusters _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -478,6 +490,12 @@ object Queries {
     * downstream stage in SQL — the "oracle the downstream" pattern.
     */
   val oracles: Map[String, String] = Map(
+    "q36_dedup_clusters" ->
+      // independent clustering recomputation: DuckDB builds the transitive
+      // closure over the dumped q14 pair graph with a recursive CTE and
+      // labels every vertex with the min reachable doc_id — exactly the
+      // connected-components contract of the iterative Spark propagation.
+      """WITH RECURSIVE edges AS (SELECT doc_a AS a, doc_b AS b FROM read_parquet('__OUT__/q14_minhash_lsh/*.parquet') UNION SELECT doc_b, doc_a FROM read_parquet('__OUT__/q14_minhash_lsh/*.parquet')), reach(src, dst) AS (SELECT a, a FROM edges UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id""",
     "q14_minhash_lsh" ->
       // candidate pairs are engine-defined (MinHash bands); the verify stage
       // (exact 3-gram shingle Jaccard >= 500 on those pairs) is recomputed

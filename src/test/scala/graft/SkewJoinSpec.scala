@@ -53,4 +53,30 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalPlan.contains("skew=true"),
       s"expected OptimizeSkewedJoin marker in final plan:\n${finalPlan.take(2000)}")
   }
+
+  test("connected components: clusters labeled by min member, multi-hop chains converge") {
+    val ss = spark
+    import ss.implicits._
+    // components: {1,2,3,4} as a PATH (multi-hop propagation), {10,11}
+    // as one edge, {20,21,22} as a triangle; 30/31 isolated pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // path 1-2-3-4 (min at one end)
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L)).toDF("a", "b")
+    val got = graft.functions.DedupCluster
+      .connectedComponents(spark, pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L), got.toString)
+    // a longer chain (diameter 7) still converges and labels by the min
+    val chain = (1L until 8L).map(i => (i + 1, i)).toDF("a", "b")
+    val gotChain = graft.functions.DedupCluster
+      .connectedComponents(spark, chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain == (1L to 8L).map(_ -> 1L).toMap, gotChain.toString)
+  }
 }
