@@ -152,14 +152,33 @@ object Queries {
     * shingle-Jaccard. Signature is computed row-local (one pass over the
     * doc); the only shuffle is the band-key self-join — the scalable LSH
     * shape for 10^9+ docs. */
-  def q14MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q14MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    q14MinhashLsh(spark, dir, maxBandBucket = 1000)
+
+  /** `maxBandBucket` is the degenerate-bucket skew guard: a band shared by
+    * more than this many documents (boilerplate/stop-phrase collisions)
+    * would contribute O(n^2) candidate pairs — at 10^9 docs a single hot
+    * band could emit ~10^12 pairs and dominate the job. Members of a
+    * dropped bucket still pair through their other 15 bands, which is why
+    * production near-dup pipelines cap bucket size rather than pay the
+    * quadratic blowup. The per-band count is a partial-aggregated groupBy
+    * riding the SAME band exchange as the self-join (the runtime plan
+    * reuses one exchange for the count input, both self-join sides and the
+    * keep-filter join), so the guard adds a hash join but no extra
+    * shuffle, sort, or second scan. */
+  def q14MinhashLsh(spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
     import spark.implicits._
     val docs = table(spark, dir, "documents").select("doc_id", "text")
     // native expressions (no ScalaUDF boundary): band keys + exact-jaccard
     // verification both stay inside whole-stage codegen
-    val banded = docs.withColumn("band",
+    val banded0 = docs.withColumn("band",
       explode(graft.functions.NativeFns.lshBandKeys(col("text"), 3, 64, 16)))
       .select("doc_id", "band") // prune text BEFORE the band shuffle
+    // one row per surviving band; inner join == bucket-size filter
+    val keep = banded0.groupBy("band").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBandBucket).select("band")
+    val banded = banded0.hint("shuffle_hash")
+      .join(keep.hint("shuffle_hash"), Seq("band"))
     // shuffle join, not broadcast: at 10^9 docs both banded sides are huge,
     // and identical shuffle children let Spark REUSE one exchange — the
     // minhash signatures are computed once, not once per join side

@@ -49,4 +49,18 @@ class LshRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"recall=$recall (|truth|=${truth.size}, |found|=${found.size})")
     assert(recall >= 0.85, s"LSH recall $recall below bound (|truth|=${truth.size}, |found|=${found.size})")
   }
+
+  test("degenerate-band skew guard: capped pairs are a subset; default cap is inert here") {
+    import graft.queries.Queries
+    def pairs(cap: Int) = Queries.q14MinhashLsh(spark, dir, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = pairs(Int.MaxValue)
+    // the production default (1000) drops nothing at this scale — capped
+    // output identical, so the bench/oracle numbers measure the guard too
+    assert(pairs(1000) == unbounded, "default cap must be inert at sandbox scale")
+    // a tiny cap drops hot buckets but never invents pairs, and survivors
+    // still pair through their other bands
+    val tight = pairs(2)
+    assert(tight.subsetOf(unbounded), "capped candidates must be a subset")
+  }
 }
