@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.JobMain <jar> <inputParquet> <outDir> \
   *     [buckets] [waves] [--fingerprint-inputs | --conv-grained] [--compact]
+  *     [--expire=N]
   *
   * --fingerprint-inputs enables change-detection resume: committed buckets
   * whose input content changed since their snapshot are recomputed (one
@@ -14,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   * (merge-on-read: only changed conversations recompute, committed as
   * delta + equality-delete files). --compact runs merge-on-read
   * compaction after the extraction run (rewrite_data_files analog).
+  * --expire=N retains only the N most recent snapshots and GCs files no
+  * retained manifest references (expire_snapshots analog; time travel to
+  * expired snapshots becomes unavailable).
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -32,6 +36,8 @@ object JobMain {
     val fingerprint = args.contains("--fingerprint-inputs")
     val convGrained = args.contains("--conv-grained")
     val doCompact = args.contains("--compact")
+    val expireRetain: Option[Int] =
+      args.find(_.startsWith("--expire=")).map(_.stripPrefix("--expire=").toInt)
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -50,7 +56,11 @@ object JobMain {
         fingerprintInputs = fingerprint, convGrained = convGrained))
     val compacted =
       if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
-    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"out":"$outDir"}""")
+    val (expired, gcFiles) = expireRetain match {
+      case Some(n) => graft.spark.ExtractionJob.expireSnapshots(outDir, n)
+      case None => (0, 0)
+    }
+    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
 }

@@ -38,4 +38,34 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.spark.ExtractionJob.Config(out, buckets = 4, waves = 2))
     assert(again.isEmpty)
   }
+
+  test("JobMain --conv-grained --compact --expire runs the full maintenance cycle") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-jobmain-maint").toString
+    val in1 = s"$base/turns1"
+    val in2 = s"$base/turns2"
+    val out = s"$base/out"
+    val turns = graft.spark.Transcripts.generate(spark, 20)
+    turns.write.parquet(in1)
+    val victim = turns.select("conv_id").as[String].head()
+    turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix") else t)
+      .write.parquet(in2)
+
+    JobMain.main(Array(in1, out, "4", "2", "--conv-grained"))
+    JobMain.main(Array(in2, out, "4", "2", "--conv-grained")) // delta + deletes
+    JobMain.main(Array(in2, out, "4", "2", "--conv-grained", "--compact", "--expire=1"))
+    // only the latest snapshot remains; the table still serves the
+    // corrected content and resume stays a no-op
+    val latest = graft.spark.ExtractionJob.latestSnapshot(out).get
+    intercept[IllegalStateException] {
+      graft.spark.ExtractionJob.readCommittedAsOf(spark, out, latest - 1)
+    }
+    val served = graft.spark.ExtractionJob.readCommitted(spark, out)
+    assert(served.count() == turns.count())
+    val again = graft.spark.ExtractionJob.run(s,
+      s.read.parquet(in2).as[graft.spark.Turn],
+      graft.spark.ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true))
+    assert(again.isEmpty)
+  }
 }
