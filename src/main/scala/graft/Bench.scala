@@ -74,7 +74,9 @@ object Bench {
     for (name <- names)
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () } // failures surface in the timed passes
+      catch { case scala.util.control.NonFatal(e) => // surfaces again in the timed passes
+        System.err.println(s"[bench] $name failed in warmup: ${e.getMessage}")
+      }
     for (_ <- 1 to 3; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

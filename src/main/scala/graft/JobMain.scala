@@ -37,7 +37,15 @@ object JobMain {
     val convGrained = args.contains("--conv-grained")
     val doCompact = args.contains("--compact")
     val expireRetain: Option[Int] =
-      args.find(_.startsWith("--expire=")).map(_.stripPrefix("--expire=").toInt)
+      args.find(_.startsWith("--expire=")).map { a =>
+        val n = // fail at PARSE time, not after the whole extraction ran
+          try a.stripPrefix("--expire=").toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--expire=N requires an integer, got: $a")
+          }
+        require(n >= 1, s"--expire=N must retain at least 1 snapshot, got $n")
+        n
+      }
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256

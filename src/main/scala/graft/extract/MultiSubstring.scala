@@ -414,8 +414,6 @@ final class MultiSubstring private (
     cnt
   }
 
-  /** countDistinct(s.toLowerCase) without building the lowered string
-    * (lowercase pattern bank required, like the other *Fold scans). */
   /** Early-exit disjunction over a segmented bank, in ONE case-folded walk:
     * true as soon as
     *  (a) any pattern with id < singleN matches, or
@@ -463,6 +461,8 @@ final class MultiSubstring private (
     false
   }
 
+  /** countDistinct(s.toLowerCase) without building the lowered string
+    * (lowercase pattern bank required, like the other *Fold scans). */
   def countDistinctFold(s: String): Int = {
     if (size == 0) return 0
     val seen = new Array[Boolean](size)

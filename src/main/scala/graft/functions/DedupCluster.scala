@@ -32,31 +32,35 @@ object DedupCluster {
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // min over neighbor labels, then min with the current label
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("moved"))
-        .cache()
-      changed = next.where(col("moved")).count()
-      val old = labels
-      labels = next.select("id", "label").cache()
-      next.unpersist()
-      old.unpersist()
-      iter += 1
-    }
-    require(changed == 0, s"connected components did not converge in $maxIter iterations")
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    try {
+      // EAGER localCheckpoint each iteration: iterative label propagation
+      // references the previous labels twice per step (directly and through
+      // neighborMin), so without lineage truncation the logical plan
+      // doubles every iteration and prior shuffles re-execute each round;
+      // checkpointing materializes the labels AND cuts the plan, which also
+      // makes the returned frame independent of the edges cache below
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // min over neighbor labels, then min with the current label
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("label").as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (col("nmin") < col("label")).as("moved"))
+          .localCheckpoint(true)
+        changed = next.where(col("moved")).count()
+        labels = next.select("id", "label")
+        iter += 1
+      }
+      require(changed == 0, s"connected components did not converge in $maxIter iterations")
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally { edges.unpersist(); () } // never leak the cache, even on failure
   }
 }

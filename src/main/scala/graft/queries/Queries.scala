@@ -190,7 +190,7 @@ object Queries {
     // ONE text lookup side: both candidate joins probe the same aliased
     // child, so the planner reuses a single exchange/broadcast instead of
     // scanning + building the documents lookup twice
-    val lookup = docs.as("da")
+    val lookup = docs
     pairs
       .join(lookup.as("da"), col("doc_a") === col("da.doc_id"))
       .join(lookup.as("db"), col("doc_b") === col("db.doc_id"))
