@@ -57,7 +57,15 @@ object ExtractionJob {
       // buckets becomes unavailable (reported as history loss, not
       // corruption). Pipelines that must keep deep time travel should set
       // 0 and compact/expire on their own schedule.
-      autoCompactDeletes: Int = 100000
+      autoCompactDeletes: Int = 100000,
+      // optimistic-concurrency retries (Iceberg commit.retry.num-retries
+      // analog): when a commit loses a race to a concurrent writer
+      // (CommitConflictException), re-plan the whole run against the
+      // advanced table state and try again, up to this many times. A
+      // re-planned attempt sees the winner's commits as already done, so
+      // only genuinely remaining work is recomputed. 0 = propagate the
+      // conflict to the caller (single-writer deployments).
+      commitRetries: Int = 2
   )
 
   final case class LineageRow(
@@ -170,14 +178,32 @@ object ExtractionJob {
     * buckets committed (or, conv-grained, delta-updated) by this invocation
     * (empty if everything was already committed — the resume-no-recompute
     * property).
+    *
+    * Concurrent writers: a commit that loses an optimistic-concurrency race
+    * is retried up to `config.commitRetries` times by re-planning the run
+    * against the advanced table state (waves the lost attempt already
+    * committed are visible there and are not redone). The returned set
+    * accumulates every wave THIS invocation committed across attempts.
     */
   def run(spark: SparkSession, turns: Dataset[Turn], config: Config,
-          format: TableFormat = SnapshotManifestFormat): Set[Int] =
-    if (config.convGrained) runConvGrained(spark, turns, config, format)
-    else runBucketGrained(spark, turns, config, format)
+          format: TableFormat = SnapshotManifestFormat): Set[Int] = {
+    val acc = scala.collection.mutable.Set.empty[Int]
+    var attempt = 0
+    while (true) {
+      try {
+        if (config.convGrained) runConvGrained(spark, turns, config, format, acc)
+        else runBucketGrained(spark, turns, config, format, acc)
+        return acc.toSet
+      } catch {
+        case _: CommitConflictException if attempt < config.commitRetries =>
+          attempt += 1 // re-plan from the winner's state and try again
+      }
+    }
+    acc.toSet // unreachable
+  }
 
   private def runBucketGrained(spark: SparkSession, turns: Dataset[Turn], config: Config,
-          format: TableFormat): Set[Int] = {
+          format: TableFormat, acc: scala.collection.mutable.Set[Int]): Unit = {
     import spark.implicits._
     // change-detection resume: a committed bucket whose INPUT fingerprint
     // differs from the one recorded at commit time is treated as
@@ -197,7 +223,7 @@ object ExtractionJob {
         verified.filter(b => manFps.get(b) == currentFps.get(b))
       else verified
     val remaining = (0 until config.buckets).filterNot(already.contains)
-    if (remaining.isEmpty) return Set.empty
+    if (remaining.isEmpty) return
 
     val waveSize = math.max(1, math.ceil(remaining.size.toDouble / config.waves).toInt)
     val waves = remaining.grouped(waveSize).toVector
@@ -240,11 +266,11 @@ object ExtractionJob {
         fpMode =
           if (config.fingerprintInputs) Some("bucket")
           else priorMan.flatMap(_.fpMode))
+      acc ++= waveBuckets
 
       if (config.failAfterWave == waveIdx)
         throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
     }
-    doneThisRun
   }
 
   /** Extract one wave's input, stage the sorted per-bucket parquet output,
@@ -312,7 +338,7 @@ object ExtractionJob {
     * resume) rather than silently clean.
     */
   private def runConvGrained(spark: SparkSession, turns: Dataset[Turn], config: Config,
-                             format: TableFormat): Set[Int] = {
+                             format: TableFormat, acc: scala.collection.mutable.Set[Int]): Unit = {
     import spark.implicits._
     val convFps = convFingerprints(spark, turns, config.buckets).cache()
     try {
@@ -328,7 +354,7 @@ object ExtractionJob {
         if (fpModeOk) verified.toSeq.filter(b => manFps.get(b) != currentFps.get(b)).sorted
         else verified.toSeq.sorted
       val uncommitted = (0 until config.buckets).filterNot(verified.contains)
-      if (dirty.isEmpty && uncommitted.isEmpty) return Set.empty
+      if (dirty.isEmpty && uncommitted.isEmpty) return
 
       var snapshotId = format.latestSnapshot(config.outDir).getOrElse(-1)
       // this run's conv-fp sidecar; prior sidecars stay for older snapshots
@@ -344,7 +370,6 @@ object ExtractionJob {
       // tracked delete dirs carry through every commit (manifest-referenced,
       // like data files); the delta stage appends its new dir
       var deleteDirs: Vector[String] = man.map(_.deleteDirs).getOrElse(Vector.empty)
-      var done = Set.empty[Int]
       var waveCounter = 0 // failAfterWave hook counts the delta stage as wave 0
       val withBucket = turns.withColumn("bucket", bucketOf(config.buckets))
 
@@ -392,11 +417,11 @@ object ExtractionJob {
         differing.unpersist()
 
         snapshotId = seq
-        done = done ++ dirty
         committedFiles = committedFiles ++ files
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
           lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
           deleteDirs = deleteDirs, fpMode = Some("conv"))
+        acc ++= dirty
         if (config.failAfterWave == waveCounter)
           throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
         waveCounter += 1
@@ -412,12 +437,12 @@ object ExtractionJob {
             stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx", seq)
           snapshotId = seq
           committed = committed ++ waveBuckets
-          done = done ++ waveBuckets
           committedFiles = committedFiles ++ files
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
             lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir),
             deleteDirs = deleteDirs, fpMode = Some("conv"))
+          acc ++= waveBuckets
           if (config.failAfterWave == waveCounter)
             throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
           waveCounter += 1
@@ -436,7 +461,6 @@ object ExtractionJob {
         val nDeletes = spark.read.parquet(paths: _*).count()
         if (nDeletes >= config.autoCompactDeletes) format.compact(spark, config.outDir)
       }
-      done
     } finally { convFps.unpersist(); () }
   }
 

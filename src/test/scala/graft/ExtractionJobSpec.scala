@@ -585,6 +585,83 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1)) == Set.empty)
   }
 
+  test("commit retry: a run that loses a race re-plans against the winner's state and completes") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.spark.{CommitConflictException, ExtractionJob => _, _}
+    import graft.spark.ExtractionJob.{FileEntry, LineageRow, Manifest}
+    val out = Files.createTempDirectory("graft-retryrun").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+
+    // a format whose FIRST commit races: a competing writer lands a
+    // manifest-only commit (computed from the current state) just before the
+    // job's own commit, which therefore loses the optimistic check
+    val inner = SnapshotManifestFormat
+    class RacingFormat extends TableFormat {
+      var injected = false
+      var conflicts = 0
+      def latestSnapshot(outDir: String) = inner.latestSnapshot(outDir)
+      def readManifest(outDir: String) = inner.readManifest(outDir)
+      def committedBuckets(outDir: String) = inner.committedBuckets(outDir)
+      def listStagedFiles(s: org.apache.spark.sql.SparkSession, staging: String) =
+        inner.listStagedFiles(s, staging)
+      def readCommitted(s: org.apache.spark.sql.SparkSession, outDir: String) =
+        inner.readCommitted(s, outDir)
+      def readManifestAt(outDir: String, k: Int) = inner.readManifestAt(outDir, k)
+      def readCommittedAsOf(s: org.apache.spark.sql.SparkSession, outDir: String, k: Int) =
+        inner.readCommittedAsOf(s, outDir, k)
+      def compact(s: org.apache.spark.sql.SparkSession, outDir: String) = inner.compact(s, outDir)
+      def expireSnapshots(outDir: String, retainLast: Int) = inner.expireSnapshots(outDir, retainLast)
+      def commitWave(outDir: String, staging: String, snapshotId: Int,
+                     buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
+                     inputFps: Map[Int, Long], additive: Boolean,
+                     convFpsDir: Option[String], deleteDirs: Seq[String],
+                     fpMode: Option[String]): Unit = {
+        if (!injected) {
+          injected = true
+          val man = inner.readManifest(outDir).get
+          inner.commitWave(outDir, s"$outDir/none", man.snapshotId + 1, man.buckets,
+            man.files, Vector.empty, man.inputFps, additive = true,
+            convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode)
+        }
+        try inner.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
+          inputFps, additive, convFpsDir, deleteDirs, fpMode)
+        catch { case e: CommitConflictException => conflicts += 1; throw e }
+      }
+    }
+
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nraced fix") else t)
+    val fmt = new RacingFormat
+    val done = ExtractionJob.run(spark, changed, cfg, fmt) // commitRetries default
+    assert(fmt.conflicts == 1, "the first attempt must have lost the race")
+    assert(done.nonEmpty, "the retry must have completed the delta")
+    // the served table reflects the correction exactly once, no duplicates
+    val served = ExtractionJob.readCommitted(spark, out)
+    assert(served.count() == changed.count())
+    val got = served.where(col("conv_id") === victim)
+      .select("turn_idx", "fields_json")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val want = ExtractionJob.extract(spark, changed.where(col("conv_id") === victim).as[graft.spark.Turn])
+      .select("turn_idx", "fields_json")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == want, "retried run must serve the corrected content")
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty, "retried table resumes as a no-op")
+
+    // commitRetries = 0 propagates the conflict to the caller instead
+    val changed2 = changed.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nsecond fix") else t)
+    intercept[CommitConflictException] {
+      ExtractionJob.run(spark, changed2, cfg.copy(commitRetries = 0), new RacingFormat)
+    }
+    // nothing half-applied: a plain rerun completes the lost work
+    assert(ExtractionJob.run(spark, changed2, cfg).nonEmpty)
+    assert(ExtractionJob.readCommitted(spark, out).count() == changed2.count())
+  }
+
   test("optimistic commit: a compaction racing a writer loses cleanly too") {
     val ss = spark
     import ss.implicits._
