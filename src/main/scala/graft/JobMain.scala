@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   * --expire=N retains only the N most recent snapshots and GCs files no
   * retained manifest references (expire_snapshots analog; time travel to
   * expired snapshots becomes unavailable).
+  * --get-conv=ID[,ID...] skips extraction and performs a keyed read of the
+  * committed table instead: manifest-level data skipping (recorded bucket
+  * modulus + per-file conv_id bounds) plans only the files that can hold
+  * the requested conversations — the point-lookup path on a 10^12-turn
+  * table. Prints row/file counts as JSON.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -58,6 +63,17 @@ object JobMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     import spark.implicits._
+    args.find(_.startsWith("--get-conv=")).foreach { a =>
+      val ids = a.stripPrefix("--get-conv=").split(",").toSeq.filter(_.nonEmpty)
+      require(ids.nonEmpty, "--get-conv=ID[,ID...] requires at least one conversation id")
+      val man = graft.spark.ExtractionJob.readManifest(outDir)
+        .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+      val planned = graft.spark.SnapshotManifestFormat.pruneFilesForConvs(man, ids)
+      val rows = graft.spark.ExtractionJob.readCommittedForConvs(spark, outDir, ids).count()
+      println(s"""{"keyed_convs":${ids.size},"rows":$rows,"planned_files":${planned.size},"total_files":${man.files.size},"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     val turns = spark.read.parquet(input).as[graft.spark.Turn]
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,

@@ -78,8 +78,13 @@ object ExtractionJob {
 
   /** One committed data file: path relative to out/data plus its row count
     * (Iceberg-manifest granularity — enables file-level conflict detection
-    * and exact-file snapshot reads). */
-  final case class FileEntry(bucket: Int, path: String, rowCount: Long, seq: Int = 0)
+    * and exact-file snapshot reads). `minConv`/`maxConv` are the file's
+    * conv_id column bounds lifted from its parquet footer at commit time
+    * (Iceberg DataFile lower_bounds/upper_bounds analog) — they cost
+    * nothing extra (the footer is already read for row counts) and let
+    * keyed reads skip files that cannot contain a requested conversation. */
+  final case class FileEntry(bucket: Int, path: String, rowCount: Long, seq: Int = 0,
+                             minConv: Option[String] = None, maxConv: Option[String] = None)
 
   /** hasFilesList distinguishes a manifest that genuinely lists zero files
     * (all-empty buckets) from a legacy manifest written before file
@@ -94,7 +99,12 @@ object ExtractionJob {
                             // which fingerprint formula inputFps was computed
                             // with: "conv" (bucketFpsFromConv) or "bucket"
                             // (inputFingerprints); formulas are not comparable
-                            fpMode: Option[String] = None)
+                            fpMode: Option[String] = None,
+                            // the hash modulus the table was bucketed with —
+                            // recorded so keyed reads can compute a requested
+                            // conversation's bucket without trusting a
+                            // caller-supplied (possibly wrong) count
+                            bucketCount: Option[Int] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -116,6 +126,17 @@ object ExtractionJob {
     xxhash64(col("conv_id"), floor(col("turn_idx") / saltTurnsPerSplit))
 
   def bucketOf(buckets: Int) = pmod(xxhash64(col("conv_id")), lit(buckets)).cast("int")
+
+  /** Driver-side twin of `bucketOf`: the bucket a conversation hashes to,
+    * evaluated through the same Catalyst XxHash64 (seed 42) as the
+    * distributed column expression — the anchor for manifest-level file
+    * pruning on keyed reads. */
+  def bucketOfConvId(convId: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(convId)), 42L).eval(null).asInstanceOf[Long]
+    val m = h % buckets
+    (if (m < 0) m + buckets else m).toInt
+  }
 
   /** Per-bucket content fingerprint of the INPUT: order-independent XOR of
     * per-row xxhash64 over every input column, mixed with the row count
@@ -265,7 +286,8 @@ object ExtractionJob {
         deleteDirs = carriedDeleteDirs,
         fpMode =
           if (config.fingerprintInputs) Some("bucket")
-          else priorMan.flatMap(_.fpMode))
+          else priorMan.flatMap(_.fpMode),
+        bucketCount = Some(config.buckets))
       acc ++= waveBuckets
 
       if (config.failAfterWave == waveIdx)
@@ -420,7 +442,7 @@ object ExtractionJob {
         committedFiles = committedFiles ++ files
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
           lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
-          deleteDirs = deleteDirs, fpMode = Some("conv"))
+          deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets))
         acc ++= dirty
         if (config.failAfterWave == waveCounter)
           throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
@@ -441,7 +463,7 @@ object ExtractionJob {
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
             lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir),
-            deleteDirs = deleteDirs, fpMode = Some("conv"))
+            deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets))
           acc ++= waveBuckets
           if (config.failAfterWave == waveCounter)
             throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -468,6 +490,11 @@ object ExtractionJob {
     * TableFormat.readCommitted). */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame =
     defaultFormat.readCommitted(spark, outDir)
+
+  /** Keyed read with manifest-level data skipping (see
+    * TableFormat.readCommittedForConvs). */
+  def readCommittedForConvs(spark: SparkSession, outDir: String, convIds: Seq[String]): DataFrame =
+    defaultFormat.readCommittedForConvs(spark, outDir, convIds)
 
   /** Merge-on-read compaction (see TableFormat.compact). */
   def compact(spark: SparkSession, outDir: String): Set[Int] =

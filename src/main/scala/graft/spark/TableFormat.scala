@@ -50,11 +50,22 @@ trait TableFormat {
                  inputFps: Map[Int, Long], additive: Boolean = false,
                  convFpsDir: Option[String] = None,
                  deleteDirs: Seq[String] = Seq.empty,
-                 fpMode: Option[String] = None): Unit
+                 fpMode: Option[String] = None,
+                 bucketCount: Option[Int] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame
+
+  /** Keyed read — rows of exactly the requested conversations (Iceberg
+    * data-skipping analog). Implementations may prune manifest files via
+    * the recorded bucket modulus and per-file conv_id bounds; this default
+    * filters a full committed read (always correct, never pruned). */
+  def readCommittedForConvs(spark: SparkSession, outDir: String,
+                            convIds: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readCommitted(spark, outDir).where(col("conv_id").isin(convIds: _*))
+  }
 
   /** Manifest of a specific snapshot (time travel). */
   def readManifestAt(outDir: String, snapshotId: Int): Option[Manifest]
@@ -106,9 +117,46 @@ object SnapshotManifestFormat extends TableFormat {
     "\\{\"bucket\":(\\d+),\"fp\":(-?\\d+)\\}".r
 
   private val fileEntryRe =
-    "\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)(?:,\"seq\":(\\d+))?\\}".r
+    ("\\{\"bucket\":(\\d+),\"path\":\"([^\"]+)\",\"row_count\":(\\d+)(?:,\"seq\":(\\d+))?" +
+      "(?:,\"min_conv\":\"((?:[^\"\\\\]|\\\\.)*)\",\"max_conv\":\"((?:[^\"\\\\]|\\\\.)*)\")?\\}").r
 
   private val convFpsDirRe = "\"conv_fps\"\\s*:\\s*\"([^\"]+)\"".r
+
+  private val bucketCountRe = "\"bucket_count\"\\s*:\\s*(\\d+)".r
+
+  /** Minimal JSON string escape/unescape for conv_id bounds (ids are free
+    * text upstream; the rest of the manifest's strings are self-generated
+    * paths that never need escaping). */
+  private def jesc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\') { sb.append('\\'); sb.append(c) }
+      else if (c < ' ') sb.append(String.format("\\u%04x", Integer.valueOf(c.toInt)))
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def junesc(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case e => sb.append(e); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   private val deleteDirsRe = "\"delete_dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
 
@@ -131,7 +179,9 @@ object SnapshotManifestFormat extends TableFormat {
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
     val files = fileEntryRe.findAllMatchIn(manifest)
       .map(f => FileEntry(f.group(1).toInt, f.group(2), f.group(3).toLong,
-        seq = Option(f.group(4)).map(_.toInt).getOrElse(0))).toVector
+        seq = Option(f.group(4)).map(_.toInt).getOrElse(0),
+        minConv = Option(f.group(5)).map(junesc),
+        maxConv = Option(f.group(6)).map(junesc))).toVector
     val fps = fpEntryRe.findAllMatchIn(manifest)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     val convFps = convFpsDirRe.findFirstMatchIn(manifest).map(_.group(1))
@@ -140,7 +190,8 @@ object SnapshotManifestFormat extends TableFormat {
     Some(Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
       inputFps = fps, convFpsDir = convFps, deleteDirs = delDirs,
       hasDeleteDirsList = manifest.contains("\"delete_dirs\""),
-      fpMode = fpModeRe.findFirstMatchIn(manifest).map(_.group(1))))
+      fpMode = fpModeRe.findFirstMatchIn(manifest).map(_.group(1)),
+      bucketCount = bucketCountRe.findFirstMatchIn(manifest).map(_.group(1).toInt)))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -206,8 +257,39 @@ object SnapshotManifestFormat extends TableFormat {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f.toUri), hconf)
             val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val rows = try reader.getRecordCount finally reader.close()
-            FileEntry(bucket, s"bucket=$bucket/${f.getFileName}", rows)
+            val (rows, minConv, maxConv) = try {
+              // conv_id bounds from the same footer read as the row count —
+              // every row group must carry stats or the bounds are unusable
+              // (a statless group could hold any conversation)
+              var mn: String = null
+              var mx: String = null
+              var ok = true
+              reader.getFooter.getBlocks.asScala.foreach { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == "conv_id") match {
+                  case Some(c) =>
+                    val st = c.getStatistics
+                    if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                    else {
+                      val lo = st.genericGetMin match {
+                        case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                        case o => String.valueOf(o)
+                      }
+                      val hi = st.genericGetMax match {
+                        case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                        case o => String.valueOf(o)
+                      }
+                      if (mn == null || lo < mn) mn = lo
+                      if (mx == null || hi > mx) mx = hi
+                    }
+                  case None => ok = false
+                }
+              }
+              (reader.getRecordCount,
+                if (ok && mn != null) Some(mn) else None,
+                if (ok && mx != null) Some(mx) else None)
+            } finally reader.close()
+            FileEntry(bucket, s"bucket=$bucket/${f.getFileName}", rows,
+              minConv = minConv, maxConv = maxConv)
           }
       }
       .toVector.sortBy(f => (f.bucket, f.path))
@@ -225,7 +307,8 @@ object SnapshotManifestFormat extends TableFormat {
                           inputFps: Map[Int, Long], additive: Boolean = false,
                           convFpsDir: Option[String] = None,
                           deleteDirs: Seq[String] = Seq.empty,
-                          fpMode: Option[String] = None): Unit = {
+                          fpMode: Option[String] = None,
+                          bucketCount: Option[Int] = None): Unit = {
     // Optimistic-concurrency precondition (Iceberg's commit re-check): the
     // commit was computed against snapshot `snapshotId - 1`; if `_latest`
     // has moved past that, another writer won the race — refuse BEFORE
@@ -269,7 +352,12 @@ object SnapshotManifestFormat extends TableFormat {
     }.mkString("[\n", ",\n", "\n]")
     atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
     val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
-      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount},"seq":${f.seq}}"""
+      val bounds = (f.minConv, f.maxConv) match {
+        case (Some(lo), Some(hi)) =>
+          s""","min_conv":"${jesc(lo)}","max_conv":"${jesc(hi)}""""
+        case _ => ""
+      }
+      s"""{"bucket":${f.bucket},"path":"${f.path}","row_count":${f.rowCount},"seq":${f.seq}$bounds}"""
     }.mkString("[", ",", "]")
     val fpsJson =
       if (inputFps.isEmpty) ""
@@ -281,9 +369,10 @@ object SnapshotManifestFormat extends TableFormat {
     val deleteDirsJson =
       deleteDirs.sorted.map(d => "\"" + d + "\"").mkString(""""delete_dirs":[""", ",", "],")
     val fpModeJson = fpMode.map(m => s""""fp_mode":"$m",""").getOrElse("")
+    val bucketCountJson = bucketCount.map(n => s""""bucket_count":$n,""").getOrElse("")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
@@ -419,6 +508,46 @@ object SnapshotManifestFormat extends TableFormat {
     }
   }
 
+  /** Manifest-level data skipping for a keyed read: keep only files in the
+    * requested conversations' hash buckets (exact — the modulus is recorded
+    * in the manifest) whose conv_id footer bounds can contain a requested
+    * id. At 4096 buckets a single-conversation lookup plans ~0.02% of the
+    * table's files before any IO happens; within a multi-file bucket the
+    * (conv_id,turn_idx)-sorted layout keeps per-file bounds disjoint, so
+    * base files of other ranges and other conversations' MOR deltas are
+    * skipped too. Files without recorded bounds are conservatively kept. */
+  private[graft] def pruneFilesForConvs(man: Manifest, convIds: Seq[String]): Vector[FileEntry] = {
+    val byBucket: Vector[FileEntry] = man.bucketCount match {
+      case Some(n) =>
+        val target = convIds.map(ExtractionJob.bucketOfConvId(_, n)).toSet
+        man.files.filter(f => target.contains(f.bucket))
+      case None => man.files // legacy manifest: modulus unknown, keep all
+    }
+    byBucket.filter { f =>
+      (f.minConv, f.maxConv) match {
+        case (Some(lo), Some(hi)) => convIds.exists(c => lo <= c && c <= hi)
+        case _ => true
+      }
+    }
+  }
+
+  override def readCommittedForConvs(spark: SparkSession, outDir: String,
+                                     convIds: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (convIds.isEmpty)
+      throw new IllegalArgumentException("readCommittedForConvs: no conversations requested")
+    val man = readManifest(outDir)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    if (!man.hasFilesList) return super.readCommittedForConvs(spark, outDir, convIds)
+    val pruned = pruneFilesForConvs(man, convIds)
+    // empty pruning result: no file can contain the requested conversations;
+    // read one file for the schema — the key filter yields zero rows
+    val eff = if (pruned.nonEmpty) pruned else man.files.take(1)
+    if (eff.isEmpty) return super.readCommittedForConvs(spark, outDir, convIds)
+    readAt(spark, outDir, man.copy(files = eff))
+      .where(col("conv_id").isin(convIds: _*))
+  }
+
   override def compact(spark: SparkSession, outDir: String): Set[Int] = {
     import org.apache.spark.sql.functions.col
     val man = readManifest(outDir).getOrElse(return Set.empty)
@@ -436,7 +565,7 @@ object SnapshotManifestFormat extends TableFormat {
       // dirs a live manifest references would trip the integrity check
       commitWave(outDir, s"$outDir/staging-compact-$seq", seq, man.buckets, man.files,
         Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
-        deleteDirs = Seq.empty, fpMode = man.fpMode)
+        deleteDirs = Seq.empty, fpMode = man.fpMode, bucketCount = man.bucketCount)
     } else {
       // the committed view already applies the deletes — rewrite it as
       // clean sorted files, one dir per bucket
@@ -460,7 +589,7 @@ object SnapshotManifestFormat extends TableFormat {
       commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
         man.inputFps, additive = false, convFpsDir = man.convFpsDir,
         deleteDirs = Seq.empty, // every tracked delete is applied by the rewrite
-        fpMode = man.fpMode)
+        fpMode = man.fpMode, bucketCount = man.bucketCount)
     }
     // The applied deletes are dead for the NEW manifest, but older retained
     // manifests still reference them — deleting those would turn time travel

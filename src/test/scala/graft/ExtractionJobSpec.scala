@@ -585,6 +585,58 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1)) == Set.empty)
   }
 
+  test("keyed read skips files via recorded bucket modulus and conv_id footer bounds") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.spark.SnapshotManifestFormat
+    val turns = Transcripts.generate(spark, 25)
+
+    // the driver-side bucket twin must agree with the Catalyst column expr
+    // for every conversation (pruning correctness hinges on this)
+    val pairs = turns.select(col("conv_id"), ExtractionJob.bucketOf(8).as("b")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    pairs.foreach { case (c, b) =>
+      assert(ExtractionJob.bucketOfConvId(c, 8) == b, s"driver/catalyst bucket mismatch for $c")
+    }
+
+    val out = Files.createTempDirectory("graft-keyed").toString
+    val cfg = ExtractionJob.Config(out, buckets = 8, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    // add a MOR delta so pruning is exercised against base + delta + deletes
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nkeyed fix") else t)
+    assert(ExtractionJob.run(spark, changed, cfg).nonEmpty)
+
+    val man = ExtractionJob.readManifest(out).get
+    assert(man.bucketCount.contains(8), "manifest must record the bucket modulus")
+    assert(man.files.forall(f => f.minConv.isDefined && f.maxConv.isDefined),
+      "every Spark-written file must carry conv_id bounds")
+
+    val convs = Seq(victim, pairs.map(_._1).sorted.last).distinct
+    val pruned = SnapshotManifestFormat.pruneFilesForConvs(man, convs)
+    val wantBuckets = convs.map(ExtractionJob.bucketOfConvId(_, 8)).toSet
+    assert(pruned.nonEmpty && pruned.forall(f => wantBuckets.contains(f.bucket)),
+      "pruning must keep only the requested conversations' buckets")
+    assert(pruned.size < man.files.size, "pruning must actually skip files")
+
+    // the pruned keyed read serves exactly the full-read-filtered content
+    val got = ExtractionJob.readCommittedForConvs(spark, out, convs)
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = ExtractionJob.readCommitted(spark, out)
+      .where(col("conv_id").isin(convs: _*))
+      .select("conv_id", "turn_idx", "fields_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty, "keyed read must equal the filtered full read")
+    // the corrected content is what's served for the victim (deltas applied)
+    assert(got.exists { case (c, _, j) => c == victim && j.nonEmpty })
+
+    // an unknown conversation reads empty without error
+    assert(ExtractionJob.readCommittedForConvs(spark, out, Seq("no-such-conv")).count() == 0)
+  }
+
   test("commit retry: a run that loses a race re-plans against the winner's state and completes") {
     val ss = spark
     import ss.implicits._
@@ -620,16 +672,17 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
                      buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                      inputFps: Map[Int, Long], additive: Boolean,
                      convFpsDir: Option[String], deleteDirs: Seq[String],
-                     fpMode: Option[String]): Unit = {
+                     fpMode: Option[String], bucketCount: Option[Int]): Unit = {
         if (!injected) {
           injected = true
           val man = inner.readManifest(outDir).get
           inner.commitWave(outDir, s"$outDir/none", man.snapshotId + 1, man.buckets,
             man.files, Vector.empty, man.inputFps, additive = true,
-            convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode)
+            convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode,
+            bucketCount = man.bucketCount)
         }
         try inner.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
-          inputFps, additive, convFpsDir, deleteDirs, fpMode)
+          inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount)
         catch { case e: CommitConflictException => conflicts += 1; throw e }
       }
     }

@@ -67,5 +67,17 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.read.parquet(in2).as[graft.spark.Turn],
       graft.spark.ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true))
     assert(again.isEmpty)
+
+    // --get-conv keyed lookup: right rows, and it planned a file subset
+    val victimRows = turns.where(org.apache.spark.sql.functions.col("conv_id") === victim).count()
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      JobMain.main(Array(in2, out, "--get-conv=" + victim))
+    }
+    val line = outBuf.toString.linesIterator.find(_.startsWith("{\"keyed_convs\"")).get
+    assert(line.contains(s""""rows":$victimRows"""), line)
+    val planned = "\"planned_files\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    val total = "\"total_files\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    assert(planned >= 1 && planned < total, s"expected a strict file subset: $line")
   }
 }
