@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
   * modulus + per-file conv_id bounds) plans only the files that can hold
   * the requested conversations — the point-lookup path on a 10^12-turn
   * table. Prints row/file counts as JSON.
+  * --appends-since=N skips extraction and runs an incremental append scan
+  * of (N, latest]: the CDC path downstream consumers poll instead of
+  * re-scanning the table. Prints appended-row and changed-key counts.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -71,6 +74,23 @@ object JobMain {
       val planned = graft.spark.SnapshotManifestFormat.pruneFilesForConvs(man, ids)
       val rows = graft.spark.ExtractionJob.readCommittedForConvs(spark, outDir, ids).count()
       println(s"""{"keyed_convs":${ids.size},"rows":$rows,"planned_files":${planned.size},"total_files":${man.files.size},"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--appends-since=")).foreach { a =>
+      val from =
+        try a.stripPrefix("--appends-since=").toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--appends-since=N requires an integer, got: $a")
+        }
+      val to = graft.spark.ExtractionJob.latestSnapshot(outDir)
+        .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+      // a poller that is already caught up sees zero changes, not an error
+      val (rows, keys) =
+        if (from >= to) (0L, 0L)
+        else (graft.spark.ExtractionJob.readAppendsBetween(spark, outDir, from, to).count(),
+          graft.spark.ExtractionJob.readDeleteKeysBetween(spark, outDir, from, to).count())
+      println(s"""{"appends_from":$from,"appends_to":$to,"rows":$rows,"changed_keys":$keys,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }

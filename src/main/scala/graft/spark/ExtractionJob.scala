@@ -104,7 +104,14 @@ object ExtractionJob {
                             // recorded so keyed reads can compute a requested
                             // conversation's bucket without trusting a
                             // caller-supplied (possibly wrong) count
-                            bucketCount: Option[Int] = None)
+                            bucketCount: Option[Int] = None,
+                            // what the commit did (Iceberg snapshot-summary
+                            // operation analog): "append" (new buckets),
+                            // "delta" (conv-grained MOR delta), "replace"
+                            // (compaction / full-bucket recompute — rewrites
+                            // content, so incremental reads across it are
+                            // refused). None on legacy manifests.
+                            operation: Option[String] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -287,7 +294,10 @@ object ExtractionJob {
         fpMode =
           if (config.fingerprintInputs) Some("bucket")
           else priorMan.flatMap(_.fpMode),
-        bucketCount = Some(config.buckets))
+        bucketCount = Some(config.buckets),
+        // recomputing a previously committed bucket rewrites its content
+        // (non-additive promote) — incremental readers must refuse across it
+        operation = if (waveBuckets.exists(verified.contains)) "replace" else "append")
       acc ++= waveBuckets
 
       if (config.failAfterWave == waveIdx)
@@ -442,7 +452,8 @@ object ExtractionJob {
         committedFiles = committedFiles ++ files
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
           lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
-          deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets))
+          deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets),
+          operation = "delta")
         acc ++= dirty
         if (config.failAfterWave == waveCounter)
           throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
@@ -463,7 +474,8 @@ object ExtractionJob {
           fpsBase = fpsBase ++ waveBuckets.flatMap(b => currentFps.get(b).map(b -> _))
           format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
             lineage, fpsBase, additive = false, convFpsDir = Some(newConvFpsDir),
-            deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets))
+            deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets),
+            operation = "append") // never-committed buckets: pure append
           acc ++= waveBuckets
           if (config.failAfterWave == waveCounter)
             throw new RuntimeException(s"simulated kill after wave $waveIdx (snapshot $snapshotId committed)")
@@ -495,6 +507,16 @@ object ExtractionJob {
     * TableFormat.readCommittedForConvs). */
   def readCommittedForConvs(spark: SparkSession, outDir: String, convIds: Seq[String]): DataFrame =
     defaultFormat.readCommittedForConvs(spark, outDir, convIds)
+
+  /** Incremental append scan over (from, to] (see
+    * TableFormat.readAppendsBetween). */
+  def readAppendsBetween(spark: SparkSession, outDir: String, from: Int, to: Int): DataFrame =
+    defaultFormat.readAppendsBetween(spark, outDir, from, to)
+
+  /** Changed upsert keys over (from, to] (see
+    * TableFormat.readDeleteKeysBetween). */
+  def readDeleteKeysBetween(spark: SparkSession, outDir: String, from: Int, to: Int): DataFrame =
+    defaultFormat.readDeleteKeysBetween(spark, outDir, from, to)
 
   /** Merge-on-read compaction (see TableFormat.compact). */
   def compact(spark: SparkSession, outDir: String): Set[Int] =

@@ -585,6 +585,76 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, turns, ExtractionJob.Config(out, buckets = 2, waves = 1)) == Set.empty)
   }
 
+  test("incremental reads: appends + changed keys between snapshots replay to the exact table (CDC)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-cdc").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+
+    val ids = turns.select("conv_id").as[String].distinct().collect().sorted
+    val convA = ids.head
+    val convB = ids.last
+    val v1 = turns.map(t => if (t.conv_id == convA) t.copy(text = t.text + "\ncdc fix 1") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    val s1 = ExtractionJob.latestSnapshot(out).get
+    // second change of A AND removal of B in one upstream revision
+    val v2 = v1.map(t => if (t.conv_id == convA) t.copy(text = t.text + "\ncdc fix 2") else t)
+      .where(col("conv_id") =!= convB).as[graft.spark.Turn]
+    assert(ExtractionJob.run(spark, v2, cfg).nonEmpty)
+    val s2 = ExtractionJob.latestSnapshot(out).get
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, String)] =
+      df.select("conv_id", "turn_idx", "fields_json")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    def extracted(src: org.apache.spark.sql.Dataset[graft.spark.Turn], conv: String) =
+      rows(ExtractionJob.extract(spark,
+        src.where(col("conv_id") === conv).as[graft.spark.Turn]).toDF())
+
+    // (s0, s1]: exactly A's first-correction post-image
+    assert(rows(ExtractionJob.readAppendsBetween(spark, out, s0, s1)) == extracted(v1, convA))
+    // (s0, s2] spans BOTH corrections: only the latest post-image surfaces
+    // (the range's own max-seq deletes supersede its earlier delta)
+    assert(rows(ExtractionJob.readAppendsBetween(spark, out, s0, s2)) == extracted(v2, convA))
+    // (s1, s2]: the second correction only
+    assert(rows(ExtractionJob.readAppendsBetween(spark, out, s1, s2)) == extracted(v2, convA))
+
+    // changed keys over (s0, s2]: A (re-extracted) and B (removed)
+    val keys = ExtractionJob.readDeleteKeysBetween(spark, out, s0, s2)
+      .select("conv_id").as[String].collect().toSet
+    assert(keys == Set(convA, convB), s"changed keys $keys")
+
+    // THE CDC invariant: base snapshot minus changed keys plus appends ==
+    // the live table, byte-for-byte
+    val base = rows(ExtractionJob.readCommittedAsOf(spark, out, s0))
+    val replayed = base.filterNot { case (c, _, _) => keys.contains(c) } ++
+      rows(ExtractionJob.readAppendsBetween(spark, out, s0, s2))
+    assert(replayed == rows(ExtractionJob.readCommitted(spark, out)),
+      "CDC replay must reconstruct the live table exactly")
+
+    // a compaction is a replacing commit: incremental reads across it refuse
+    assert(ExtractionJob.compact(spark, out).nonEmpty)
+    val s3 = ExtractionJob.latestSnapshot(out).get
+    val replaced = intercept[IllegalStateException] {
+      ExtractionJob.readAppendsBetween(spark, out, s0, s3)
+    }
+    assert(replaced.getMessage.contains("replacing commit"), replaced.getMessage)
+    // expired history is reported distinctly
+    ExtractionJob.expireSnapshots(out, retainLast = 1)
+    val expired = intercept[IllegalStateException] {
+      ExtractionJob.readAppendsBetween(spark, out, s0, s1)
+    }
+    assert(expired.getMessage.contains("expired"), expired.getMessage)
+    // inverted/empty ranges are caller errors
+    intercept[IllegalArgumentException] {
+      ExtractionJob.readAppendsBetween(spark, out, s2, s2)
+    }
+  }
+
   test("keyed read skips files via recorded bucket modulus and conv_id footer bounds") {
     val ss = spark
     import ss.implicits._
@@ -668,11 +738,16 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         inner.readCommittedAsOf(s, outDir, k)
       def compact(s: org.apache.spark.sql.SparkSession, outDir: String) = inner.compact(s, outDir)
       def expireSnapshots(outDir: String, retainLast: Int) = inner.expireSnapshots(outDir, retainLast)
+      def readAppendsBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
+                             from: Int, to: Int) = inner.readAppendsBetween(s, outDir, from, to)
+      def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
+                                from: Int, to: Int) = inner.readDeleteKeysBetween(s, outDir, from, to)
       def commitWave(outDir: String, staging: String, snapshotId: Int,
                      buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                      inputFps: Map[Int, Long], additive: Boolean,
                      convFpsDir: Option[String], deleteDirs: Seq[String],
-                     fpMode: Option[String], bucketCount: Option[Int]): Unit = {
+                     fpMode: Option[String], bucketCount: Option[Int],
+                     operation: String): Unit = {
         if (!injected) {
           injected = true
           val man = inner.readManifest(outDir).get
@@ -682,7 +757,7 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
             bucketCount = man.bucketCount)
         }
         try inner.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
-          inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount)
+          inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount, operation)
         catch { case e: CommitConflictException => conflicts += 1; throw e }
       }
     }

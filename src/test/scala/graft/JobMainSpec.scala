@@ -79,5 +79,14 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planned = "\"planned_files\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
     val total = "\"total_files\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
     assert(planned >= 1 && planned < total, s"expected a strict file subset: $line")
+
+    // --appends-since: a caught-up poller reports zero changes without error
+    val latestSnap = graft.spark.ExtractionJob.latestSnapshot(out).get
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      JobMain.main(Array(in2, out, s"--appends-since=$latestSnap"))
+    }
+    val line2 = buf2.toString.linesIterator.find(_.startsWith("{\"appends_from\"")).get
+    assert(line2.contains("\"rows\":0") && line2.contains("\"changed_keys\":0"), line2)
   }
 }
