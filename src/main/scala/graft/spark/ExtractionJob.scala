@@ -111,7 +111,13 @@ object ExtractionJob {
                             // (compaction / full-bucket recompute — rewrites
                             // content, so incremental reads across it are
                             // refused). None on legacy manifests.
-                            operation: Option[String] = None)
+                            operation: Option[String] = None,
+                            // free-form commit properties (Iceberg snapshot
+                            // summary analog) — e.g. the streaming sink's
+                            // exactly-once markers stream.query/stream.batch_id.
+                            // Values must not contain '{' or '}' (flat-JSON
+                            // manifest encoding); commitWave enforces this.
+                            props: Map[String, String] = Map.empty)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -310,7 +316,7 @@ object ExtractionJob {
     * rows). Shared by the full-bucket waves and the conv-grained delta
     * stage (whose input is the changed-conversation subset).
     */
-  private def stageWave(spark: SparkSession, input: Dataset[TurnWithBucket], config: Config,
+  private[spark] def stageWave(spark: SparkSession, input: Dataset[TurnWithBucket], config: Config,
                         format: TableFormat, waveBuckets: Seq[Int], waveTag: String,
                         commitSeq: Int): (String, Vector[FileEntry], Vector[LineageRow]) = {
     import spark.implicits._

@@ -37,6 +37,125 @@ object StreamingExtraction {
     q.awaitTermination()
   }
 
+  /** Exactly-once streaming ingestion into the snapshot-manifest TABLE
+    * (Iceberg streaming-sink analog). Each micro-batch runs the same fused
+    * per-turn extraction, stages sorted per-bucket parquet, and commits one
+    * additive snapshot whose manifest records the sink's exactly-once
+    * markers (`stream.query`, `stream.batch_id`) in the commit props —
+    * Iceberg's streaming sink does precisely this with its snapshot
+    * summary. Structured Streaming's contract is that a micro-batch may be
+    * REPLAYED after a crash (commit succeeded, checkpoint write didn't);
+    * the replay is detected by comparing the incoming batch id against the
+    * highest committed one and skipped, so the table never double-appends —
+    * end-to-end exactly-once on top of an at-least-once replay.
+    *
+    * Appends assume an append-only source (new turns, new files); a
+    * correction feed should go through the batch job's conv-grained
+    * merge-on-read path instead, which writes equality deletes.
+    */
+  def runAvailableNowToTable(spark: SparkSession, inputDir: String, tableDir: String,
+                             checkpointDir: String, buckets: Int = 8,
+                             queryKey: String = "stream",
+                             format: TableFormat = SnapshotManifestFormat): Unit = {
+    val turns = spark.readStream
+      .schema(Encoders.product[Turn].schema)
+      .parquet(inputDir)
+      .as[Turn](Encoders.product[Turn])
+    val q = turns.writeStream
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        appendBatchToTable(spark, batch, batchId, tableDir, buckets, queryKey, format)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Highest micro-batch id this sink has committed to the table: walk the
+    * retained manifests newest-first until one carries this sink's
+    * `stream.query` marker (maintenance or batch commits in between don't
+    * carry it and are skipped). Driver-side and manifest-count bounded;
+    * stops at the expiry horizon — so `expireSnapshots` must retain at
+    * least the sink's most recent snapshot (any sane retention does).
+    */
+  def lastCommittedBatch(tableDir: String, queryKey: String, format: TableFormat): Option[Long] = {
+    var k = format.latestSnapshot(tableDir).getOrElse(-1)
+    while (k >= 0) {
+      format.readManifestAt(tableDir, k) match {
+        case Some(m) if m.props.get("stream.query").contains(queryKey) =>
+          return m.props.get("stream.batch_id").map(_.toLong)
+        case Some(_) => k -= 1
+        case None => return None // expired: older manifests are gone too
+      }
+    }
+    None
+  }
+
+  /** Idempotent micro-batch append (the foreachBatch body). Returns rows
+    * appended — 0 when the batch id was already committed (crash replay) or
+    * the batch is empty. Extraction + staging happen once; only the commit
+    * metadata is re-planned when an optimistic race is lost to a concurrent
+    * maintenance writer (compaction, expiry bookkeeping).
+    */
+  def appendBatchToTable(spark: SparkSession, batch: Dataset[Turn], batchId: Long,
+                         tableDir: String, buckets: Int, queryKey: String,
+                         format: TableFormat, commitRetries: Int = 2): Long = {
+    lastCommittedBatch(tableDir, queryKey, format) match {
+      case Some(maxId) if batchId <= maxId => return 0L // replayed batch: already in the table
+      case _ =>
+    }
+    val withBucket = batch
+      .withColumn("bucket", ExtractionJob.bucketOf(buckets))
+      .as[TurnWithBucket](Encoders.product[TurnWithBucket])
+    val cfg = ExtractionJob.Config(outDir = tableDir, buckets = buckets)
+    val provisionalSeq = format.latestSnapshot(tableDir).getOrElse(-1) + 1
+    val (staging, files0, lineage0) = ExtractionJob.stageWave(
+      spark, withBucket, cfg, format, 0 until buckets, s"stream-$queryKey-$batchId",
+      provisionalSeq)
+    if (files0.isEmpty) { // empty batch: nothing to commit, nothing to replay
+      deleteDir(staging)
+      return 0L
+    }
+    var attempt = 0
+    while (true) {
+      val man = format.readManifest(tableDir)
+      // seq stamps gate merge-on-read delete application (a delete hides
+      // only files with lower seq), so appended files must carry the REAL
+      // snapshot id — re-stamped here in case a racing commit moved it
+      val snapshotId = man.map(_.snapshotId).getOrElse(-1) + 1
+      val files = files0.map(_.copy(seq = snapshotId))
+      val lineage = lineage0.map(_.copy(snapshot_id = snapshotId))
+      try {
+        format.commitWave(tableDir, staging, snapshotId,
+          man.map(_.buckets).getOrElse(Set.empty) ++ files.map(_.bucket),
+          man.map(_.files).getOrElse(Vector.empty) ++ files, lineage,
+          inputFps = man.map(_.inputFps).getOrElse(Map.empty),
+          additive = true,
+          convFpsDir = man.flatMap(_.convFpsDir),
+          deleteDirs = man.map(_.deleteDirs).getOrElse(Vector.empty),
+          fpMode = man.flatMap(_.fpMode),
+          bucketCount = man.flatMap(_.bucketCount).orElse(Some(buckets)),
+          operation = "append",
+          props = Map("stream.query" -> queryKey, "stream.batch_id" -> batchId.toString))
+        return files.map(_.rowCount).sum
+      } catch {
+        case _: CommitConflictException if attempt < commitRetries => attempt += 1
+      }
+    }
+    0L // unreachable
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally s.close()
+    }
+  }
+
   /** Watermarked windowed aggregation over a turn stream: turns per
     * conversation per hour — the streaming-state shape (event-time window +
     * watermark) the engine needs for live transcript feeds.

@@ -52,7 +52,8 @@ trait TableFormat {
                  deleteDirs: Seq[String] = Seq.empty,
                  fpMode: Option[String] = None,
                  bucketCount: Option[Int] = None,
-                 operation: String = "append"): Unit
+                 operation: String = "append",
+                 props: Map[String, String] = Map.empty): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -185,6 +186,11 @@ object SnapshotManifestFormat extends TableFormat {
 
   private val fpModeRe = "\"fp_mode\"\\s*:\\s*\"([^\"]+)\"".r
 
+  // commit properties: a flat string->string object (no nesting — commitWave
+  // refuses braces inside values, so [^}]* is object-scoped and exact)
+  private val propsRe = "\"props\"\\s*:\\s*\\{([^}]*)\\}".r
+  private val propsPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
   /** Parse the latest committed manifest. Manifest format:
     * {"snapshot_id":K,"committed_buckets":[..],
     *  "files":[{"bucket":B,"path":"bucket=B/part-..","row_count":N},..],
@@ -215,7 +221,12 @@ object SnapshotManifestFormat extends TableFormat {
       hasDeleteDirsList = manifest.contains("\"delete_dirs\""),
       fpMode = fpModeRe.findFirstMatchIn(manifest).map(_.group(1)),
       bucketCount = bucketCountRe.findFirstMatchIn(manifest).map(_.group(1).toInt),
-      operation = operationRe.findFirstMatchIn(manifest).map(_.group(1))))
+      operation = operationRe.findFirstMatchIn(manifest).map(_.group(1)),
+      props = propsRe.findFirstMatchIn(manifest).map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) =>
+          propsPairRe.findAllMatchIn(body).map(p => junesc(p.group(1)) -> junesc(p.group(2))).toMap
+      }))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -333,7 +344,14 @@ object SnapshotManifestFormat extends TableFormat {
                           deleteDirs: Seq[String] = Seq.empty,
                           fpMode: Option[String] = None,
                           bucketCount: Option[Int] = None,
-                          operation: String = "append"): Unit = {
+                          operation: String = "append",
+                          props: Map[String, String] = Map.empty): Unit = {
+    // flat-JSON manifest encoding: a '{'/'}' inside a props value would
+    // break the object-scoped parse regex — refuse loudly at write time
+    props.foreach { case (k, v) =>
+      require(!k.exists(c => c == '{' || c == '}') && !v.exists(c => c == '{' || c == '}'),
+        s"manifest props must not contain braces: $k=$v")
+    }
     // Optimistic-concurrency precondition (Iceberg's commit re-check): the
     // commit was computed against snapshot `snapshotId - 1`; if `_latest`
     // has moved past that, another writer won the race — refuse BEFORE
@@ -396,9 +414,13 @@ object SnapshotManifestFormat extends TableFormat {
     val fpModeJson = fpMode.map(m => s""""fp_mode":"$m",""").getOrElse("")
     val bucketCountJson = bucketCount.map(n => s""""bucket_count":$n,""").getOrElse("")
     val operationJson = s""""operation":"$operation","""
+    val propsJson =
+      if (props.isEmpty) ""
+      else props.toSeq.sorted.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
+        .mkString(""""props":{""", ",", "},")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$operationJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$operationJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }

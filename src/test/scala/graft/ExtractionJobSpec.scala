@@ -747,7 +747,7 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
                      inputFps: Map[Int, Long], additive: Boolean,
                      convFpsDir: Option[String], deleteDirs: Seq[String],
                      fpMode: Option[String], bucketCount: Option[Int],
-                     operation: String): Unit = {
+                     operation: String, props: Map[String, String]): Unit = {
         if (!injected) {
           injected = true
           val man = inner.readManifest(outDir).get
