@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.JobMain <jar> <inputParquet> <outDir> \
   *     [buckets] [waves] [--fingerprint-inputs | --conv-grained] [--compact]
-  *     [--expire=N]
+  *     [--expire=N] [--remove-orphans=AGE_MS] [--stream-ingest=CKPT_DIR]
   *
   * --fingerprint-inputs enables change-detection resume: committed buckets
   * whose input content changed since their snapshot are recomputed (one
@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   * --appends-since=N skips extraction and runs an incremental append scan
   * of (N, latest]: the CDC path downstream consumers poll instead of
   * re-scanning the table. Prints appended-row and changed-key counts.
+  * --remove-orphans=AGE_MS sweeps files no manifest references and older
+  * than AGE_MS (remove_orphan_files analog): crashed staging dirs,
+  * promoted-but-uncommitted data files, lost-race delete dirs. The age
+  * threshold keeps the sweep clear of in-flight writers.
+  * --stream-ingest=CKPT_DIR replaces the batch run with the exactly-once
+  * streaming sink: <inputParquet> is tailed as a file stream and each
+  * micro-batch commits one additive snapshot; a crash-replayed batch is
+  * detected via the manifest's stream markers and skipped.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -44,6 +52,16 @@ object JobMain {
     val fingerprint = args.contains("--fingerprint-inputs")
     val convGrained = args.contains("--conv-grained")
     val doCompact = args.contains("--compact")
+    val orphanAge: Option[Long] =
+      args.find(_.startsWith("--remove-orphans=")).map { a =>
+        val ms =
+          try a.stripPrefix("--remove-orphans=").toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--remove-orphans=AGE_MS requires an integer, got: $a")
+          }
+        require(ms >= 0, s"--remove-orphans=AGE_MS must be >= 0, got $ms")
+        ms
+      }
     val expireRetain: Option[Int] =
       args.find(_.startsWith("--expire=")).map { a =>
         val n = // fail at PARSE time, not after the whole extraction ran
@@ -94,6 +112,17 @@ object JobMain {
       if (preexisting.isEmpty) spark.stop()
       return
     }
+    args.find(_.startsWith("--stream-ingest=")).foreach { a =>
+      val ckpt = a.stripPrefix("--stream-ingest=")
+      require(ckpt.nonEmpty, "--stream-ingest=CKPT_DIR requires a checkpoint directory")
+      graft.spark.StreamingExtraction.runAvailableNowToTable(
+        spark, input, outDir, ckpt, buckets = buckets)
+      val man = graft.spark.ExtractionJob.readManifest(outDir)
+      val rows = man.map(_.files.map(_.rowCount).sum).getOrElse(0L)
+      println(s"""{"stream_ingest":true,"snapshot":${man.map(_.snapshotId).getOrElse(-1)},"table_rows":$rows,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     val turns = spark.read.parquet(input).as[graft.spark.Turn]
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
@@ -104,7 +133,11 @@ object JobMain {
       case Some(n) => graft.spark.ExtractionJob.expireSnapshots(outDir, n)
       case None => (0, 0)
     }
-    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"out":"$outDir"}""")
+    val orphans = orphanAge match {
+      case Some(ms) => graft.spark.ExtractionJob.removeOrphanFiles(outDir, ms).total
+      case None => 0
+    }
+    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
 }

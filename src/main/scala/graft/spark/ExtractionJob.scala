@@ -535,6 +535,10 @@ object ExtractionJob {
   /** Snapshot expiry (see TableFormat.expireSnapshots). */
   def expireSnapshots(outDir: String, retainLast: Int): (Int, Int) =
     defaultFormat.expireSnapshots(outDir, retainLast)
+
+  /** Orphan-file cleanup (see TableFormat.removeOrphanFiles). */
+  def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep =
+    defaultFormat.removeOrphanFiles(outDir, olderThanMs)
 }
 
 final case class TurnWithBucket(

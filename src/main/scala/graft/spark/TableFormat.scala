@@ -116,6 +116,25 @@ trait TableFormat {
     * Time travel remains valid for retained snapshots only. Returns
     * (expired snapshot count, deleted data file count). */
   def expireSnapshots(outDir: String, retainLast: Int): (Int, Int)
+
+  /** Orphan-file cleanup (Iceberg remove_orphan_files): delete files under
+    * the table directory that NO on-disk manifest references and that are
+    * older than `olderThanMs` — crashed-run staging dirs, data files
+    * promoted by a commit that never landed its manifest, delete dirs
+    * written by a run that lost its optimistic commit race, unreferenced
+    * conv-fp sidecars. The age threshold is the concurrency guard: an
+    * in-flight writer's files are newer than any sane threshold, so the
+    * sweep never races a live commit (the same contract as Iceberg's
+    * `older_than`, default 3 days). Unlike expireSnapshots this retires
+    * nothing a manifest references — table reads and time travel are
+    * unaffected. */
+  def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep
+}
+
+/** What removeOrphanFiles deleted, by orphan class. */
+final case class OrphanSweep(stagingDirs: Int, dataFiles: Int,
+                             deleteDirs: Int, convFpDirs: Int) {
+  def total: Int = stagingDirs + dataFiles + deleteDirs + convFpDirs
 }
 
 /** The thin file-based snapshot-manifest protocol (no Iceberg jar ships in
@@ -784,5 +803,92 @@ object SnapshotManifestFormat extends TableFormat {
       }
     }
     (expired.size, deletedFiles)
+  }
+
+  /** Every manifest currently on disk (retained history), snapshot order. */
+  private def allManifests(outDir: String): Vector[Manifest] = {
+    val snapDir = Paths.get(outDir, "snapshots")
+    if (!Files.isDirectory(snapDir)) return Vector.empty
+    listDir(snapDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.matches("snap-\\d+\\.json"))
+        readManifestAt(outDir, n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      else None
+    }.sortBy(_.snapshotId)
+  }
+
+  /** Newest modification time anywhere in a file tree — a staging dir or
+    * delete dir is only "old" when its most recent write is. */
+  private def newestMtime(root: Path): Long = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.map(p => Files.getLastModifiedTime(p).toMillis).max
+    finally s.close()
+  }
+
+  override def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val mans = allManifests(outDir)
+    def oldEnough(p: Path): Boolean =
+      (if (Files.isDirectory(p)) newestMtime(p) else Files.getLastModifiedTime(p).toMillis) <= cutoff
+
+    // crashed-run staging dirs at the table root: a commit promotes and
+    // removes its staging synchronously, so an old one is always dead
+    var stagingDirs = 0
+    val root = Paths.get(outDir)
+    if (Files.isDirectory(root)) {
+      listDir(root).filter { p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("staging-") && oldEnough(p)
+      }.foreach { p => deleteRecursively(p); stagingDirs += 1 }
+    }
+
+    // data files no manifest references (promoted by a commit whose manifest
+    // write never landed, or left behind by a non-additive replay). A legacy
+    // manifest without a file list implicitly references everything in its
+    // buckets — references can't be proven, so the data sweep is skipped.
+    var dataFiles = 0
+    val dataDir = Paths.get(outDir, "data")
+    if (mans.forall(_.hasFilesList) && Files.isDirectory(dataDir)) {
+      val referenced: Set[String] = mans.flatMap(_.files.map(_.path)).toSet
+      listDir(dataDir).filter(_.getFileName.toString.startsWith("bucket=")).foreach { bd =>
+        val bucketName = bd.getFileName.toString
+        listDir(bd).foreach { f =>
+          // only files shaped like manifest-referencable data files: hidden
+          // bookkeeping (.crc sidecars, _SUCCESS) belongs to live parquet
+          // and is never manifest-listed — not orphaned data
+          val n = f.getFileName.toString
+          val dataShaped = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          val rel = s"$bucketName/${f.getFileName}"
+          if (dataShaped && !referenced.contains(rel) && !Files.isDirectory(f) && oldEnough(f)) {
+            Files.delete(f); dataFiles += 1
+          }
+        }
+      }
+    }
+
+    // delete dirs no manifest tracks — exactly the shape a run that lost its
+    // optimistic commit race leaves behind, and the one a later snapshot-id
+    // reuse could wrongly activate on a legacy read. A manifest without a
+    // tracked delete list implicitly references every snap-K dir ≤ its id,
+    // so its presence blocks this sweep.
+    var deleteDirs = 0
+    val delRoot = Paths.get(outDir, "deletes")
+    if (mans.forall(_.hasDeleteDirsList) && Files.isDirectory(delRoot)) {
+      val tracked: Set[String] = mans.flatMap(_.deleteDirs).toSet
+      listDir(delRoot).filter { d =>
+        !tracked.contains(d.getFileName.toString) && oldEnough(d)
+      }.foreach { d => deleteRecursively(d); deleteDirs += 1 }
+    }
+
+    // conv-fp sidecar dirs no manifest points at
+    var convFpDirs = 0
+    val fpRoot = Paths.get(outDir, "conv_fps")
+    if (Files.isDirectory(fpRoot)) {
+      val referencedFps: Set[String] = mans.flatMap(_.convFpsDir).toSet
+      listDir(fpRoot).filter { d =>
+        !referencedFps.contains(d.getFileName.toString) && oldEnough(d)
+      }.foreach { d => deleteRecursively(d); convFpDirs += 1 }
+    }
+
+    OrphanSweep(stagingDirs, dataFiles, deleteDirs, convFpDirs)
   }
 }

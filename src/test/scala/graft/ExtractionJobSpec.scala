@@ -738,6 +738,8 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         inner.readCommittedAsOf(s, outDir, k)
       def compact(s: org.apache.spark.sql.SparkSession, outDir: String) = inner.compact(s, outDir)
       def expireSnapshots(outDir: String, retainLast: Int) = inner.expireSnapshots(outDir, retainLast)
+      def removeOrphanFiles(outDir: String, olderThanMs: Long) =
+        inner.removeOrphanFiles(outDir, olderThanMs)
       def readAppendsBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
                              from: Int, to: Int) = inner.readAppendsBetween(s, outDir, from, to)
       def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
@@ -829,5 +831,64 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         deleteDirs = man.deleteDirs, fpMode = man.fpMode)
     }
     assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
+
+  test("orphan sweep removes crashed-run leftovers but nothing any manifest references") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-sweep").toString
+    val turns = Transcripts.generate(spark, 25)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set(0, 1, 2, 3))
+    // a conv-grained delta so a LIVE tracked delete dir exists
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nsweep edit") else t)
+    assert(ExtractionJob.run(spark, changed, cfg).nonEmpty)
+    val man = ExtractionJob.readManifest(out).get
+    assert(man.deleteDirs.nonEmpty, "setup needs a live tracked delete dir")
+    val baseline = ExtractionJob.readCommitted(spark, out)
+      .select("conv_id", "turn_idx", "fields_json").collect().map(_.toSeq).sortBy(_.toString)
+
+    // plant every orphan class: a crashed staging dir, an unreferenced data
+    // file, an untracked delete dir (lost-race shape), an unreferenced
+    // conv-fp sidecar dir
+    val staging = java.nio.file.Paths.get(out, "staging-crashed-run", "bucket=0")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("junk.parquet"), Array[Byte](1))
+    val orphanData = java.nio.file.Paths.get(out, "data", "bucket=0", "part-orphan.parquet")
+    Files.write(orphanData, Array[Byte](2))
+    val orphanDel = java.nio.file.Paths.get(out, "deletes", s"snap-${man.snapshotId + 7}")
+    Files.createDirectories(orphanDel)
+    Files.write(orphanDel.resolve("junk.parquet"), Array[Byte](3))
+    val orphanFp = java.nio.file.Paths.get(out, "conv_fps", "fp-orphan")
+    Files.createDirectories(orphanFp)
+    Files.write(orphanFp.resolve("junk.parquet"), Array[Byte](4))
+
+    // a conservative age threshold protects in-flight writers: nothing is
+    // young enough to sweep
+    val none = ExtractionJob.removeOrphanFiles(out, olderThanMs = 3600L * 1000)
+    assert(none.total == 0, s"young files must survive: $none")
+    assert(Files.exists(orphanData) && Files.isDirectory(orphanDel))
+
+    // at threshold 0 exactly the four planted orphans go
+    val swept = ExtractionJob.removeOrphanFiles(out, olderThanMs = 0)
+    assert(swept == graft.spark.OrphanSweep(1, 1, 1, 1), s"unexpected sweep: $swept")
+    assert(!Files.exists(staging.getParent) && !Files.exists(orphanData) &&
+      !Files.exists(orphanDel) && !Files.exists(orphanFp))
+
+    // referenced state is untouched: same bytes served, time travel intact,
+    // the tracked delete dir and live sidecar survive
+    assert(Files.isDirectory(java.nio.file.Paths.get(out, "deletes", man.deleteDirs.head)))
+    assert(man.convFpsDir.forall(d =>
+      Files.isDirectory(java.nio.file.Paths.get(out, "conv_fps", d))))
+    val after = ExtractionJob.readCommitted(spark, out)
+      .select("conv_id", "turn_idx", "fields_json").collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.length == baseline.length &&
+      after.zip(baseline).forall { case (x, y) => x == y })
+    ExtractionJob.readCommittedAsOf(spark, out, man.snapshotId - 1).count() // no integrity trip
+    // idempotent: a second sweep finds nothing
+    assert(ExtractionJob.removeOrphanFiles(out, olderThanMs = 0).total == 0)
   }
 }

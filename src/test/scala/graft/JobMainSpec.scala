@@ -88,5 +88,41 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val line2 = buf2.toString.linesIterator.find(_.startsWith("{\"appends_from\"")).get
     assert(line2.contains("\"rows\":0") && line2.contains("\"changed_keys\":0"), line2)
+
+    // --remove-orphans: a planted crashed staging dir is swept, and the
+    // maintenance summary reports it
+    val stale = java.nio.file.Paths.get(out, "staging-crashed", "bucket=0")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk.parquet"), Array[Byte](1))
+    val buf3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf3)) {
+      JobMain.main(Array(in2, out, "4", "2", "--conv-grained", "--remove-orphans=0"))
+    }
+    val line3 = buf3.toString.linesIterator.find(_.startsWith("{\"committed_buckets")).get
+    assert(line3.contains("\"orphans_removed\":1"), line3)
+    assert(!Files.exists(stale.getParent))
+  }
+
+  test("JobMain --stream-ingest tails the input and commits exactly-once snapshots") {
+    val base = Files.createTempDirectory("graft-jobmain-stream").toString
+    val in = s"$base/turns"
+    val out = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val turns = graft.spark.Transcripts.generate(spark, 12)
+    turns.write.mode("append").parquet(in)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt"))
+    }
+    val line = buf.toString.linesIterator.find(_.startsWith("{\"stream_ingest\"")).get
+    assert(line.contains(s""""table_rows":${turns.count()}"""), line)
+    assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
+    assert(graft.spark.ExtractionJob.readManifest(out).get
+      .props.get("stream.query").contains("stream"))
+
+    // a second invocation with no new input commits nothing new
+    JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt"))
+    assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
 }
