@@ -33,7 +33,10 @@ import org.apache.spark.sql.SparkSession
   * --stream-ingest=CKPT_DIR replaces the batch run with the exactly-once
   * streaming sink: <inputParquet> is tailed as a file stream and each
   * micro-batch commits one additive snapshot; a crash-replayed batch is
-  * detected via the manifest's stream markers and skipped.
+  * detected via the manifest's sticky stream marker and skipped. The
+  * maintenance flags (--compact, --expire, --remove-orphans) still apply
+  * after ingestion. On an existing table the recorded bucket modulus wins
+  * over the positional [buckets] argument.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -115,11 +118,24 @@ object JobMain {
     args.find(_.startsWith("--stream-ingest=")).foreach { a =>
       val ckpt = a.stripPrefix("--stream-ingest=")
       require(ckpt.nonEmpty, "--stream-ingest=CKPT_DIR requires a checkpoint directory")
-      graft.spark.StreamingExtraction.runAvailableNowToTable(
+      val rows = graft.spark.StreamingExtraction.runAvailableNowToTable(
         spark, input, outDir, ckpt, buckets = buckets)
-      val man = graft.spark.ExtractionJob.readManifest(outDir)
-      val rows = man.map(_.files.map(_.rowCount).sum).getOrElse(0L)
-      println(s"""{"stream_ingest":true,"snapshot":${man.map(_.snapshotId).getOrElse(-1)},"table_rows":$rows,"out":"$outDir"}""")
+      // the maintenance flags compose with streaming ingest the same way
+      // they do with a batch run — a scheduled ingest+retention invocation
+      // must not silently drop its retention half
+      val compacted =
+        if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
+      val (expired, gcFiles) = expireRetain match {
+        case Some(n) => graft.spark.ExtractionJob.expireSnapshots(outDir, n)
+        case None => (0, 0)
+      }
+      val orphans = orphanAge match {
+        case Some(ms) => graft.spark.ExtractionJob.removeOrphanFiles(outDir, ms).total
+        case None => 0
+      }
+      val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
+      println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,""" +
+        s""""compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }

@@ -41,62 +41,95 @@ object StreamingExtraction {
     * (Iceberg streaming-sink analog). Each micro-batch runs the same fused
     * per-turn extraction, stages sorted per-bucket parquet, and commits one
     * additive snapshot whose manifest records the sink's exactly-once
-    * markers (`stream.query`, `stream.batch_id`) in the commit props —
-    * Iceberg's streaming sink does precisely this with its snapshot
-    * summary. Structured Streaming's contract is that a micro-batch may be
-    * REPLAYED after a crash (commit succeeded, checkpoint write didn't);
-    * the replay is detected by comparing the incoming batch id against the
-    * highest committed one and skipped, so the table never double-appends —
-    * end-to-end exactly-once on top of an at-least-once replay.
+    * marker (`stream.<sink>` -> batch id) in the STICKY commit props —
+    * the Delta txn-map / Iceberg snapshot-summary pattern. Structured
+    * Streaming's contract is that a micro-batch may be REPLAYED after a
+    * crash (commit succeeded, checkpoint write didn't); the replay is
+    * detected by comparing the incoming batch id against the committed
+    * marker and skipped, so the table never double-appends — end-to-end
+    * exactly-once on top of an at-least-once replay. Because props are
+    * sticky and the latest manifest is always retained, the marker
+    * survives maintenance commits AND snapshot expiry.
+    *
+    * Sink identity is CHECKPOINT-SCOPED (a uuid persisted in the
+    * checkpoint dir), because batch ids only mean anything relative to one
+    * checkpoint's numbering: a recreated checkpoint renumbers from 0, and
+    * keying on a static name would then silently skip every new batch.
+    * With the scoped key a fresh checkpoint is a fresh sink — it reingests
+    * the source from scratch (duplicating what the old sink wrote, the
+    * standard Delta/Iceberg behavior) rather than losing data.
     *
     * Appends assume an append-only source (new turns, new files); a
     * correction feed should go through the batch job's conv-grained
     * merge-on-read path instead, which writes equality deletes.
+    *
+    * Returns total rows appended by this invocation (replayed/empty
+    * batches contribute 0).
     */
   def runAvailableNowToTable(spark: SparkSession, inputDir: String, tableDir: String,
                              checkpointDir: String, buckets: Int = 8,
                              queryKey: String = "stream",
-                             format: TableFormat = SnapshotManifestFormat): Unit = {
+                             format: TableFormat = SnapshotManifestFormat): Long = {
+    val sinkKey = s"$queryKey-${checkpointSinkId(checkpointDir)}"
+    val appended = new java.util.concurrent.atomic.LongAdder
     val turns = spark.readStream
       .schema(Encoders.product[Turn].schema)
       .parquet(inputDir)
       .as[Turn](Encoders.product[Turn])
     val q = turns.writeStream
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        appendBatchToTable(spark, batch, batchId, tableDir, buckets, queryKey, format)
+        appended.add(appendBatchToTable(spark, batch, batchId, tableDir, buckets, sinkKey, format))
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    appended.sum()
   }
 
-  /** Highest micro-batch id this sink has committed to the table: walk the
-    * retained manifests newest-first until one carries this sink's
-    * `stream.query` marker (maintenance or batch commits in between don't
-    * carry it and are skipped). Driver-side and manifest-count bounded;
-    * stops at the expiry horizon — so `expireSnapshots` must retain at
-    * least the sink's most recent snapshot (any sane retention does).
-    */
-  def lastCommittedBatch(tableDir: String, queryKey: String, format: TableFormat): Option[Long] = {
-    var k = format.latestSnapshot(tableDir).getOrElse(-1)
-    while (k >= 0) {
-      format.readManifestAt(tableDir, k) match {
-        case Some(m) if m.props.get("stream.query").contains(queryKey) =>
-          return m.props.get("stream.batch_id").map(_.toLong)
-        case Some(_) => k -= 1
-        case None => return None // expired: older manifests are gone too
+  /** The sink uuid bound to a checkpoint dir, created on first use. Batch
+    * ids are only comparable within one checkpoint's numbering, so the
+    * table marker must change identity exactly when the checkpoint does. */
+  private[graft] def checkpointSinkId(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "graft-sink-id")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        id
+      } catch { // another starter won the race: adopt its id
+        case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim
       }
     }
-    None
   }
+
+  /** Highest micro-batch id sink `queryKey` has committed to the table:
+    * the `stream.<queryKey>` marker in the latest manifest's sticky props.
+    * One driver-side manifest read; no history walk, so expiry cannot
+    * erase the marker (the latest manifest always survives retention). */
+  def lastCommittedBatch(tableDir: String, queryKey: String, format: TableFormat): Option[Long] =
+    format.readManifest(tableDir).flatMap(_.props.get(s"stream.$queryKey")).map(_.toLong)
 
   /** Idempotent micro-batch append (the foreachBatch body). Returns rows
     * appended — 0 when the batch id was already committed (crash replay) or
     * the batch is empty. Extraction + staging happen once; only the commit
     * metadata is re-planned when an optimistic race is lost to a concurrent
     * maintenance writer (compaction, expiry bookkeeping).
+    *
+    * The table's recorded bucket modulus always wins over the caller's
+    * `buckets`: mixing moduli in one table would break keyed-read pruning
+    * (files skipped that hold the requested conversation) and MOR delete
+    * application (deletes keyed on the wrong bucket never hide their rows).
     */
   def appendBatchToTable(spark: SparkSession, batch: Dataset[Turn], batchId: Long,
                          tableDir: String, buckets: Int, queryKey: String,
@@ -105,16 +138,19 @@ object StreamingExtraction {
       case Some(maxId) if batchId <= maxId => return 0L // replayed batch: already in the table
       case _ =>
     }
+    val man0 = format.readManifest(tableDir)
+    val effBuckets = man0.flatMap(_.bucketCount).getOrElse(buckets)
     val withBucket = batch
-      .withColumn("bucket", ExtractionJob.bucketOf(buckets))
+      .withColumn("bucket", ExtractionJob.bucketOf(effBuckets))
       .as[TurnWithBucket](Encoders.product[TurnWithBucket])
-    val cfg = ExtractionJob.Config(outDir = tableDir, buckets = buckets)
-    val provisionalSeq = format.latestSnapshot(tableDir).getOrElse(-1) + 1
+    val cfg = ExtractionJob.Config(outDir = tableDir, buckets = effBuckets)
+    val provisionalSeq = man0.map(_.snapshotId).getOrElse(-1) + 1
     val (staging, files0, lineage0) = ExtractionJob.stageWave(
-      spark, withBucket, cfg, format, 0 until buckets, s"stream-$queryKey-$batchId",
+      spark, withBucket, cfg, format, 0 until effBuckets, s"stream-$queryKey-$batchId",
       provisionalSeq)
     if (files0.isEmpty) { // empty batch: nothing to commit, nothing to replay
-      deleteDir(staging)
+      val root = java.nio.file.Paths.get(staging)
+      if (java.nio.file.Files.exists(root)) SnapshotManifestFormat.deleteRecursively(root)
       return 0L
     }
     var attempt = 0
@@ -135,25 +171,15 @@ object StreamingExtraction {
           convFpsDir = man.flatMap(_.convFpsDir),
           deleteDirs = man.map(_.deleteDirs).getOrElse(Vector.empty),
           fpMode = man.flatMap(_.fpMode),
-          bucketCount = man.flatMap(_.bucketCount).orElse(Some(buckets)),
+          bucketCount = man.flatMap(_.bucketCount).orElse(Some(effBuckets)),
           operation = "append",
-          props = Map("stream.query" -> queryKey, "stream.batch_id" -> batchId.toString))
+          props = Map(s"stream.$queryKey" -> batchId.toString))
         return files.map(_.rowCount).sum
       } catch {
         case _: CommitConflictException if attempt < commitRetries => attempt += 1
       }
     }
     0L // unreachable
-  }
-
-  private def deleteDir(dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root)) {
-      val s = java.nio.file.Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally s.close()
-    }
   }
 
   /** Watermarked windowed aggregation over a turn stream: turns per

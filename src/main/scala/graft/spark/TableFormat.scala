@@ -44,7 +44,12 @@ trait TableFormat {
     * wave's lineage rows and (optionally) input fingerprints. `additive`
     * promotes delta files INTO existing bucket dirs (merge-on-read commit)
     * instead of replacing them; `convFpsDir` records the conv-fingerprint
-    * sidecar that matches `inputFps`. */
+    * sidecar that matches `inputFps`. `props` are STICKY table properties
+    * (Iceberg table-properties / Delta txn-map analog): the new manifest
+    * carries the previous manifest's props with this commit's entries laid
+    * over them, so a marker (e.g. a streaming sink's last batch id)
+    * survives unrelated commits AND snapshot expiry — the latest manifest
+    * is always authoritative. */
   def commitWave(outDir: String, staging: String, snapshotId: Int,
                  buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                  inputFps: Map[Int, Long], additive: Boolean = false,
@@ -281,7 +286,7 @@ object SnapshotManifestFormat extends TableFormat {
   }
 
   /** Recursive delete, deepest-first, with the Files.walk stream closed. */
-  private def deleteRecursively(root: Path): Unit = {
+  private[spark] def deleteRecursively(root: Path): Unit = {
     val s = Files.walk(root)
     val paths = try s.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.toVector finally s.close()
@@ -384,6 +389,11 @@ object SnapshotManifestFormat extends TableFormat {
       throw new CommitConflictException(
         s"commit of snapshot $snapshotId computed against ${expectedBase.getOrElse("<none>")} " +
           s"but table is at ${current.getOrElse("<none>")} under $outDir — another writer committed first")
+    // sticky table properties: every commit carries the previous manifest's
+    // props forward with this commit's entries laid over them, so markers
+    // like a streaming sink's last batch id survive maintenance commits and
+    // snapshot expiry (only the LATEST manifest need exist to read them)
+    val effProps = readManifest(outDir).map(_.props).getOrElse(Map.empty) ++ props
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
@@ -434,8 +444,8 @@ object SnapshotManifestFormat extends TableFormat {
     val bucketCountJson = bucketCount.map(n => s""""bucket_count":$n,""").getOrElse("")
     val operationJson = s""""operation":"$operation","""
     val propsJson =
-      if (props.isEmpty) ""
-      else props.toSeq.sorted.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
+      if (effProps.isEmpty) ""
+      else effProps.toSeq.sorted.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
         .mkString(""""props":{""", ",", "},")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
@@ -733,13 +743,7 @@ object SnapshotManifestFormat extends TableFormat {
     // rewrite_data_files and expire_snapshots). A legacy manifest without a
     // tracked list implicitly references every snap-K dir ≤ its id, so its
     // presence blocks this GC entirely.
-    val snapDir = Paths.get(outDir, "snapshots")
-    val allMans = listDir(snapDir).flatMap { p =>
-      val n = p.getFileName.toString
-      if (n.matches("snap-\\d+\\.json"))
-        readManifestAt(outDir, n.stripPrefix("snap-").stripSuffix(".json").toInt)
-      else None
-    }
+    val allMans = allManifests(outDir)
     if (allMans.forall(_.hasDeleteDirsList)) {
       val stillReferenced = allMans.flatMap(_.deleteDirs).toSet
       delDirs.filterNot(d => stillReferenced.contains(d.getFileName.toString))
@@ -818,18 +822,38 @@ object SnapshotManifestFormat extends TableFormat {
   }
 
   /** Newest modification time anywhere in a file tree — a staging dir or
-    * delete dir is only "old" when its most recent write is. */
+    * delete dir is only "old" when its most recent write is. Entries that
+    * vanish between listing and stat (a concurrent writer renaming temp
+    * files) read as "written right now": a tree being actively mutated is
+    * never old. */
   private def newestMtime(root: Path): Long = {
-    val s = Files.walk(root)
-    try s.iterator().asScala.map(p => Files.getLastModifiedTime(p).toMillis).max
-    finally s.close()
+    val now = System.currentTimeMillis()
+    def mtime(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => now }
+    try {
+      val s = Files.walk(root)
+      try s.iterator().asScala.map(mtime).foldLeft(Long.MinValue)(_ max _)
+      finally s.close()
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => now }
   }
 
   override def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val mans = allManifests(outDir)
     def oldEnough(p: Path): Boolean =
-      (if (Files.isDirectory(p)) newestMtime(p) else Files.getLastModifiedTime(p).toMillis) <= cutoff
+      try {
+        (if (Files.isDirectory(p)) newestMtime(p)
+         else Files.getLastModifiedTime(p).toMillis) <= cutoff
+      } catch { // vanished mid-check: someone is writing here — not old
+        case _: java.io.IOException | _: java.io.UncheckedIOException => false
+      }
+    // a tree can vanish between the age check and the delete (the writer
+    // finished and promoted it) — deletion must tolerate that, not abort
+    // the sweep after a successful extraction
+    def deleteTreeQuietly(root: Path): Boolean =
+      try { deleteRecursively(root); true }
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => false }
 
     // crashed-run staging dirs at the table root: a commit promotes and
     // removes its staging synchronously, so an old one is always dead
@@ -838,7 +862,7 @@ object SnapshotManifestFormat extends TableFormat {
     if (Files.isDirectory(root)) {
       listDir(root).filter { p =>
         Files.isDirectory(p) && p.getFileName.toString.startsWith("staging-") && oldEnough(p)
-      }.foreach { p => deleteRecursively(p); stagingDirs += 1 }
+      }.foreach { p => if (deleteTreeQuietly(p)) stagingDirs += 1 }
     }
 
     // data files no manifest references (promoted by a commit whose manifest
@@ -859,7 +883,7 @@ object SnapshotManifestFormat extends TableFormat {
           val dataShaped = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
           val rel = s"$bucketName/${f.getFileName}"
           if (dataShaped && !referenced.contains(rel) && !Files.isDirectory(f) && oldEnough(f)) {
-            Files.delete(f); dataFiles += 1
+            if (Files.deleteIfExists(f)) dataFiles += 1
           }
         }
       }
@@ -876,7 +900,7 @@ object SnapshotManifestFormat extends TableFormat {
       val tracked: Set[String] = mans.flatMap(_.deleteDirs).toSet
       listDir(delRoot).filter { d =>
         !tracked.contains(d.getFileName.toString) && oldEnough(d)
-      }.foreach { d => deleteRecursively(d); deleteDirs += 1 }
+      }.foreach { d => if (deleteTreeQuietly(d)) deleteDirs += 1 }
     }
 
     // conv-fp sidecar dirs no manifest points at
@@ -886,7 +910,7 @@ object SnapshotManifestFormat extends TableFormat {
       val referencedFps: Set[String] = mans.flatMap(_.convFpsDir).toSet
       listDir(fpRoot).filter { d =>
         !referencedFps.contains(d.getFileName.toString) && oldEnough(d)
-      }.foreach { d => deleteRecursively(d); convFpDirs += 1 }
+      }.foreach { d => if (deleteTreeQuietly(d)) convFpDirs += 1 }
     }
 
     OrphanSweep(stagingDirs, dataFiles, deleteDirs, convFpDirs)

@@ -116,13 +116,23 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt"))
     }
     val line = buf.toString.linesIterator.find(_.startsWith("{\"stream_ingest\"")).get
-    assert(line.contains(s""""table_rows":${turns.count()}"""), line)
+    assert(line.contains(s""""rows_appended":${turns.count()}"""), line)
     assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
     assert(graft.spark.ExtractionJob.readManifest(out).get
-      .props.get("stream.query").contains("stream"))
+      .props.keys.exists(_.startsWith("stream.stream-")), "sink marker must be committed")
 
-    // a second invocation with no new input commits nothing new
-    JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt"))
+    // a second invocation with no new input commits nothing new; maintenance
+    // flags still run after streaming ingest (not silently dropped)
+    val stale = java.nio.file.Paths.get(out, "staging-crashed", "bucket=0")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk.parquet"), Array[Byte](1))
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt", "--remove-orphans=0"))
+    }
+    val line2 = buf2.toString.linesIterator.find(_.startsWith("{\"stream_ingest\"")).get
+    assert(line2.contains("\"rows_appended\":0") && line2.contains("\"orphans_removed\":1"), line2)
+    assert(!Files.exists(stale.getParent))
     assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
 }

@@ -7,10 +7,12 @@ import graft.spark.{SnapshotManifestFormat, StreamingExtraction, Transcripts}
 import java.nio.file.Files
 
 /** Exactly-once streaming ingestion into the snapshot-manifest table:
-  * micro-batches commit additive snapshots carrying `stream.query` /
-  * `stream.batch_id` markers; a replayed batch (crash between table commit
-  * and checkpoint write) is detected by marker comparison and skipped, so
-  * the table never double-appends.
+  * micro-batches commit additive snapshots carrying a sticky
+  * `stream.<sink>` -> batch-id marker; a replayed batch (crash between
+  * table commit and checkpoint write) is detected by marker comparison and
+  * skipped, so the table never double-appends. Sink identity is
+  * checkpoint-scoped, and sticky props make the marker survive maintenance
+  * commits and snapshot expiry.
   */
 class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -30,6 +32,10 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def expectedRows(ordinals: Range): Long =
     ordinals.map(o => Transcripts.convLength(o.toLong).toLong).sum
 
+  private def streamMarker(tableDir: String): (String, Long) =
+    fmt.readManifest(tableDir).get.props
+      .collectFirst { case (k, v) if k.startsWith("stream.") => (k, v.toLong) }.get
+
   test("AvailableNow stream commits snapshots with exactly-once markers; restart appends only new data") {
     val sp = spark
     import sp.implicits._
@@ -38,27 +44,41 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ckpt = Files.createTempDirectory("tsink-ckpt").toString
 
     Transcripts.generate(spark, 8).write.mode("append").parquet(in)
-    StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4)
-    val n1 = fmt.readCommitted(spark, table).count()
-    assert(n1 == expectedRows(0 until 8), s"first run rows $n1")
-    val man1 = fmt.readManifest(table).get
-    assert(man1.props.get("stream.query").contains("stream"))
-    val lastBatch1 = man1.props("stream.batch_id").toLong
+    val r1 = StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4)
+    assert(r1 == expectedRows(0 until 8), s"first run appended $r1")
+    assert(fmt.readCommitted(spark, table).count() == expectedRows(0 until 8))
+    val (key1, batch1) = streamMarker(table)
+    assert(key1 == s"stream.stream-${StreamingExtraction.checkpointSinkId(ckpt)}")
 
     // restart with more input: only the new files are extracted and appended
     sp.range(8, 14).flatMap(o => Transcripts.turnsFor(o))
       .write.mode("append").parquet(in)
-    StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4)
+    val r2 = StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4)
+    assert(r2 == expectedRows(8 until 14), s"second run appended $r2")
     val all = fmt.readCommitted(spark, table)
     assert(all.count() == expectedRows(0 until 14))
     assert(all.select("conv_id", "turn_idx").distinct().count() == expectedRows(0 until 14))
+    val (key2, batch2) = streamMarker(table)
+    assert(key2 == key1 && batch2 > batch1, s"same sink, advancing marker: $key2 $batch2")
     val man2 = fmt.readManifest(table).get
-    assert(man2.props("stream.batch_id").toLong > lastBatch1)
     assert(man2.operation.contains("append"))
 
     // a third run with no new input commits nothing (no empty snapshots)
-    StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4)
+    assert(StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt, buckets = 4) == 0L)
     assert(fmt.readManifest(table).get.snapshotId == man2.snapshotId)
+
+    // a RECREATED checkpoint is a NEW sink: batch numbering restarts at 0,
+    // but new data must still land (reprocessing duplicates the old sink's
+    // rows — the standard semantics — instead of silently dropping data)
+    val ckpt2 = Files.createTempDirectory("tsink-ckpt2").toString
+    sp.range(14, 16).flatMap(o => Transcripts.turnsFor(o))
+      .write.mode("append").parquet(in)
+    val r4 = StreamingExtraction.runAvailableNowToTable(spark, in, table, ckpt2, buckets = 4)
+    assert(r4 == expectedRows(0 until 16), s"fresh checkpoint reingests the source: $r4")
+    val served = fmt.readCommitted(spark, table)
+    import org.apache.spark.sql.functions.col
+    assert(served.where(col("conv_id") === "c00000015").count() > 0,
+      "data arriving after a checkpoint reset must not be lost")
   }
 
   test("replayed micro-batch is skipped: same batch id appended twice lands once") {
@@ -79,14 +99,21 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fmt.readManifest(table).get.snapshotId == snapAfterFirst)
     assert(fmt.readCommitted(spark, table).count() == expectedRows(0 until 5))
 
-    // the next batch id is accepted
+    // the next batch id is accepted; the caller's WRONG bucket count is
+    // overridden by the table's recorded modulus, so keyed reads stay exact
     val later = sp.range(5, 7).flatMap(o => Transcripts.turnsFor(o))
     val n3 = StreamingExtraction.appendBatchToTable(spark, later, batchId = 1L,
-      table, buckets = 4, queryKey = "q", fmt)
+      table, buckets = 16, queryKey = "q", fmt)
     assert(n3 == expectedRows(5 until 7))
+    assert(fmt.readManifest(table).get.bucketCount.contains(4),
+      "table modulus must win over the caller's buckets")
+    assert(fmt.readManifest(table).get.files.forall(_.bucket < 4))
+    val c5 = Transcripts.turnsFor(5).head.conv_id
+    assert(fmt.readCommittedForConvs(spark, table, Seq(c5)).count() ==
+      Transcripts.convLength(5).toLong, "keyed read must see stream-appended rows")
   }
 
-  test("replay detection sees past interleaved non-stream commits (maintenance between batch and replay)") {
+  test("marker survives interleaved maintenance commits and snapshot expiry (sticky props)") {
     val sp = spark
     import sp.implicits._
     val table = Files.createTempDirectory("tsink-mixed").toString
@@ -94,38 +121,55 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingExtraction.appendBatchToTable(spark, batch, batchId = 7L,
       table, buckets = 4, queryKey = "q", fmt)
 
-    // a maintenance-style commit without stream markers on top
+    // a maintenance-style commit WITHOUT stream props on top
     val man = fmt.readManifest(table).get
     fmt.commitWave(table, staging = table + "/no-staging", snapshotId = man.snapshotId + 1,
       buckets = man.buckets, files = man.files, lineage = Vector.empty,
       inputFps = man.inputFps, additive = true, convFpsDir = man.convFpsDir,
       deleteDirs = man.deleteDirs, fpMode = man.fpMode, bucketCount = man.bucketCount,
       operation = "replace")
+    assert(StreamingExtraction.lastCommittedBatch(table, "q", fmt).contains(7L),
+      "sticky props must carry the marker through a prop-less commit")
 
-    assert(StreamingExtraction.lastCommittedBatch(table, "q", fmt).contains(7L))
-    // replay of batch 7 is still skipped despite the interleaved commit
+    // expire history down to ONLY the maintenance snapshot: the marker must
+    // still be readable and the replay still skipped
+    fmt.expireSnapshots(table, retainLast = 1)
+    assert(StreamingExtraction.lastCommittedBatch(table, "q", fmt).contains(7L),
+      "marker must survive snapshot expiry")
     val n = StreamingExtraction.appendBatchToTable(spark, batch, batchId = 7L,
       table, buckets = 4, queryKey = "q", fmt)
-    assert(n == 0L)
+    assert(n == 0L, "replay after expiry must still be detected")
+
     // a different sink (query key) is independent: batch 0 of "other" lands
     val other = sp.range(4, 6).flatMap(o => Transcripts.turnsFor(o))
     assert(StreamingExtraction.lastCommittedBatch(table, "other", fmt).isEmpty)
     val nOther = StreamingExtraction.appendBatchToTable(spark, other, batchId = 0L,
       table, buckets = 4, queryKey = "other", fmt)
     assert(nOther == expectedRows(4 until 6))
+    // both sinks' markers coexist in the latest manifest
+    assert(StreamingExtraction.lastCommittedBatch(table, "q", fmt).contains(7L))
+    assert(StreamingExtraction.lastCommittedBatch(table, "other", fmt).contains(0L))
   }
 
-  test("manifest props round-trip through escaping; braces are refused at write time") {
+  test("manifest props round-trip through escaping, merge stickily; braces are refused at write time") {
     val table = Files.createTempDirectory("tsink-props").toString
-    val props = Map("stream.query" -> "a \"quoted\" name\twith\nescapes",
-      "stream.batch_id" -> "42", "k\\slash" -> "v\\end")
+    val props = Map("stream.a \"quoted\" name\twith\nescapes" -> "7",
+      "stream.plain" -> "42", "k\\slash" -> "v\\end")
     fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 0,
       buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
       inputFps = Map.empty, additive = true, props = props)
     assert(fmt.readManifest(table).get.props == props)
 
+    // sticky merge: a later commit's props lay OVER the carried-forward ones
+    fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 1,
+      buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
+      inputFps = Map.empty, additive = true,
+      props = Map("stream.plain" -> "43", "new.key" -> "x"))
+    assert(fmt.readManifest(table).get.props ==
+      props + ("stream.plain" -> "43") + ("new.key" -> "x"))
+
     val ex = intercept[IllegalArgumentException] {
-      fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 1,
+      fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 2,
         buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
         inputFps = Map.empty, additive = true, props = Map("k" -> "{bad}"))
     }
