@@ -37,6 +37,9 @@ import org.apache.spark.sql.SparkSession
   * maintenance flags (--compact, --expire, --remove-orphans) still apply
   * after ingestion. On an existing table the recorded bucket modulus wins
   * over the positional [buckets] argument.
+  * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
+  * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
+  * the key — the removal path for a decommissioned sink's marker.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -75,6 +78,13 @@ object JobMain {
         require(n >= 1, s"--expire=N must retain at least 1 snapshot, got $n")
         n
       }
+    val setProps: Map[String, String] =
+      args.filter(_.startsWith("--set-prop=")).map { a =>
+        val kv = a.stripPrefix("--set-prop=")
+        val eq = kv.indexOf('=')
+        require(eq > 0, s"--set-prop expects KEY=VALUE (empty VALUE retires the key), got: $a")
+        kv.substring(0, eq) -> kv.substring(eq + 1)
+      }.toMap
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -123,19 +133,9 @@ object JobMain {
       // the maintenance flags compose with streaming ingest the same way
       // they do with a batch run — a scheduled ingest+retention invocation
       // must not silently drop its retention half
-      val compacted =
-        if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
-      val (expired, gcFiles) = expireRetain match {
-        case Some(n) => graft.spark.ExtractionJob.expireSnapshots(outDir, n)
-        case None => (0, 0)
-      }
-      val orphans = orphanAge match {
-        case Some(ms) => graft.spark.ExtractionJob.removeOrphanFiles(outDir, ms).total
-        case None => 0
-      }
+      val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
-      println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,""" +
-        s""""compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,"out":"$outDir"}""")
+      println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }
@@ -143,6 +143,17 @@ object JobMain {
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
         fingerprintInputs = fingerprint, convGrained = convGrained))
+    val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps)
+    println(s"""{"committed_buckets_this_run":${done.size},$maint"out":"$outDir"}""")
+    if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
+  }
+
+  /** The post-run maintenance half shared by the batch and streaming paths:
+    * compaction, snapshot expiry, orphan sweep, props commit. Returns the
+    * JSON fragment (trailing comma included) both paths print. */
+  private def runMaintenance(spark: SparkSession, outDir: String, doCompact: Boolean,
+                             expireRetain: Option[Int], orphanAge: Option[Long],
+                             setProps: Map[String, String]): String = {
     val compacted =
       if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
     val (expired, gcFiles) = expireRetain match {
@@ -153,7 +164,8 @@ object JobMain {
       case Some(ms) => graft.spark.ExtractionJob.removeOrphanFiles(outDir, ms).total
       case None => 0
     }
-    println(s"""{"committed_buckets_this_run":${done.size},"compacted_buckets":${compacted.size},"expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,"out":"$outDir"}""")
-    if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
+    if (setProps.nonEmpty) graft.spark.SnapshotManifestFormat.setTableProps(outDir, setProps)
+    s""""compacted_buckets":${compacted.size},"expired_snapshots":$expired,""" +
+      s""""gc_files":$gcFiles,"orphans_removed":$orphans,"props_set":${setProps.size},"""
   }
 }

@@ -112,11 +112,15 @@ object ExtractionJob {
                             // content, so incremental reads across it are
                             // refused). None on legacy manifests.
                             operation: Option[String] = None,
-                            // free-form commit properties (Iceberg snapshot
-                            // summary analog) — e.g. the streaming sink's
-                            // exactly-once markers stream.query/stream.batch_id.
-                            // Values must not contain '{' or '}' (flat-JSON
-                            // manifest encoding); commitWave enforces this.
+                            // STICKY table properties (Iceberg
+                            // table-properties / Delta txn-map analog):
+                            // commitWave carries the previous manifest's
+                            // props forward with the commit's entries laid
+                            // over them, and an empty value retires a key —
+                            // e.g. the streaming sink's exactly-once marker
+                            // stream.<sink> -> last batch id. Values must
+                            // not contain '{' or '}' (flat-JSON manifest
+                            // encoding); commitWave enforces this.
                             props: Map[String, String] = Map.empty)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a

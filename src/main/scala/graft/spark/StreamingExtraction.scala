@@ -70,6 +70,20 @@ object StreamingExtraction {
                              checkpointDir: String, buckets: Int = 8,
                              queryKey: String = "stream",
                              format: TableFormat = SnapshotManifestFormat): Long = {
+    // Legacy (pre-sticky-props) markers are batch ids in THIS checkpoint's
+    // numbering only if the checkpoint predates the sink-id file — a
+    // checkpoint with streaming progress but no sink id. The determination
+    // is persisted so a crash between upgrade and first commit cannot
+    // flip it (a flip would un-detect a straddling replay).
+    val legacyFlag = java.nio.file.Paths.get(checkpointDir, "graft-sink-legacy")
+    val preUpgrade =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(checkpointDir, "graft-sink-id")) &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(checkpointDir, "offsets"))
+    if (preUpgrade && !java.nio.file.Files.exists(legacyFlag)) {
+      java.nio.file.Files.createDirectories(legacyFlag.getParent)
+      java.nio.file.Files.write(legacyFlag, Array.emptyByteArray)
+    }
+    val legacyKey = if (java.nio.file.Files.exists(legacyFlag)) Some(queryKey) else None
     val sinkKey = s"$queryKey-${checkpointSinkId(checkpointDir)}"
     val appended = new java.util.concurrent.atomic.LongAdder
     val turns = spark.readStream
@@ -78,7 +92,8 @@ object StreamingExtraction {
       .as[Turn](Encoders.product[Turn])
     val q = turns.writeStream
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        appended.add(appendBatchToTable(spark, batch, batchId, tableDir, buckets, sinkKey, format))
+        appended.add(appendBatchToTable(spark, batch, batchId, tableDir, buckets, sinkKey,
+          format, legacyKey = legacyKey))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -93,22 +108,28 @@ object StreamingExtraction {
     * table marker must change identity exactly when the checkpoint does. */
   private[graft] def checkpointSinkId(checkpointDir: String): String = {
     val p = java.nio.file.Paths.get(checkpointDir, "graft-sink-id")
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+    def readId() = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    if (java.nio.file.Files.exists(p)) readId()
     else {
       val id = java.util.UUID.randomUUID().toString
       java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      // the temp name must be PER-ATTEMPT unique: with a shared name, a
+      // racing starter can overwrite this one's half-published id and the
+      // file would then disagree with the id this call returns
+      val tmp = p.resolveSibling(s"${p.getFileName}.$id.tmp")
       java.nio.file.Files.write(tmp, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try {
-        java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // plain move still fails if the target exists — good enough
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp, p)
+        }
         id
       } catch { // another starter won the race: adopt its id
-        case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+        case e: java.nio.file.FileSystemException =>
           java.nio.file.Files.deleteIfExists(tmp)
-          new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (java.nio.file.Files.exists(p)) readId() else throw e
       }
     }
   }
@@ -118,50 +139,108 @@ object StreamingExtraction {
     * One driver-side manifest read; no history walk, so expiry cannot
     * erase the marker (the latest manifest always survives retention). */
   def lastCommittedBatch(tableDir: String, queryKey: String, format: TableFormat): Option[Long] =
-    format.readManifest(tableDir).flatMap(_.props.get(s"stream.$queryKey")).map(_.toLong)
+    markerOf(format.readManifest(tableDir), queryKey)
+
+  private def markerOf(man: Option[ExtractionJob.Manifest], queryKey: String): Option[Long] =
+    man.flatMap(_.props.get(s"stream.$queryKey")).map(_.toLong)
+
+  /** Pre-sticky-props tables recorded the marker as two keys
+    * (`stream.query` + `stream.batch_id`) on the sink's own snapshots only,
+    * so finding it needs the old newest-first history walk. Consulted once
+    * per append, only until the first sticky commit retires the legacy keys
+    * — without this fallback an upgrade straddling a crash replay would
+    * double-append the replayed batch. */
+  private def legacyCommittedBatch(tableDir: String, legacyKey: String,
+                                   format: TableFormat): Option[Long] = {
+    var k = format.latestSnapshot(tableDir).getOrElse(-1)
+    while (k >= 0) {
+      format.readManifestAt(tableDir, k) match {
+        case Some(m) if m.props.get("stream.query").contains(legacyKey) =>
+          return m.props.get("stream.batch_id").map(_.toLong)
+        case Some(_) => k -= 1
+        case None => return None // expired: older manifests are gone too
+      }
+    }
+    None
+  }
 
   /** Idempotent micro-batch append (the foreachBatch body). Returns rows
     * appended — 0 when the batch id was already committed (crash replay) or
     * the batch is empty. Extraction + staging happen once; only the commit
     * metadata is re-planned when an optimistic race is lost to a concurrent
-    * maintenance writer (compaction, expiry bookkeeping).
+    * maintenance writer (compaction, expiry bookkeeping). Two exceptions
+    * re-do work: a racing FIRST commit that fixed a different bucket
+    * modulus forces a re-stage under the winner's modulus (mixed moduli in
+    * one table would break keyed-read pruning and MOR delete application),
+    * and a racing commit that advanced this sink's own marker past
+    * `batchId` (a zombie driver on the same checkpoint) turns the append
+    * into a no-op instead of a double-append.
     *
-    * The table's recorded bucket modulus always wins over the caller's
-    * `buckets`: mixing moduli in one table would break keyed-read pruning
-    * (files skipped that hold the requested conversation) and MOR delete
-    * application (deletes keyed on the wrong bucket never hide their rows).
+    * `legacyKey` is the pre-sticky-props sink name; when the scoped marker
+    * is absent the legacy marker is consulted for replay detection and the
+    * legacy keys are retired (tombstoned) by this sink's first commit.
     */
   def appendBatchToTable(spark: SparkSession, batch: Dataset[Turn], batchId: Long,
                          tableDir: String, buckets: Int, queryKey: String,
-                         format: TableFormat, commitRetries: Int = 2): Long = {
-    lastCommittedBatch(tableDir, queryKey, format) match {
+                         format: TableFormat, commitRetries: Int = 2,
+                         legacyKey: Option[String] = None): Long = {
+    val man0 = format.readManifest(tableDir)
+    def committedMarker(man: Option[ExtractionJob.Manifest]): Option[Long] =
+      markerOf(man, queryKey).orElse(
+        legacyKey.filter(_ => man.nonEmpty)
+          .flatMap(lk => legacyCommittedBatch(tableDir, lk, format)))
+    committedMarker(man0) match {
       case Some(maxId) if batchId <= maxId => return 0L // replayed batch: already in the table
       case _ =>
     }
-    val man0 = format.readManifest(tableDir)
-    val effBuckets = man0.flatMap(_.bucketCount).getOrElse(buckets)
-    val withBucket = batch
-      .withColumn("bucket", ExtractionJob.bucketOf(effBuckets))
-      .as[TurnWithBucket](Encoders.product[TurnWithBucket])
-    val cfg = ExtractionJob.Config(outDir = tableDir, buckets = effBuckets)
-    val provisionalSeq = man0.map(_.snapshotId).getOrElse(-1) + 1
-    val (staging, files0, lineage0) = ExtractionJob.stageWave(
-      spark, withBucket, cfg, format, 0 until effBuckets, s"stream-$queryKey-$batchId",
-      provisionalSeq)
-    if (files0.isEmpty) { // empty batch: nothing to commit, nothing to replay
-      val root = java.nio.file.Paths.get(staging)
+    def stageFor(eb: Int, provisionalSeq: Int) = {
+      val withBucket = batch
+        .withColumn("bucket", ExtractionJob.bucketOf(eb))
+        .as[TurnWithBucket](Encoders.product[TurnWithBucket])
+      val cfg = ExtractionJob.Config(outDir = tableDir, buckets = eb)
+      ExtractionJob.stageWave(spark, withBucket, cfg, format, 0 until eb,
+        s"stream-$queryKey-$batchId", provisionalSeq)
+    }
+    def dropStaging(dir: String): Unit = {
+      val root = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(root)) SnapshotManifestFormat.deleteRecursively(root)
+    }
+    var effBuckets = man0.flatMap(_.bucketCount).getOrElse(buckets)
+    var (staging, files0, lineage0) = stageFor(effBuckets, man0.map(_.snapshotId).getOrElse(-1) + 1)
+    if (files0.isEmpty) { // empty batch: nothing to commit, nothing to replay
+      dropStaging(staging)
       return 0L
     }
     var attempt = 0
     while (true) {
-      val man = format.readManifest(tableDir)
+      val man = if (attempt == 0) man0 else format.readManifest(tableDir)
+      // a zombie driver on the same checkpoint may have raced this batch in
+      if (attempt > 0 && committedMarker(man).exists(batchId <= _)) {
+        dropStaging(staging)
+        return 0L
+      }
+      // a racing first commit may have fixed a DIFFERENT modulus: the staged
+      // files are bucketed wrong for this table now — re-stage, don't mix
+      val recorded = man.flatMap(_.bucketCount)
+      if (recorded.exists(_ != effBuckets)) {
+        dropStaging(staging)
+        effBuckets = recorded.get
+        val re = stageFor(effBuckets, man.map(_.snapshotId).getOrElse(-1) + 1)
+        staging = re._1; files0 = re._2; lineage0 = re._3
+      }
       // seq stamps gate merge-on-read delete application (a delete hides
       // only files with lower seq), so appended files must carry the REAL
       // snapshot id — re-stamped here in case a racing commit moved it
       val snapshotId = man.map(_.snapshotId).getOrElse(-1) + 1
       val files = files0.map(_.copy(seq = snapshotId))
       val lineage = lineage0.map(_.copy(snapshot_id = snapshotId))
+      // retire legacy two-key markers once the scoped marker takes over
+      // (empty value = sticky-prop tombstone)
+      val retire: Map[String, String] =
+        if (man.exists(_.props.contains("stream.query")) &&
+            legacyKey.exists(lk => man.exists(_.props.get("stream.query").contains(lk))))
+          Map("stream.query" -> "", "stream.batch_id" -> "")
+        else Map.empty
       try {
         format.commitWave(tableDir, staging, snapshotId,
           man.map(_.buckets).getOrElse(Set.empty) ++ files.map(_.bucket),
@@ -171,9 +250,9 @@ object StreamingExtraction {
           convFpsDir = man.flatMap(_.convFpsDir),
           deleteDirs = man.map(_.deleteDirs).getOrElse(Vector.empty),
           fpMode = man.flatMap(_.fpMode),
-          bucketCount = man.flatMap(_.bucketCount).orElse(Some(effBuckets)),
+          bucketCount = Some(effBuckets),
           operation = "append",
-          props = Map(s"stream.$queryKey" -> batchId.toString))
+          props = retire + (s"stream.$queryKey" -> batchId.toString))
         return files.map(_.rowCount).sum
       } catch {
         case _: CommitConflictException if attempt < commitRetries => attempt += 1

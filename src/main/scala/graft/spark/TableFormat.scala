@@ -49,7 +49,9 @@ trait TableFormat {
     * carries the previous manifest's props with this commit's entries laid
     * over them, so a marker (e.g. a streaming sink's last batch id)
     * survives unrelated commits AND snapshot expiry — the latest manifest
-    * is always authoritative. */
+    * is always authoritative. Committing a key with an EMPTY value retires
+    * it (tombstone), which is how a decommissioned sink's marker is removed
+    * so props cannot grow without bound. */
   def commitWave(outDir: String, staging: String, snapshotId: Int,
                  buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                  inputFps: Map[Int, Long], additive: Boolean = false,
@@ -134,6 +136,33 @@ trait TableFormat {
     * nothing a manifest references — table reads and time travel are
     * unaffected. */
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep
+
+  /** Props-only maintenance commit (`ALTER TABLE SET/UNSET TBLPROPERTIES`
+    * analog): lays `props` over the sticky table properties without
+    * touching data — an empty value retires a key, the operator's removal
+    * path for dead markers (e.g. a decommissioned streaming sink). Retries
+    * lost optimistic races against the fresh state. Returns the committed
+    * snapshot id. */
+  def setTableProps(outDir: String, props: Map[String, String], retries: Int = 2): Int = {
+    var attempt = 0
+    while (true) {
+      val man = readManifest(outDir).getOrElse(throw new IllegalStateException(
+        s"no committed snapshot under $outDir — props live on manifests"))
+      try {
+        commitWave(outDir, staging = outDir + "/no-staging", man.snapshotId + 1,
+          man.buckets, man.files, lineage = Seq.empty, inputFps = man.inputFps,
+          additive = true, convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs,
+          fpMode = man.fpMode, bucketCount = man.bucketCount,
+          operation = "props", props = props)
+        return man.snapshotId + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= retries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
 }
 
 /** What removeOrphanFiles deleted, by orphan class. */
@@ -392,8 +421,11 @@ object SnapshotManifestFormat extends TableFormat {
     // sticky table properties: every commit carries the previous manifest's
     // props forward with this commit's entries laid over them, so markers
     // like a streaming sink's last batch id survive maintenance commits and
-    // snapshot expiry (only the LATEST manifest need exist to read them)
-    val effProps = readManifest(outDir).map(_.props).getOrElse(Map.empty) ++ props
+    // snapshot expiry (only the LATEST manifest need exist to read them).
+    // An EMPTY value is a tombstone — it retires the key, the only way a
+    // sticky key ever leaves the table (Delta's txn-retention analog).
+    val effProps = (readManifest(outDir).map(_.props).getOrElse(Map.empty) ++ props)
+      .filter(_._2.nonEmpty)
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)

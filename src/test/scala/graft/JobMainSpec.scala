@@ -128,10 +128,14 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.write(stale.resolve("junk.parquet"), Array[Byte](1))
     val buf2 = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf2)) {
-      JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt", "--remove-orphans=0"))
+      JobMain.main(Array(in, out, "4", "2", s"--stream-ingest=$ckpt", "--remove-orphans=0",
+        "--set-prop=owner=pipeline-team"))
     }
     val line2 = buf2.toString.linesIterator.find(_.startsWith("{\"stream_ingest\"")).get
     assert(line2.contains("\"rows_appended\":0") && line2.contains("\"orphans_removed\":1"), line2)
+    assert(line2.contains("\"props_set\":1"), line2)
+    assert(graft.spark.ExtractionJob.readManifest(out).get.props.get("owner")
+      .contains("pipeline-team"), "--set-prop must land on the manifest")
     assert(!Files.exists(stale.getParent))
     assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }

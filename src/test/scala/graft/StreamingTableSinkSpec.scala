@@ -175,4 +175,127 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("braces"))
   }
+
+  /** Delegating format that runs `inject` once just before the first commit
+    * attempt — the standard way these specs simulate a racing writer. */
+  private class InjectingFormat(inject: String => Unit) extends graft.spark.TableFormat {
+    import graft.spark.ExtractionJob.{FileEntry, LineageRow}
+    private var injected = false
+    def latestSnapshot(outDir: String) = fmt.latestSnapshot(outDir)
+    def readManifest(outDir: String) = fmt.readManifest(outDir)
+    def committedBuckets(outDir: String) = fmt.committedBuckets(outDir)
+    def listStagedFiles(s: org.apache.spark.sql.SparkSession, staging: String) =
+      fmt.listStagedFiles(s, staging)
+    def readCommitted(s: org.apache.spark.sql.SparkSession, outDir: String) =
+      fmt.readCommitted(s, outDir)
+    def readManifestAt(outDir: String, k: Int) = fmt.readManifestAt(outDir, k)
+    def readCommittedAsOf(s: org.apache.spark.sql.SparkSession, outDir: String, k: Int) =
+      fmt.readCommittedAsOf(s, outDir, k)
+    def compact(s: org.apache.spark.sql.SparkSession, outDir: String) = fmt.compact(s, outDir)
+    def expireSnapshots(outDir: String, retainLast: Int) = fmt.expireSnapshots(outDir, retainLast)
+    def removeOrphanFiles(outDir: String, olderThanMs: Long) =
+      fmt.removeOrphanFiles(outDir, olderThanMs)
+    def readAppendsBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
+                           from: Int, to: Int) = fmt.readAppendsBetween(s, outDir, from, to)
+    def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
+                              from: Int, to: Int) = fmt.readDeleteKeysBetween(s, outDir, from, to)
+    def commitWave(outDir: String, staging: String, snapshotId: Int,
+                   buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
+                   inputFps: Map[Int, Long], additive: Boolean,
+                   convFpsDir: Option[String], deleteDirs: Seq[String],
+                   fpMode: Option[String], bucketCount: Option[Int],
+                   operation: String, props: Map[String, String]): Unit = {
+      if (!injected) { injected = true; inject(outDir) }
+      fmt.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
+        inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount, operation, props)
+    }
+  }
+
+  test("a racing first commit that fixed a different modulus forces a re-stage, not mixed buckets") {
+    val sp = spark
+    import sp.implicits._
+    val table = Files.createTempDirectory("tsink-modrace").toString
+    // the competing writer lands the FIRST commit, fixing modulus 2 — the
+    // sink staged under modulus 4 and must re-bucket, not mix moduli
+    val racing = new InjectingFormat(out =>
+      fmt.commitWave(out, staging = out + "/none", snapshotId = 0,
+        buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
+        inputFps = Map.empty, additive = true, bucketCount = Some(2)))
+    val batch = sp.range(0, 6).flatMap(o => Transcripts.turnsFor(o))
+    val n = StreamingExtraction.appendBatchToTable(spark, batch, batchId = 0L,
+      table, buckets = 4, queryKey = "q", racing)
+    assert(n == expectedRows(0 until 6))
+    val man = fmt.readManifest(table).get
+    assert(man.bucketCount.contains(2), "winner's modulus must be adopted")
+    assert(man.files.nonEmpty && man.files.forall(_.bucket < 2),
+      "staged files must be re-bucketed under the winner's modulus")
+    // keyed-read pruning stays exact under the adopted modulus
+    val c3 = Transcripts.turnsFor(3).head.conv_id
+    assert(fmt.readCommittedForConvs(spark, table, Seq(c3)).count() ==
+      Transcripts.convLength(3).toLong)
+    assert(fmt.readCommitted(spark, table).count() == expectedRows(0 until 6))
+  }
+
+  test("a zombie driver's racing commit of the same batch id turns the append into a no-op") {
+    val sp = spark
+    import sp.implicits._
+    val table = Files.createTempDirectory("tsink-zombie").toString
+    val b0 = sp.range(0, 3).flatMap(o => Transcripts.turnsFor(o))
+    StreamingExtraction.appendBatchToTable(spark, b0, batchId = 0L,
+      table, buckets = 4, queryKey = "q", fmt)
+    val rowsAfter0 = fmt.readCommitted(spark, table).count()
+    // the zombie (same checkpoint, older driver) commits batch 1's marker
+    // between this driver's staging and its commit
+    val racing = new InjectingFormat(out => { fmt.setTableProps(out, Map("stream.q" -> "1")); () })
+    val b1 = sp.range(3, 5).flatMap(o => Transcripts.turnsFor(o))
+    val n = StreamingExtraction.appendBatchToTable(spark, b1, batchId = 1L,
+      table, buckets = 4, queryKey = "q", racing)
+    assert(n == 0L, "fenced: the racing driver already committed this batch")
+    assert(fmt.readCommitted(spark, table).count() == rowsAfter0, "no double-append")
+    val names = new java.io.File(table).list().toSet
+    assert(!names.exists(_.startsWith("staging-")), "fenced append must clean its staging")
+  }
+
+  test("pre-sticky-props legacy marker detects a straddling replay and is retired by the first scoped commit") {
+    val sp = spark
+    import sp.implicits._
+    val table = Files.createTempDirectory("tsink-legacy").toString
+    // a table upgraded mid-stream: the old sink recorded its marker as the
+    // two-key format the previous release wrote
+    fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 0,
+      buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
+      inputFps = Map.empty, additive = true, bucketCount = Some(4),
+      props = Map("stream.query" -> "stream", "stream.batch_id" -> "12"))
+    val sinkKey = "stream-upgraded-uuid"
+    // the crash-replayed batch 12 must be detected through the LEGACY marker
+    val replay = sp.range(0, 2).flatMap(o => Transcripts.turnsFor(o))
+    assert(StreamingExtraction.appendBatchToTable(spark, replay, batchId = 12L,
+      table, buckets = 4, queryKey = sinkKey, fmt, legacyKey = Some("stream")) == 0L,
+      "upgrade must not double-append a straddling replay")
+    // batch 13 lands under the scoped key; the legacy keys are tombstoned
+    val b13 = sp.range(0, 2).flatMap(o => Transcripts.turnsFor(o))
+    assert(StreamingExtraction.appendBatchToTable(spark, b13, batchId = 13L,
+      table, buckets = 4, queryKey = sinkKey, fmt, legacyKey = Some("stream")) ==
+      expectedRows(0 until 2))
+    val props = fmt.readManifest(table).get.props
+    assert(props.get(s"stream.$sinkKey").contains("13"))
+    assert(!props.contains("stream.query") && !props.contains("stream.batch_id"),
+      "legacy keys must be retired once the scoped marker takes over")
+  }
+
+  test("setTableProps commits sticky props and retires keys with empty values") {
+    val table = Files.createTempDirectory("tsink-setprops").toString
+    intercept[IllegalStateException] { fmt.setTableProps(table, Map("a" -> "b")) }
+    fmt.commitWave(table, staging = table + "/no-staging", snapshotId = 0,
+      buckets = Set.empty, files = Vector.empty, lineage = Vector.empty,
+      inputFps = Map.empty, additive = true)
+    assert(fmt.setTableProps(table, Map("owner" -> "teamA", "stream.dead-sink" -> "99")) == 1)
+    assert(fmt.readManifest(table).get.props ==
+      Map("owner" -> "teamA", "stream.dead-sink" -> "99"))
+    // empty value = tombstone: the operator's removal path for a dead marker
+    assert(fmt.setTableProps(table, Map("stream.dead-sink" -> "")) == 2)
+    val man = fmt.readManifest(table).get
+    assert(man.props == Map("owner" -> "teamA"))
+    assert(man.operation.contains("props"))
+  }
 }
