@@ -108,6 +108,53 @@ object JobMain {
       if (preexisting.isEmpty) spark.stop()
       return
     }
+    args.find(_.startsWith("--rollback=")).foreach { a =>
+      val snap =
+        try a.stripPrefix("--rollback=").toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--rollback=N requires a snapshot id, got: $a")
+        }
+      val newSnap = graft.spark.ExtractionJob.rollbackTo(outDir, snap)
+      println(s"""{"rollback_to":$snap,"snapshot":$newSnap,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--tag=")).foreach { a =>
+      val spec = a.stripPrefix("--tag=")
+      val colon = spec.indexOf(':')
+      val (name, snap) =
+        if (colon < 0) {
+          val latest = graft.spark.ExtractionJob.latestSnapshot(outDir)
+            .getOrElse(throw new IllegalStateException(s"no committed snapshot under $outDir"))
+          (spec, latest)
+        } else {
+          val n =
+            try spec.substring(colon + 1).toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"--tag=NAME[:SNAP] requires a snapshot id, got: $a")
+            }
+          (spec.substring(0, colon), n)
+        }
+      graft.spark.ExtractionJob.tagSnapshot(outDir, name, snap)
+      println(s"""{"tag":"$name","snapshot":$snap,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--drop-tag=")).foreach { a =>
+      val name = a.stripPrefix("--drop-tag=")
+      require(name.nonEmpty, "--drop-tag=NAME requires a tag name")
+      graft.spark.ExtractionJob.dropTag(outDir, name)
+      println(s"""{"dropped_tag":"$name","out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    if (args.contains("--tags")) {
+      val ts = graft.spark.ExtractionJob.tags(outDir).toSeq.sorted
+        .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
+      println(s"""{"tags":$ts,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     args.find(_.startsWith("--appends-since=")).foreach { a =>
       val from =
         try a.stripPrefix("--appends-since=").toInt

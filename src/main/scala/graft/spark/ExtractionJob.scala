@@ -543,6 +543,24 @@ object ExtractionJob {
   /** Orphan-file cleanup (see TableFormat.removeOrphanFiles). */
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep =
     defaultFormat.removeOrphanFiles(outDir, olderThanMs)
+
+  /** Tag a snapshot (see TableFormat.tagSnapshot). */
+  def tagSnapshot(outDir: String, name: String, snapshotId: Int): Unit =
+    defaultFormat.tagSnapshot(outDir, name, snapshotId)
+
+  /** Drop a tag (see TableFormat.dropTag). */
+  def dropTag(outDir: String, name: String): Unit = defaultFormat.dropTag(outDir, name)
+
+  /** All tags on the table (see TableFormat.tags). */
+  def tags(outDir: String): Map[String, Int] = defaultFormat.tags(outDir)
+
+  /** Read a tagged table version (see TableFormat.readCommittedAtTag). */
+  def readCommittedAtTag(spark: SparkSession, outDir: String, name: String): DataFrame =
+    defaultFormat.readCommittedAtTag(spark, outDir, name)
+
+  /** Roll back to a snapshot (see TableFormat.rollbackTo). */
+  def rollbackTo(outDir: String, snapshotId: Int): Int =
+    defaultFormat.rollbackTo(outDir, snapshotId)
 }
 
 final case class TurnWithBucket(

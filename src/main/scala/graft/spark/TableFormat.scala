@@ -137,6 +137,84 @@ trait TableFormat {
     * unaffected. */
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep
 
+  /** Tag a snapshot with a named ref (Iceberg tag analog): the tag is a
+    * sticky prop `ref.<name>` -> snapshot id, so it survives every later
+    * commit and — because `expireSnapshots` retains tagged snapshots — the
+    * tagged data itself survives retention. This is the reproducibility
+    * primitive for training-data pipelines: tag the exact table version a
+    * model trained on and `readCommittedAtTag` serves those bytes years of
+    * commits later. */
+  def tagSnapshot(outDir: String, name: String, snapshotId: Int): Unit = {
+    require(name.nonEmpty && !name.contains('{') && !name.contains('}'),
+      s"invalid tag name: '$name'")
+    require(readManifestAt(outDir, snapshotId).nonEmpty,
+      s"cannot tag snapshot $snapshotId under $outDir: no such retained snapshot")
+    setTableProps(outDir, Map(s"ref.$name" -> snapshotId.toString))
+    ()
+  }
+
+  /** Remove a tag (prop tombstone). The formerly tagged snapshot becomes
+    * expirable again on the next `expireSnapshots`. */
+  def dropTag(outDir: String, name: String): Unit = {
+    setTableProps(outDir, Map(s"ref.$name" -> ""))
+    ()
+  }
+
+  /** All tags on the table: name -> snapshot id. */
+  def tags(outDir: String): Map[String, Int] =
+    readManifest(outDir).map(_.props.collect {
+      case (k, v) if k.startsWith("ref.") =>
+        require(v.matches("\\d+"),
+          s"corrupt tag prop $k='$v' on $outDir: expected a snapshot id")
+        k.stripPrefix("ref.") -> v.toInt
+    }).getOrElse(Map.empty)
+
+  /** Snapshot-isolated read of a tagged table version. */
+  def readCommittedAtTag(spark: SparkSession, outDir: String, name: String): DataFrame = {
+    val id = tags(outDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on table $outDir"))
+    readCommittedAsOf(spark, outDir, id)
+  }
+
+  /** Roll the table back to snapshot `snapshotId` by committing that
+    * snapshot's content forward as a NEW snapshot (Iceberg rollback
+    * analog) — history is never rewritten in place, so time travel to the
+    * rolled-back-over snapshots keeps working until they expire. The
+    * commit's operation is "replace": incremental (CDC) reads across it
+    * are refused, exactly as across a compaction. Streaming-sink markers
+    * are NOT rolled back (batches whose data was rolled away stay marked
+    * committed — resuming a sink over a rolled-back table needs a fresh
+    * checkpoint, the standard lakehouse caveat). Returns the new snapshot
+    * id. */
+  def rollbackTo(outDir: String, snapshotId: Int, retries: Int = 2): Int = {
+    var attempt = 0
+    while (true) {
+      val target = readManifestAt(outDir, snapshotId).getOrElse(throw new IllegalStateException(
+        s"cannot roll back to snapshot $snapshotId under $outDir: " +
+          "manifest missing — rewritten or expired"))
+      // a legacy manifest has no file list — committing it forward would
+      // silently declare an empty table; refuse rather than lose data
+      require(target.hasFilesList,
+        s"cannot roll back to snapshot $snapshotId under $outDir: legacy manifest has no file list")
+      val latest = readManifest(outDir).getOrElse(throw new IllegalStateException(
+        s"no committed snapshot under $outDir"))
+      if (latest.snapshotId == snapshotId) return snapshotId // already there: no-op
+      try {
+        commitWave(outDir, staging = outDir + "/no-staging", latest.snapshotId + 1,
+          target.buckets, target.files, lineage = Seq.empty, inputFps = target.inputFps,
+          additive = true, convFpsDir = target.convFpsDir, deleteDirs = target.deleteDirs,
+          fpMode = target.fpMode, bucketCount = target.bucketCount,
+          operation = "replace")
+        return latest.snapshotId + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= retries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Props-only maintenance commit (`ALTER TABLE SET/UNSET TBLPROPERTIES`
     * analog): lays `props` over the sticky table properties without
     * touching data — an empty value retires a key, the operator's removal
@@ -794,7 +872,17 @@ object SnapshotManifestFormat extends TableFormat {
         Some(n.stripPrefix("snap-").stripSuffix(".json").toInt)
       else None
     }.sorted
-    val retained = existing.filter(_ > latest - retainLast)
+    // tagged snapshots (ref.<name> props) are pinned: a tag names a table
+    // version someone depends on (e.g. the version a model trained on), so
+    // retention never expires it — Iceberg's tag/retention semantics
+    val taggedIds: Set[Int] =
+      readManifest(outDir).map(_.props.collect {
+        case (k, v) if k.startsWith("ref.") =>
+          require(v.matches("\\d+"),
+            s"corrupt tag prop $k='$v' on $outDir: expected a snapshot id")
+          v.toInt
+      }.toSet).getOrElse(Set.empty)
+    val retained = existing.filter(k => k > latest - retainLast || taggedIds.contains(k))
     val expired = existing.filterNot(retained.contains)
     if (expired.isEmpty) return (0, 0)
     val retainedMans = retained.flatMap(k => readManifestAt(outDir, k))

@@ -103,6 +103,51 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(stale.getParent))
   }
 
+  test("JobMain --tag/--tags/--drop-tag/--rollback drive refs and rollback from the CLI") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-jobmain-tags").toString
+    val in1 = s"$base/turns1"
+    val in2 = s"$base/turns2"
+    val out = s"$base/out"
+    val turns = graft.spark.Transcripts.generate(spark, 15)
+    turns.write.parquet(in1)
+    val victim = turns.select("conv_id").as[String].head()
+    turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\ncli fix") else t)
+      .write.parquet(in2)
+
+    JobMain.main(Array(in1, out, "4", "2", "--conv-grained"))
+    val s0 = graft.spark.ExtractionJob.latestSnapshot(out).get
+
+    def cli(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { JobMain.main(args.toArray) }
+      buf.toString.linesIterator.find(_.startsWith("{")).get
+    }
+    // --tag with no snapshot id pins the CURRENT snapshot
+    assert(cli(in1, out, "--tag=train-v1").contains(s""""snapshot":$s0"""))
+    JobMain.main(Array(in2, out, "4", "2", "--conv-grained")) // move the table on
+    assert(cli(in1, out, "--tags") == s"""{"tags":{"train-v1":$s0},"out":"$out"}""")
+
+    val s1 = graft.spark.ExtractionJob.latestSnapshot(out).get
+    val line = cli(in1, out, s"--rollback=$s0")
+    assert(line.contains(s""""rollback_to":$s0""") && line.contains(s""""snapshot":${s1 + 1}"""), line)
+    // rolled back: victim serves the ORIGINAL extraction again
+    val got = graft.spark.ExtractionJob.readCommitted(spark, out)
+      .where(org.apache.spark.sql.functions.col("conv_id") === victim)
+      .select("conv_id", "turn_idx", "main_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = graft.spark.ExtractionJob.extract(spark,
+        s.read.parquet(in1).as[graft.spark.Turn]
+          .where(org.apache.spark.sql.functions.col("conv_id") === victim))
+      .select("conv_id", "turn_idx", "main_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == want, "CLI rollback must serve the pre-correction content")
+
+    assert(cli(in1, out, "--drop-tag=train-v1").contains("\"dropped_tag\""))
+    assert(cli(in1, out, "--tags").contains("\"tags\":{}"))
+  }
+
   test("JobMain --stream-ingest tails the input and commits exactly-once snapshots") {
     val base = Files.createTempDirectory("graft-jobmain-stream").toString
     val in = s"$base/turns"

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.spark.{ExtractionJob, Transcripts}
+import java.nio.file.Files
+
+/** Snapshot refs (Iceberg tag analog) and rollback: a tag pins a table
+  * version against retention so `readCommittedAtTag` reproduces the exact
+  * bytes a model trained on; rollback commits an old snapshot's content
+  * forward as a new replacing snapshot without rewriting history. */
+class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // main_text included: a mutation that only appends prose changes the
+  // extracted main content even when the field list is unaffected
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, String, String)] =
+    df.select("conv_id", "turn_idx", "fields_json", "main_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+
+  test("tags pin snapshots through commits and expiry; readCommittedAtTag reproduces the bytes") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-tags").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 18)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val v0Rows = rows(ExtractionJob.readCommitted(spark, out))
+
+    // guard rails first: bad names and missing snapshots refuse
+    intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "", s0) }
+    intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "a{b}", s0) }
+    intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "ghost", s0 + 900) }
+
+    ExtractionJob.tagSnapshot(out, "train-v1", s0)
+    assert(ExtractionJob.tags(out) == Map("train-v1" -> s0))
+
+    // two later corrections move the live table away from the tagged version
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\ntag fix 1") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    val v2 = v1.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\ntag fix 2") else t)
+    assert(ExtractionJob.run(spark, v2, cfg).nonEmpty)
+    val s2 = ExtractionJob.latestSnapshot(out).get
+
+    // the tag is a sticky prop: unrelated commits carry it forward
+    assert(ExtractionJob.tags(out) == Map("train-v1" -> s0))
+    assert(rows(ExtractionJob.readCommittedAtTag(spark, out, "train-v1")) == v0Rows)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) != v0Rows)
+
+    // expiry: the tagged snapshot survives retention; untagged history dies
+    val (expired, _) = ExtractionJob.expireSnapshots(out, retainLast = 1)
+    assert(expired > 0)
+    assert(rows(ExtractionJob.readCommittedAtTag(spark, out, "train-v1")) == v0Rows,
+      "tag must keep serving the pinned bytes after expiry")
+    intercept[IllegalStateException] { // untagged intermediate snapshot is gone
+      ExtractionJob.readCommittedAsOf(spark, out, s0 + 1)
+    }
+    assert(rows(ExtractionJob.readCommittedAsOf(spark, out, s0)) == v0Rows)
+
+    // drop the tag: the pin is released, the next expiry collects it
+    ExtractionJob.dropTag(out, "train-v1")
+    assert(ExtractionJob.tags(out).isEmpty)
+    intercept[IllegalArgumentException] {
+      ExtractionJob.readCommittedAtTag(spark, out, "train-v1")
+    }
+    val (expired2, _) = ExtractionJob.expireSnapshots(out, retainLast = 1)
+    assert(expired2 > 0, "formerly tagged snapshot must be expirable after dropTag")
+    intercept[IllegalStateException] { ExtractionJob.readCommittedAsOf(spark, out, s0) }
+    // the live table is untouched throughout
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.readCommittedAsOf(spark, out, ExtractionJob.latestSnapshot(out).get)))
+    assert(s2 <= ExtractionJob.latestSnapshot(out).get)
+  }
+
+  test("rollback commits old content forward as a replace; history and resume semantics hold") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-rollback").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 18)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val v0Rows = rows(ExtractionJob.readCommitted(spark, out))
+
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nbad fix") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    val s1 = ExtractionJob.latestSnapshot(out).get
+    val v1Rows = rows(ExtractionJob.readCommitted(spark, out))
+    assert(v1Rows != v0Rows)
+
+    // rollback: live table serves the pre-correction bytes again
+    val s2 = ExtractionJob.rollbackTo(out, s0)
+    assert(s2 == s1 + 1, "rollback must commit a NEW snapshot, not rewrite history")
+    assert(ExtractionJob.latestSnapshot(out).contains(s2))
+    assert(rows(ExtractionJob.readCommitted(spark, out)) == v0Rows)
+    assert(ExtractionJob.readManifest(out).get.operation.contains("replace"))
+
+    // history is preserved: the rolled-back-over snapshot still time-travels
+    assert(rows(ExtractionJob.readCommittedAsOf(spark, out, s1)) == v1Rows)
+    // but CDC across the replace refuses (added-rows semantics undefined)
+    val replaced = intercept[IllegalStateException] {
+      ExtractionJob.readAppendsBetween(spark, out, s0, s2)
+    }
+    assert(replaced.getMessage.contains("replacing commit"), replaced.getMessage)
+
+    // rollback to the current snapshot is a no-op
+    assert(ExtractionJob.rollbackTo(out, s2) == s2)
+    assert(ExtractionJob.latestSnapshot(out).contains(s2))
+    // rollback to a never-existing snapshot reports history loss
+    val gone = intercept[IllegalStateException] { ExtractionJob.rollbackTo(out, s2 + 900) }
+    assert(gone.getMessage.contains("rewritten or expired"), gone.getMessage)
+
+    // the rollback also reset the conv fingerprints: re-running with the
+    // corrected input re-applies the delta instead of no-opping
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty,
+      "post-rollback rerun with the changed input must re-extract the changed conv")
+    assert(rows(ExtractionJob.readCommitted(spark, out)) == v1Rows)
+
+    // roll back again, then expire everything but the rollback snapshot:
+    // its (old) data files must survive GC because the latest manifest
+    // references them — content still served byte-for-byte
+    val s4 = ExtractionJob.rollbackTo(out, s0)
+    ExtractionJob.expireSnapshots(out, retainLast = 1)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) == v0Rows,
+      "GC must keep files referenced by the rollback manifest")
+    // and the table still accepts normal incremental work afterwards
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) == v1Rows)
+    assert(s4 > s2)
+  }
+}
