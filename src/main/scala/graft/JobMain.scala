@@ -148,6 +148,18 @@ object JobMain {
       if (preexisting.isEmpty) spark.stop()
       return
     }
+    if (args.contains("--history")) {
+      val rows = graft.spark.ExtractionJob.readSnapshotsTable(spark, outDir)
+        .collect().sortBy(_.getInt(0))
+      val hist = rows.map { r =>
+        val ts = r.getSeq[String](8).map(t => s""""$t"""").mkString("[", ",", "]")
+        s"""{"snapshot":${r.getInt(0)},"op":"${r.getString(1)}","files":${r.getInt(3)},""" +
+          s""""rows":${r.getLong(4)},"deletes":${r.getInt(6)},"current":${r.getBoolean(7)},"tags":$ts}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"history":$hist,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     if (args.contains("--tags")) {
       val ts = graft.spark.ExtractionJob.tags(outDir).toSeq.sorted
         .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")

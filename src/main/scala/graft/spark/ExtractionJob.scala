@@ -121,7 +121,10 @@ object ExtractionJob {
                             // stream.<sink> -> last batch id. Values must
                             // not contain '{' or '}' (flat-JSON manifest
                             // encoding); commitWave enforces this.
-                            props: Map[String, String] = Map.empty)
+                            props: Map[String, String] = Map.empty,
+                            // commit wall-clock instant, for the snapshots
+                            // metadata table. None on hand-written manifests.
+                            committedAt: Option[String] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.
@@ -561,6 +564,19 @@ object ExtractionJob {
   /** Roll back to a snapshot (see TableFormat.rollbackTo). */
   def rollbackTo(outDir: String, snapshotId: Int): Int =
     defaultFormat.rollbackTo(outDir, snapshotId)
+
+  /** `$snapshots` metadata table (see TableFormat.readSnapshotsTable). */
+  def readSnapshotsTable(spark: SparkSession, outDir: String): DataFrame =
+    defaultFormat.readSnapshotsTable(spark, outDir)
+
+  /** `$files` metadata table (see TableFormat.readFilesTable). */
+  def readFilesTable(spark: SparkSession, outDir: String,
+                     snapshotId: Option[Int] = None): DataFrame =
+    defaultFormat.readFilesTable(spark, outDir, snapshotId)
+
+  /** Lineage metadata table (see TableFormat.readLineageTable). */
+  def readLineageTable(spark: SparkSession, outDir: String): DataFrame =
+    defaultFormat.readLineageTable(spark, outDir)
 }
 
 final case class TurnWithBucket(

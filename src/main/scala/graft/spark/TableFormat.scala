@@ -215,6 +215,64 @@ trait TableFormat {
     -1 // unreachable
   }
 
+  /** Every retained snapshot's manifest, ascending. Snapshot ids are a
+    * dense counter from 0, so probing the id range covers expiry holes;
+    * the cost is manifest reads only, never data IO. */
+  def retainedManifests(outDir: String): Seq[Manifest] =
+    latestSnapshot(outDir) match {
+      case None => Seq.empty
+      case Some(latest) => (0 to latest).flatMap(readManifestAt(outDir, _))
+    }
+
+  /** Per-snapshot lineage rows. Formats that record no lineage (or legacy
+    * snapshots written before lineage existed) serve an empty seq. */
+  def readLineage(outDir: String, snapshotId: Int): Seq[LineageRow] = Seq.empty
+
+  /** Metadata table (Iceberg `$snapshots` / `$history` analog): one row
+    * per retained snapshot — id, operation, commit instant, file/row/
+    * bucket/delete-dir counts, whether it is the current snapshot, and the
+    * tags pinning it. Driver-side and manifest-sized: the driver already
+    * holds each manifest to read the table at all, so this never touches
+    * data files. */
+  def readSnapshotsTable(spark: SparkSession, outDir: String): DataFrame = {
+    val current = latestSnapshot(outDir)
+    val tagged = tags(outDir).toSeq.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val rows = retainedManifests(outDir).map { m =>
+      SnapshotMetaRow(m.snapshotId, m.operation.getOrElse("append"),
+        m.committedAt.getOrElse(""), m.files.size, m.files.map(_.rowCount).sum,
+        m.buckets.size, m.deleteDirs.size, current.contains(m.snapshotId),
+        tagged.getOrElse(m.snapshotId, Seq.empty))
+    }
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  /** Metadata table (Iceberg `$files` analog): one row per committed data
+    * file of a snapshot's manifest (default: current) — bucket, path, row
+    * count, commit seq, conv_id bounds. Same driver-side cost bound as
+    * `readSnapshotsTable`. */
+  def readFilesTable(spark: SparkSession, outDir: String,
+                     snapshotId: Option[Int] = None): DataFrame = {
+    val k = snapshotId.orElse(latestSnapshot(outDir)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    val man = readManifestAt(outDir, k).getOrElse(throw new IllegalStateException(
+      s"no manifest for snapshot $k under $outDir — rewritten or expired"))
+    val rows = man.files.map(f => FileMetaRow(man.snapshotId, f.bucket, f.path,
+      f.rowCount, f.seq, f.minConv, f.maxConv))
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  /** Metadata table: the per-bucket lineage rows of every retained
+    * snapshot (input row counts, field sums, extraction wall time) — the
+    * audit trail for "which run produced this bucket and how long did it
+    * take". Empty for formats that record no lineage. */
+  def readLineageTable(spark: SparkSession, outDir: String): DataFrame = {
+    val rows = retainedManifests(outDir).flatMap(m => readLineage(outDir, m.snapshotId))
+    import spark.implicits._
+    rows.toDF()
+  }
+
   /** Props-only maintenance commit (`ALTER TABLE SET/UNSET TBLPROPERTIES`
     * analog): lays `props` over the sticky table properties without
     * touching data — an empty value retires a key, the operator's removal
@@ -242,6 +300,18 @@ trait TableFormat {
     -1 // unreachable
   }
 }
+
+/** One row of the `$snapshots` metadata table. */
+final case class SnapshotMetaRow(snapshot_id: Int, operation: String,
+                                 committed_at: String, file_count: Int,
+                                 row_count: Long, bucket_count: Int,
+                                 delete_dir_count: Int, is_current: Boolean,
+                                 tags: Seq[String])
+
+/** One row of the `$files` metadata table. */
+final case class FileMetaRow(snapshot_id: Int, bucket: Int, path: String,
+                             row_count: Long, seq: Int,
+                             min_conv: Option[String], max_conv: Option[String])
 
 /** What removeOrphanFiles deleted, by orphan class. */
 final case class OrphanSweep(stagingDirs: Int, dataFiles: Int,
@@ -320,6 +390,7 @@ object SnapshotManifestFormat extends TableFormat {
   // commit properties: a flat string->string object (no nesting — commitWave
   // refuses braces inside values, so [^}]* is object-scoped and exact)
   private val propsRe = "\"props\"\\s*:\\s*\\{([^}]*)\\}".r
+  private val committedAtRe = "\"committed_at\"\\s*:\\s*\"([^\"]+)\"".r
   private val propsPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   /** Parse the latest committed manifest. Manifest format:
@@ -357,7 +428,10 @@ object SnapshotManifestFormat extends TableFormat {
         case None => Map.empty
         case Some(body) =>
           propsPairRe.findAllMatchIn(body).map(p => junesc(p.group(1)) -> junesc(p.group(2))).toMap
-      }))
+      },
+      // safe to match anywhere: jesc escapes quotes, so no props value can
+      // fake the unescaped "committed_at":" key sequence
+      committedAt = committedAtRe.findFirstMatchIn(manifest).map(_.group(1))))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -927,6 +1001,23 @@ object SnapshotManifestFormat extends TableFormat {
       }
     }
     (expired.size, deletedFiles)
+  }
+
+  /** Directory listing beats probing the dense id range: expired tables
+    * can have a latest id far above their retained count. */
+  override def retainedManifests(outDir: String): Seq[Manifest] = allManifests(outDir)
+
+  private val lineageRowRe =
+    ("\\{\"snapshot_id\":(\\d+),\"bucket\":(\\d+),\"row_count\":(\\d+)," +
+      "\"field_count_sum\":(\\d+),\"extract_ms\":(\\d+),\"committed_at\":\"([^\"]*)\"\\}").r
+
+  override def readLineage(outDir: String, snapshotId: Int): Seq[LineageRow] = {
+    val p = Paths.get(outDir, "lineage", s"lineage-$snapshotId.json")
+    if (!Files.exists(p)) return Seq.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    lineageRowRe.findAllMatchIn(json).map(m =>
+      LineageRow(m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6))).toVector
   }
 
   /** Every manifest currently on disk (retained history), snapshot order. */

@@ -146,6 +146,12 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(cli(in1, out, "--drop-tag=train-v1").contains("\"dropped_tag\""))
     assert(cli(in1, out, "--tags").contains("\"tags\":{}"))
+
+    // --history: the snapshots metadata table as one JSON line — the
+    // rollback shows as a current "replace" entry
+    val hist = cli(in1, out, "--history")
+    assert(hist.contains(s""""snapshot":${s1 + 1},"op":"replace""""), hist)
+    assert(hist.contains("\"current\":true"), hist)
   }
 
   test("JobMain --stream-ingest tails the input and commits exactly-once snapshots") {

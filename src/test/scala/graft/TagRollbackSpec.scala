@@ -149,4 +149,60 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(ExtractionJob.readCommitted(spark, out)) == v1Rows)
     assert(s4 > s2)
   }
+
+  test("metadata tables: $snapshots/$files/$lineage reflect manifests without touching data") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-meta").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 15)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    ExtractionJob.tagSnapshot(out, "base", s0)
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nmeta fix") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    assert(ExtractionJob.compact(spark, out).nonEmpty)
+
+    // $snapshots: one row per retained manifest, ops in lifecycle order,
+    // exactly one current row, the tag attached to its snapshot
+    val snaps = ExtractionJob.readSnapshotsTable(spark, out)
+      .collect().sortBy(_.getInt(0))
+    val mans = graft.spark.SnapshotManifestFormat.retainedManifests(out)
+    assert(snaps.length == mans.size)
+    assert(snaps.map(_.getString(1)).toSeq ==
+      mans.map(_.operation.getOrElse("append")))
+    val ops = snaps.map(_.getString(1)).toSeq
+    assert(ops.head == "append" && ops.contains("props") && ops.contains("delta"), ops.toString)
+    assert(snaps.last.getString(1) == "replace") // the compaction
+    assert(snaps.count(_.getBoolean(7)) == 1 && snaps.last.getBoolean(7))
+    assert(snaps.find(_.getInt(0) == s0).get.getSeq[String](8) == Seq("base"))
+    assert(snaps.forall(r => r.getString(2).nonEmpty), "committed_at must be populated")
+    // row_count column equals the served table for the current snapshot
+    assert(snaps.last.getLong(4) == ExtractionJob.readCommitted(spark, out).count())
+
+    // $files: exactly the current manifest's files, bounds included
+    val files = ExtractionJob.readFilesTable(spark, out).collect()
+    val man = ExtractionJob.readManifest(out).get
+    assert(files.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSet ==
+      man.files.map(f => (f.bucket, f.path, f.rowCount)).toSet)
+    assert(files.forall(r => !r.isNullAt(5) && !r.isNullAt(6)), "conv bounds must surface")
+    // as-of a historical snapshot it serves THAT manifest's files
+    val filesAt0 = ExtractionJob.readFilesTable(spark, out, Some(s0)).collect()
+    assert(filesAt0.map(_.getString(2)).toSet ==
+      graft.spark.SnapshotManifestFormat.readManifestAt(out, s0).get.files.map(_.path).toSet)
+
+    // $lineage: extraction audit rows — each wave commit records its own
+    // buckets, so the initial run's waves sum to the whole input
+    val lin = ExtractionJob.readLineageTable(spark, out)
+    assert(lin.where(org.apache.spark.sql.functions.col("snapshot_id") <= s0)
+      .agg(org.apache.spark.sql.functions.sum("row_count")).as[Long].head() == turns.count())
+
+    // expiry shrinks $snapshots to the retained set (tagged s0 survives)
+    ExtractionJob.expireSnapshots(out, retainLast = 1)
+    val after = ExtractionJob.readSnapshotsTable(spark, out).collect().map(_.getInt(0)).toSet
+    assert(after.contains(s0) && after.contains(man.snapshotId))
+    assert(after.size < snaps.length)
+  }
 }
