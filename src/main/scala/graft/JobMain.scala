@@ -85,6 +85,19 @@ object JobMain {
         require(eq > 0, s"--set-prop expects KEY=VALUE (empty VALUE retires the key), got: $a")
         kv.substring(0, eq) -> kv.substring(eq + 1)
       }.toMap
+    // single-purpose mode flags early-return: refuse combinations whose
+    // extra flags would otherwise be silently discarded (an operator
+    // scripting "roll back AND pin" must not get a half-applied operation)
+    val modeFlags =
+      Seq("--get-conv=", "--rollback=", "--tag=", "--drop-tag=", "--appends-since=")
+        .flatMap(p => args.find(_.startsWith(p))) ++
+        Seq("--tags", "--history").filter(args.contains)
+    require(modeFlags.size <= 1,
+      s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
+    if (modeFlags.nonEmpty)
+      require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty,
+        s"${modeFlags.head} does not compose with maintenance flags " +
+          "(--compact/--expire/--remove-orphans/--set-prop) — run them as separate invocations")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256

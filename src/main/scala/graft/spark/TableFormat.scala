@@ -145,8 +145,9 @@ trait TableFormat {
     * model trained on and `readCommittedAtTag` serves those bytes years of
     * commits later. */
   def tagSnapshot(outDir: String, name: String, snapshotId: Int): Unit = {
-    require(name.nonEmpty && !name.contains('{') && !name.contains('}'),
-      s"invalid tag name: '$name'")
+    // conservative charset: tag names surface in CLI JSON and file-less
+    // prop keys, so quotes/backslashes/braces are all trouble
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name: '$name'")
     require(readManifestAt(outDir, snapshotId).nonEmpty,
       s"cannot tag snapshot $snapshotId under $outDir: no such retained snapshot")
     setTableProps(outDir, Map(s"ref.$name" -> snapshotId.toString))
@@ -192,10 +193,20 @@ trait TableFormat {
       val target = readManifestAt(outDir, snapshotId).getOrElse(throw new IllegalStateException(
         s"cannot roll back to snapshot $snapshotId under $outDir: " +
           "manifest missing — rewritten or expired"))
-      // a legacy manifest has no file list — committing it forward would
-      // silently declare an empty table; refuse rather than lose data
-      require(target.hasFilesList,
-        s"cannot roll back to snapshot $snapshotId under $outDir: legacy manifest has no file list")
+      // a legacy manifest has no file list (committing it forward would
+      // silently declare an empty table) and no tracked delete dirs (its
+      // filesystem-scanned deletes would be dropped, resurrecting deleted
+      // rows) — refuse rather than lose data; migrate the table first
+      require(target.hasFilesList && target.hasDeleteDirsList,
+        s"cannot roll back to snapshot $snapshotId under $outDir: legacy manifest " +
+          "(no file list / untracked deletes) — compact or rewrite the table first")
+      // the target's files may have been rewritten by compaction or GC'd
+      // by expiry since its manifest was retained: committing them forward
+      // would wedge the table HEAD on missing files
+      if (!snapshotIntact(outDir, target))
+        throw new IllegalStateException(
+          s"cannot roll back to snapshot $snapshotId under $outDir: its data files " +
+            "have been rewritten or expired (compaction / expireSnapshots GC)")
       val latest = readManifest(outDir).getOrElse(throw new IllegalStateException(
         s"no committed snapshot under $outDir"))
       if (latest.snapshotId == snapshotId) return snapshotId // already there: no-op
@@ -214,6 +225,12 @@ trait TableFormat {
     }
     -1 // unreachable
   }
+
+  /** True when every data file and tracked delete dir of `man` still
+    * exists — the same sweep time travel performs, exposed so rollback can
+    * refuse before committing a manifest that references rewritten or
+    * GC'd files. Formats without direct file access may return true. */
+  def snapshotIntact(outDir: String, man: Manifest): Boolean = true
 
   /** Every retained snapshot's manifest, ascending. Snapshot ids are a
     * dense counter from 0, so probing the id range covers expiry holes;
@@ -429,9 +446,11 @@ object SnapshotManifestFormat extends TableFormat {
         case Some(body) =>
           propsPairRe.findAllMatchIn(body).map(p => junesc(p.group(1)) -> junesc(p.group(2))).toMap
       },
-      // safe to match anywhere: jesc escapes quotes, so no props value can
-      // fake the unescaped "committed_at":" key sequence
-      committedAt = committedAtRe.findFirstMatchIn(manifest).map(_.group(1))))
+      // LAST match: the genuine committed_at is the manifest's trailing
+      // field; jesc-escaped prop values can't fake the unescaped key
+      // sequence, and the bare key is refused at write time — lastOption
+      // additionally covers tables written before that guard existed
+      committedAt = committedAtRe.findAllMatchIn(manifest).toSeq.lastOption.map(_.group(1))))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -556,6 +575,19 @@ object SnapshotManifestFormat extends TableFormat {
     props.foreach { case (k, v) =>
       require(!k.exists(c => c == '{' || c == '}') && !v.exists(c => c == '{' || c == '}'),
         s"manifest props must not contain braces: $k=$v")
+      // the ref.* namespace is reserved for snapshot tags: a free-form
+      // value written via setTableProps would wedge every later tags()/
+      // expireSnapshots call, so validate at WRITE time (empty = tombstone;
+      // <=9 digits keeps toInt safe)
+      if (k.startsWith("ref.")) {
+        require(v.isEmpty || v.matches("\\d{1,9}"),
+          s"'$k' is in the reserved tag namespace; its value must be a snapshot id, got: '$v'")
+        require(k.stripPrefix("ref.").matches("[A-Za-z0-9._-]+"),
+          s"invalid tag name in prop key '$k'")
+      }
+      // committed_at is the manifest's own trailing field; a prop with
+      // that key would shadow it for the parser (props serialize first)
+      require(k != "committed_at", "prop key 'committed_at' is reserved")
     }
     // Optimistic-concurrency precondition (Iceberg's commit re-check): the
     // commit was computed against snapshot `snapshotId - 1`; if `_latest`
@@ -665,6 +697,15 @@ object SnapshotManifestFormat extends TableFormat {
       }
     }
 
+  /** Driver-side, manifest-sized existence sweep over data files and
+    * tracked delete dirs. */
+  override def snapshotIntact(outDir: String, man: Manifest): Boolean = {
+    val dataGone = man.files.exists(f => !Files.exists(Paths.get(outDir, "data", f.path)))
+    val deletesGone = man.hasDeleteDirsList &&
+      man.deleteDirs.exists(d => !Files.isDirectory(Paths.get(outDir, "deletes", d)))
+    !dataGone && !deletesGone
+  }
+
   /** Read the committed table: exactly the data files listed in the latest
     * committed manifest. A crash between bucket promotion and the snapshot
     * commit can leave promoted-but-uncommitted dirs (or extra files) under
@@ -690,10 +731,7 @@ object SnapshotManifestFormat extends TableFormat {
     // it distinctly instead of tripping the integrity checks meant for the
     // live snapshot. The existence sweep is driver-side, manifest-sized.
     if (!latestSnapshot(outDir).contains(snapshotId)) {
-      val dataGone = man.files.exists(f => !Files.exists(Paths.get(outDir, "data", f.path)))
-      val deletesGone = man.hasDeleteDirsList &&
-        man.deleteDirs.exists(d => !Files.isDirectory(Paths.get(outDir, "deletes", d)))
-      if (dataGone || deletesGone)
+      if (!snapshotIntact(outDir, man))
         throw new IllegalStateException(
           s"snapshot $snapshotId history has been rewritten or expired " +
             "(compaction / expireSnapshots GC'd its files); time travel to it is no longer available")
@@ -949,13 +987,7 @@ object SnapshotManifestFormat extends TableFormat {
     // tagged snapshots (ref.<name> props) are pinned: a tag names a table
     // version someone depends on (e.g. the version a model trained on), so
     // retention never expires it — Iceberg's tag/retention semantics
-    val taggedIds: Set[Int] =
-      readManifest(outDir).map(_.props.collect {
-        case (k, v) if k.startsWith("ref.") =>
-          require(v.matches("\\d+"),
-            s"corrupt tag prop $k='$v' on $outDir: expected a snapshot id")
-          v.toInt
-      }.toSet).getOrElse(Set.empty)
+    val taggedIds = tags(outDir).values.toSet
     val retained = existing.filter(k => k > latest - retainLast || taggedIds.contains(k))
     val expired = existing.filterNot(retained.contains)
     if (expired.isEmpty) return (0, 0)

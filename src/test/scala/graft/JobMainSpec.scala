@@ -152,6 +152,15 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hist = cli(in1, out, "--history")
     assert(hist.contains(s""""snapshot":${s1 + 1},"op":"replace""""), hist)
     assert(hist.contains("\"current\":true"), hist)
+
+    // mode flags are single-purpose: combinations whose extra flags would
+    // be silently dropped refuse loudly instead
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(in1, out, "--tags", "--history"))
+    }
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(in1, out, s"--rollback=$s0", "--compact"))
+    }
   }
 
   test("JobMain --stream-ingest tails the input and commits exactly-once snapshots") {

@@ -50,6 +50,19 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "a{b}", s0) }
     intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "ghost", s0 + 900) }
 
+    // the ref.* prop namespace is tag-reserved: free-form values that would
+    // wedge tags()/expiry are refused at WRITE time, as is the committed_at
+    // key (it would shadow the manifest's own trailing field)
+    intercept[IllegalArgumentException] {
+      graft.spark.SnapshotManifestFormat.setTableProps(out, Map("ref.notes" -> "see-wiki"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.spark.SnapshotManifestFormat.setTableProps(out, Map("ref.a\"b" -> "3"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.spark.SnapshotManifestFormat.setTableProps(out, Map("committed_at" -> "bogus"))
+    }
+
     ExtractionJob.tagSnapshot(out, "train-v1", s0)
     assert(ExtractionJob.tags(out) == Map("train-v1" -> s0))
 
@@ -148,6 +161,25 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
     assert(rows(ExtractionJob.readCommitted(spark, out)) == v1Rows)
     assert(s4 > s2)
+  }
+
+  test("rollback refuses when the target's files were rewritten by compaction") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-rbcompact").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 15)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nrb fix") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    assert(ExtractionJob.compact(spark, out).nonEmpty) // rewrites s0's dirty-bucket files
+    val e = intercept[IllegalStateException] { ExtractionJob.rollbackTo(out, s0) }
+    assert(e.getMessage.contains("rewritten or expired"), e.getMessage)
+    // the refusal left the table untouched and serving the corrected content
+    assert(ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
 
   test("metadata tables: $snapshots/$files/$lineage reflect manifests without touching data") {
