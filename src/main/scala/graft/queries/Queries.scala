@@ -460,6 +460,40 @@ object Queries {
       spark, q14MinhashLsh(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
       .orderBy("doc_id")
 
+  /** End-to-end training-set curation — the pipeline composition query:
+    * predicted-language gate (q18's heuristic), quality gates (token
+    * bounds + stopword ratio, q13's signals), exact-dedup keep-first
+    * (q10's shape, `min_by` keeps the whole surviving row), and a
+    * deterministic content-hash sample (md5-prefix predicate, the
+    * hash-mod sampling used by web-corpus curation).
+    *
+    * Scale shape: every gate and the sample predicate are row-local and
+    * codegen'd; the ONE shuffle is the dedup groupBy on the content hash.
+    * Filters run before the exchange, so only gated rows shuffle, and the
+    * final projection drops `text` — the plan is
+    * scan → filter → exchange(hash) → filter → project at any data size. */
+  def q37TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.NativeFns.langId(col("text")).as("pred_lang"),
+        expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
+          "named_struct('w', 0L, 's', 0L), " +
+          "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
+          "CAST(x IN ('the','a','and','of','to','in','is','on','for') AS BIGINT)))").as("ws"))
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        col("ws.w").as("n_words"), col("ws.s").as("n_stop"))
+    val gated = scored.where(col("pred_lang") === "en" &&
+      col("n_words").between(5, 900) &&
+      col("n_stop") * 1000 >= col("n_words") * 60)
+    gated
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min_by(struct(col("doc_id"), col("n_words"), col("n_stop")), col("doc_id")).as("k"))
+      .where(substring(col("text_hash"), 1, 1) < "c")
+      .select(col("k.doc_id").as("doc_id"), col("k.n_words").as("n_words"),
+        col("k.n_stop").as("n_stop"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -496,7 +530,8 @@ object Queries {
     "q32_ann_ivf_cands" -> q32AnnIvfCands _,
     "q33_field_dump" -> q33FieldDump _,
     "q34_turn_field_dump" -> q34TurnFieldDump _,
-    "q36_dedup_clusters" -> q36DedupClusters _
+    "q36_dedup_clusters" -> q36DedupClusters _,
+    "q37_training_mix" -> q37TrainingMix _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -509,6 +544,11 @@ object Queries {
     * downstream stage in SQL — the "oracle the downstream" pattern.
     */
   val oracles: Map[String, String] = Map(
+    "q37_training_mix" ->
+      // full independent recomputation of the composed curation pipeline:
+      // q18's language CASE, q13's token/stopword signals, keep-first
+      // dedup via a min(doc_id)-per-hash join, and the md5-prefix sample.
+      """WITH s AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents), t AS (SELECT doc_id, text, CAST(array_length(w) AS BIGINT) AS n_words, CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop, len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','for','with','a'))) AS s_en, len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','del','se','un'))) AS s_es, len(list_filter(w, x -> x IN ('der','die','und','das','ist','von','mit','den','ein','zu'))) AS s_de, len(list_filter(w, x -> x IN ('le','la','les','de','des','et','un','une','est','dans'))) AS s_fr FROM s), p AS (SELECT doc_id, text, n_words, n_stop, CASE WHEN 4 * length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > length(text) THEN 'zh' WHEN s_fr = 0 AND s_es = 0 AND s_en = 0 AND s_de = 0 THEN 'und' WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' WHEN s_es >= s_en AND s_es >= s_de THEN 'es' WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS pred_lang FROM t), g AS (SELECT * FROM p WHERE pred_lang = 'en' AND n_words BETWEEN 5 AND 900 AND n_stop * 1000 >= n_words * 60), d AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM g GROUP BY 1) SELECT g.doc_id, g.n_words, g.n_stop FROM g JOIN d ON md5(g.text) = d.h AND g.doc_id = d.keeper WHERE substr(md5(g.text), 1, 1) < 'c' ORDER BY doc_id""",
     "q36_dedup_clusters" ->
       // independent clustering recomputation: DuckDB builds the transitive
       // closure over the dumped q14 pair graph with a recursive CTE and

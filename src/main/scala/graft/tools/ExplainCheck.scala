@@ -63,6 +63,14 @@ object ExplainCheck {
       // exchange at execution, so signatures compute ONCE; the pre-execution
       // plan can only show the join shape that enables it)
       ("shuffle band self-join (reusable exchange)", _.contains("ShuffledHashJoin")))
+    plan("q37_training_mix", graft.queries.Queries.q37TrainingMix(spark, dir),
+      // composed curation pipeline: all gates row-local, exactly one
+      // shuffle (the dedup groupBy), text never crosses the exchange
+      // (min_by keeps only the 3 projected cols), gates run pre-exchange
+      ("single shuffle (dedup groupBy only)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
+      ("partial agg before shuffle", _.contains("partial_")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
       // fully-builtin pipeline: simhash + band math + bit_count(xor)
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
