@@ -124,7 +124,16 @@ object ExtractionJob {
                             props: Map[String, String] = Map.empty,
                             // commit wall-clock instant, for the snapshots
                             // metadata table. None on hand-written manifests.
-                            committedAt: Option[String] = None)
+                            committedAt: Option[String] = None,
+                            // the table schema AT this snapshot, as Spark DDL
+                            // (Iceberg snapshot-scoped schema analog). Derived
+                            // from the committed wave's parquet footers and
+                            // carried sticky across file-less commits; reads
+                            // pin the scan to it, so added columns null-fill
+                            // over older files and dropped columns project
+                            // away. None on legacy manifests (reads fall back
+                            // to footer inference, today's behavior).
+                            schemaDdl: Option[String] = None)
 
   /** Pure transform: turns -> extracted turns (no sink). The extraction is a
     * typed map — one codegen boundary, everything else stays Catalyst.

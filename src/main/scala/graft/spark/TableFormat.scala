@@ -407,6 +407,7 @@ object SnapshotManifestFormat extends TableFormat {
   // commit properties: a flat string->string object (no nesting — commitWave
   // refuses braces inside values, so [^}]* is object-scoped and exact)
   private val propsRe = "\"props\"\\s*:\\s*\\{([^}]*)\\}".r
+  private val schemaRe = "\"schema\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val committedAtRe = "\"committed_at\"\\s*:\\s*\"([^\"]+)\"".r
   private val propsPairRe = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
@@ -450,7 +451,8 @@ object SnapshotManifestFormat extends TableFormat {
       // field; jesc-escaped prop values can't fake the unescaped key
       // sequence, and the bare key is refused at write time — lastOption
       // additionally covers tables written before that guard existed
-      committedAt = committedAtRe.findAllMatchIn(manifest).toSeq.lastOption.map(_.group(1))))
+      committedAt = committedAtRe.findAllMatchIn(manifest).toSeq.lastOption.map(_.group(1)),
+      schemaDdl = schemaRe.findFirstMatchIn(manifest).map(m => junesc(m.group(1)))))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -554,6 +556,12 @@ object SnapshotManifestFormat extends TableFormat {
       .toVector.sortBy(f => (f.bucket, f.path))
   }
 
+  /** Parquet footer -> Spark StructType, for recording the committed wave's
+    * schema in the manifest. Default flags (binary=UTF8 string off is fine:
+    * our writers always annotate strings) match what a fresh session infers. */
+  private lazy val parquetSchemaConverter =
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+
   private def atomicWrite(path: Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
@@ -602,14 +610,60 @@ object SnapshotManifestFormat extends TableFormat {
       throw new CommitConflictException(
         s"commit of snapshot $snapshotId computed against ${expectedBase.getOrElse("<none>")} " +
           s"but table is at ${current.getOrElse("<none>")} under $outDir — another writer committed first")
+    val prevMan = readManifest(outDir)
     // sticky table properties: every commit carries the previous manifest's
     // props forward with this commit's entries laid over them, so markers
     // like a streaming sink's last batch id survive maintenance commits and
     // snapshot expiry (only the LATEST manifest need exist to read them).
     // An EMPTY value is a tombstone — it retires the key, the only way a
     // sticky key ever leaves the table (Delta's txn-retention analog).
-    val effProps = (readManifest(outDir).map(_.props).getOrElse(Map.empty) ++ props)
+    val effProps = (prevMan.map(_.props).getOrElse(Map.empty) ++ props)
       .filter(_._2.nonEmpty)
+    // Snapshot-scoped table schema (Iceberg schema-evolution analog, the
+    // add/drop subset expressible without field ids): the schema of THIS
+    // commit is the staged wave's file schema — read from ONE footer,
+    // driver-side — falling back sticky to the previous snapshot's when the
+    // commit stages no files (maintenance, delete-only, fp-rebaseline).
+    // Reads pin the scan to the manifest's schema, so older files null-fill
+    // added columns and project away dropped ones; time travel serves each
+    // snapshot under ITS schema. A same-named column changing TYPE is not
+    // expressible this way (the pinned scan would fail on old files) and is
+    // refused here, before anything is promoted. Re-ADDING a dropped name
+    // with a different type slips past this guard (the name is absent from
+    // the immediately previous schema) but cannot corrupt data: the pinned
+    // scan fails LOUDLY on the first old file still carrying the old type.
+    // Closing that inch for real needs Iceberg field ids.
+    val stagedSchema: Option[org.apache.spark.sql.types.StructType] = {
+      val stagingPath = Paths.get(staging)
+      if (!Files.isDirectory(stagingPath)) None
+      else listDir(stagingPath).sortBy(_.toString)
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .iterator
+        .flatMap(b => listDir(b).sortBy(_.toString).filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        })
+        .nextOption()
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), new org.apache.hadoop.conf.Configuration())
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try parquetSchemaConverter.convert(reader.getFooter.getFileMetaData.getSchema)
+          finally reader.close()
+        }
+    }
+    val prevSchema = prevMan.flatMap(_.schemaDdl)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    for (nw <- stagedSchema; pv <- prevSchema; f <- nw.fields) {
+      pv.fields.find(_.name == f.name).foreach { p =>
+        // catalogString compare = structural type equality ignoring
+        // nullability (writers legitimately differ on nullable flags)
+        require(p.dataType.catalogString == f.dataType.catalogString,
+          s"schema evolution supports column add/drop only: '${f.name}' would change " +
+            s"type ${p.dataType.catalogString} -> ${f.dataType.catalogString}")
+      }
+    }
+    val effSchemaDdl = stagedSchema.map(_.toDDL).orElse(prevMan.flatMap(_.schemaDdl))
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)
@@ -659,13 +713,14 @@ object SnapshotManifestFormat extends TableFormat {
     val fpModeJson = fpMode.map(m => s""""fp_mode":"$m",""").getOrElse("")
     val bucketCountJson = bucketCount.map(n => s""""bucket_count":$n,""").getOrElse("")
     val operationJson = s""""operation":"$operation","""
+    val schemaJson = effSchemaDdl.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
     val propsJson =
       if (effProps.isEmpty) ""
       else effProps.toSeq.sorted.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
         .mkString(""""props":{""", ",", "},")
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
-        s"""$operationJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
+        s"""$operationJson$schemaJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
     atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
   }
@@ -748,12 +803,20 @@ object SnapshotManifestFormat extends TableFormat {
   private def readAt(spark: SparkSession, outDir: String, man: Manifest): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val deletes = manifestDeleteDirs(outDir, man)
+    // pin the scan to the manifest's snapshot-scoped schema: older files
+    // null-fill columns added since they were written, files carrying
+    // since-dropped columns project them away, and NO footer is read for
+    // schema inference (at 10^6 files the inference read alone matters).
+    // The bucket partition column is appended by partition discovery.
+    // Legacy manifests (no schema) infer from footers, as before.
+    def reader() = man.schemaDdl.foldLeft(spark.read)((r, d) =>
+      r.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
     def readPlain(): DataFrame = {
       val paths =
         if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
         else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
       require(paths.nonEmpty, s"empty committed snapshot under $outDir")
-      spark.read
+      reader()
         .option("basePath", s"$outDir/data")
         .parquet(paths: _*)
     }
@@ -776,7 +839,7 @@ object SnapshotManifestFormat extends TableFormat {
       val delBuckets = perBucket.map(_.getInt(0)).toSet
       val delRows = perBucket.map(_.getLong(1)).sum
       val (affectedFiles, cleanFiles) = man.files.partition(f => delBuckets.contains(f.bucket))
-      def read(fs: Seq[FileEntry]): DataFrame = spark.read
+      def read(fs: Seq[FileEntry]): DataFrame = reader()
         .option("basePath", s"$outDir/data")
         .parquet(fs.map(f => s"$outDir/data/${f.path}"): _*)
       val filteredPart =
