@@ -166,8 +166,10 @@ object JobMain {
         .collect().sortBy(_.getInt(0))
       val hist = rows.map { r =>
         val ts = r.getSeq[String](8).map(t => s""""$t"""").mkString("[", ",", "]")
+        val cols = r.getSeq[String](9).map(c => s""""$c"""").mkString("[", ",", "]")
         s"""{"snapshot":${r.getInt(0)},"op":"${r.getString(1)}","files":${r.getInt(3)},""" +
-          s""""rows":${r.getLong(4)},"deletes":${r.getInt(6)},"current":${r.getBoolean(7)},"tags":$ts}"""
+          s""""rows":${r.getLong(4)},"deletes":${r.getInt(6)},"current":${r.getBoolean(7)},""" +
+          s""""tags":$ts,"schema_cols":$cols}"""
       }.mkString("[", ",", "]")
       println(s"""{"history":$hist,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()

@@ -258,7 +258,9 @@ trait TableFormat {
       SnapshotMetaRow(m.snapshotId, m.operation.getOrElse("append"),
         m.committedAt.getOrElse(""), m.files.size, m.files.map(_.rowCount).sum,
         m.buckets.size, m.deleteDirs.size, current.contains(m.snapshotId),
-        tagged.getOrElse(m.snapshotId, Seq.empty))
+        tagged.getOrElse(m.snapshotId, Seq.empty),
+        m.schemaDdl.map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+          .fieldNames.toSeq).getOrElse(Seq.empty))
     }
     import spark.implicits._
     rows.toDF()
@@ -323,7 +325,10 @@ final case class SnapshotMetaRow(snapshot_id: Int, operation: String,
                                  committed_at: String, file_count: Int,
                                  row_count: Long, bucket_count: Int,
                                  delete_dir_count: Int, is_current: Boolean,
-                                 tags: Seq[String])
+                                 tags: Seq[String],
+                                 // top-level column names of the snapshot's
+                                 // recorded schema; empty on legacy manifests
+                                 schema_cols: Seq[String])
 
 /** One row of the `$files` metadata table. */
 final case class FileMetaRow(snapshot_id: Int, bucket: Int, path: String,

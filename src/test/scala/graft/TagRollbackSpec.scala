@@ -211,6 +211,8 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps.count(_.getBoolean(7)) == 1 && snaps.last.getBoolean(7))
     assert(snaps.find(_.getInt(0) == s0).get.getSeq[String](8) == Seq("base"))
     assert(snaps.forall(r => r.getString(2).nonEmpty), "committed_at must be populated")
+    assert(snaps.forall(r => r.getSeq[String](9).contains("fields_json")),
+      "every snapshot must expose its recorded schema columns")
     // row_count column equals the served table for the current snapshot
     assert(snaps.last.getLong(4) == ExtractionJob.readCommitted(spark, out).count())
 
