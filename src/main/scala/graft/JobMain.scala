@@ -40,6 +40,12 @@ import org.apache.spark.sql.SparkSession
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
+  * --rebucket=N rewrites the whole table under a new bucket modulus as one
+  * replacing snapshot (partition evolution for a hash layout); pending
+  * deletes are applied by the rewrite and the conv-fp sidecar is re-keyed,
+  * so incremental runs continue seamlessly under the new modulus. The
+  * batch run, like the streaming sink, treats an existing table's RECORDED
+  * modulus as authoritative over the positional [buckets] argument.
   *
   * Input: a parquet table of transcript turns with columns
   * (conv_id string, turn_idx int, role string, text string, tool string,
@@ -78,6 +84,16 @@ object JobMain {
         require(n >= 1, s"--expire=N must retain at least 1 snapshot, got $n")
         n
       }
+    val rebucketTo: Option[Int] =
+      args.find(_.startsWith("--rebucket=")).map { a =>
+        val n =
+          try a.stripPrefix("--rebucket=").toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--rebucket=N requires an integer, got: $a")
+          }
+        require(n >= 1, s"--rebucket=N requires a positive modulus, got $n")
+        n
+      }
     val setProps: Map[String, String] =
       args.filter(_.startsWith("--set-prop=")).map { a =>
         val kv = a.stripPrefix("--set-prop=")
@@ -95,9 +111,11 @@ object JobMain {
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     if (modeFlags.nonEmpty)
-      require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty,
+      require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
+          rebucketTo.isEmpty,
         s"${modeFlags.head} does not compose with maintenance flags " +
-          "(--compact/--expire/--remove-orphans/--set-prop) — run them as separate invocations")
+          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket) — run them as " +
+          "separate invocations")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -207,7 +225,8 @@ object JobMain {
       // the maintenance flags compose with streaming ingest the same way
       // they do with a batch run — a scheduled ingest+retention invocation
       // must not silently drop its retention half
-      val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps)
+      val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
+        rebucketTo)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -217,7 +236,8 @@ object JobMain {
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
         fingerprintInputs = fingerprint, convGrained = convGrained))
-    val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps)
+    val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
+      rebucketTo)
     println(s"""{"committed_buckets_this_run":${done.size},$maint"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
@@ -227,7 +247,13 @@ object JobMain {
     * JSON fragment (trailing comma included) both paths print. */
   private def runMaintenance(spark: SparkSession, outDir: String, doCompact: Boolean,
                              expireRetain: Option[Int], orphanAge: Option[Long],
-                             setProps: Map[String, String]): String = {
+                             setProps: Map[String, String],
+                             rebucketTo: Option[Int] = None): String = {
+    // rebucket FIRST: the replacing rewrite applies pending deletes itself,
+    // so a combined --rebucket --compact invocation compacts a clean table
+    val rebucketed = rebucketTo.map { n =>
+      graft.spark.ExtractionJob.rebucket(spark, outDir, n); n
+    }
     val compacted =
       if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
     val (expired, gcFiles) = expireRetain match {
@@ -239,7 +265,8 @@ object JobMain {
       case None => 0
     }
     if (setProps.nonEmpty) graft.spark.SnapshotManifestFormat.setTableProps(outDir, setProps)
-    s""""compacted_buckets":${compacted.size},"expired_snapshots":$expired,""" +
-      s""""gc_files":$gcFiles,"orphans_removed":$orphans,"props_set":${setProps.size},"""
+    s""""rebucketed_to":${rebucketed.getOrElse(0)},"compacted_buckets":${compacted.size},""" +
+      s""""expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,""" +
+      s""""props_set":${setProps.size},"""
   }
 }

@@ -241,8 +241,16 @@ object ExtractionJob {
     var attempt = 0
     while (true) {
       try {
-        if (config.convGrained) runConvGrained(spark, turns, config, format, acc)
-        else runBucketGrained(spark, turns, config, format, acc)
+        // on an existing table the RECORDED bucket modulus is authoritative
+        // (same contract as the streaming sink): an operator passing a
+        // different [buckets] must not silently mix moduli — dirty-bucket
+        // diffing, keyed reads and equality deletes all key on the recorded
+        // one. rebucket() is the sanctioned way to change it. Re-resolved
+        // per attempt: a concurrent rebucket advances it between retries.
+        val eff = format.readManifest(config.outDir).flatMap(_.bucketCount)
+          .map(n => config.copy(buckets = n)).getOrElse(config)
+        if (eff.convGrained) runConvGrained(spark, turns, eff, format, acc)
+        else runBucketGrained(spark, turns, eff, format, acc)
         return acc.toSet
       } catch {
         case _: CommitConflictException if attempt < config.commitRetries =>
@@ -543,6 +551,60 @@ object ExtractionJob {
   /** Merge-on-read compaction (see TableFormat.compact). */
   def compact(spark: SparkSession, outDir: String): Set[Int] =
     defaultFormat.compact(spark, outDir)
+
+  /** Partition evolution (Iceberg's spec change, realized the only way a
+    * hash-modulus layout can be: a full rewrite): re-hash every committed
+    * row under a NEW bucket modulus and commit the result as one replacing
+    * snapshot. A table bucketed at creation for 10^9 conversations stops
+    * fitting after 100x growth — too few buckets means oversized delta
+    * scans and skewed maintenance; this is the sanctioned modulus change.
+    * Applies pending equality deletes in passing (the rewrite reads the
+    * committed view). The conv-fp sidecar is rewritten under the new
+    * modulus so conversation-grained diffing keeps working; recorded
+    * bucket-mode input fingerprints are keyed by OLD bucket ids and are
+    * dropped (the next fingerprinted run re-baselines). Incremental (CDC)
+    * reads refuse across the rebucket like any replacing commit, and time
+    * travel to pre-rebucket snapshots reports history loss once their
+    * files are gone — both the established `compact` contracts. Returns
+    * the new snapshot id; no-op when the modulus already matches. */
+  def rebucket(spark: SparkSession, outDir: String, newBuckets: Int,
+               format: TableFormat = SnapshotManifestFormat): Int = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val man = format.readManifest(outDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    if (man.bucketCount.contains(newBuckets)) return man.snapshotId
+    val seq = man.snapshotId + 1
+    val staging = s"$outDir/staging-rebucket-$seq"
+    format.readCommitted(spark, outDir)
+      .drop("bucket")
+      .withColumn("bucket", bucketOf(newBuckets))
+      .repartition(newBuckets, col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+    val newFiles = format.listStagedFiles(spark, staging).toVector.map(_.copy(seq = seq))
+    val now = java.time.Instant.now().toString
+    val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>
+      LineageRow(seq, b.toLong, fs.map(_.rowCount).sum, 0L, 0L, now)
+    }.toVector
+    val (newConvFpsDir, fps) = man.convFpsDir match {
+      case Some(d) if new java.io.File(s"$outDir/conv_fps/$d").isDirectory =>
+        val nd = s"fp-$seq"
+        spark.read.parquet(s"$outDir/conv_fps/$d")
+          .drop("bucket").withColumn("bucket", bucketOf(newBuckets))
+          .select("bucket", "conv_id", "fp")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/conv_fps/$nd")
+        (Some(nd), bucketFpsFromConv(spark.read.parquet(s"$outDir/conv_fps/$nd")))
+      case _ => (None, Map.empty[Int, Long])
+    }
+    format.commitWave(outDir, staging, seq, (0 until newBuckets).toSet, newFiles,
+      lineage, fps, additive = false, convFpsDir = newConvFpsDir,
+      deleteDirs = Seq.empty, // applied by the rewrite
+      fpMode = if (newConvFpsDir.isDefined) Some("conv") else None,
+      bucketCount = Some(newBuckets), operation = "replace")
+    // bucket dirs outside the new modulus range are no longer promoted over;
+    // their files stay for older manifests and are GC'd by expireSnapshots
+    seq
+  }
 
   /** Time-travel read (see TableFormat.readCommittedAsOf). */
   def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
