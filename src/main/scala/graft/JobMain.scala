@@ -112,10 +112,10 @@ object JobMain {
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
-          rebucketTo.isEmpty,
-        s"${modeFlags.head} does not compose with maintenance flags " +
-          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket) — run them as " +
-          "separate invocations")
+          rebucketTo.isEmpty && !args.exists(_.startsWith("--stream-ingest=")),
+        s"${modeFlags.head} does not compose with maintenance or ingest flags " +
+          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket/--stream-ingest) — " +
+          "run them as separate invocations")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256

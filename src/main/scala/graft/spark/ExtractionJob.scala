@@ -281,7 +281,28 @@ object ExtractionJob {
         verified.filter(b => manFps.get(b) == currentFps.get(b))
       else verified
     val remaining = (0 until config.buckets).filterNot(already.contains)
-    if (remaining.isEmpty) return
+    if (remaining.isEmpty) {
+      // fingerprint BASELINE: a table whose bucket fps were dropped
+      // (rebucket invalidates old-modulus fps) or never recorded
+      // (fingerprinting enabled after the table was built) cannot detect
+      // FUTURE input changes until a baseline exists — record the current
+      // input's fps in a metadata-only commit so the next run compares
+      // against something. Honest limitation: an input change that landed
+      // BEFORE this baseline is undetectable by any fingerprint scheme
+      // (there is no recorded value for it to differ from); conv-grained
+      // tables keep their re-keyed sidecar through rebucket and never hit
+      // this gap.
+      val needBaseline = config.fingerprintInputs && fpModeOk &&
+        verified.exists(b => !manFps.contains(b) && currentFps.contains(b))
+      if (needBaseline) priorMan.foreach { man =>
+        format.commitWave(config.outDir, s"${config.outDir}/no-staging",
+          man.snapshotId + 1, man.buckets, man.files, lineage = Seq.empty,
+          inputFps = manFps ++ currentFps.filter { case (b, _) => verified.contains(b) },
+          additive = true, convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs,
+          fpMode = Some("bucket"), bucketCount = man.bucketCount, operation = "props")
+      }
+      return
+    }
 
     val waveSize = math.max(1, math.ceil(remaining.size.toDouble / config.waves).toInt)
     val waves = remaining.grouped(waveSize).toVector

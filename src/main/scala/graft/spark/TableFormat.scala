@@ -60,7 +60,12 @@ trait TableFormat {
                  fpMode: Option[String] = None,
                  bucketCount: Option[Int] = None,
                  operation: String = "append",
-                 props: Map[String, String] = Map.empty): Unit
+                 props: Map[String, String] = Map.empty,
+                 // explicit snapshot-schema override (DDL): rollback passes
+                 // the TARGET snapshot's schema so a rollback across a
+                 // schema change restores the schema too; None = derive
+                 // from staged footers or carry the previous one sticky
+                 schemaDdl: Option[String] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -215,7 +220,7 @@ trait TableFormat {
           target.buckets, target.files, lineage = Seq.empty, inputFps = target.inputFps,
           additive = true, convFpsDir = target.convFpsDir, deleteDirs = target.deleteDirs,
           fpMode = target.fpMode, bucketCount = target.bucketCount,
-          operation = "replace")
+          operation = "replace", schemaDdl = target.schemaDdl)
         return latest.snapshotId + 1
       } catch {
         case e: CommitConflictException =>
@@ -506,6 +511,11 @@ object SnapshotManifestFormat extends TableFormat {
     * count, so the driver-side loop is manifest-sized (the same loop a real
     * Iceberg commit performs when it collects DataFile stats).
     */
+  /** A staged/committed parquet DATA file (not a marker or hidden file) —
+    * the one filter both the commit's file listing and its schema read use. */
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
   override def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
     val hconf = spark.sessionState.newHadoopConf()
     val stagingPath = Paths.get(staging)
@@ -515,10 +525,7 @@ object SnapshotManifestFormat extends TableFormat {
       .flatMap { bucketDir =>
         val bucket = bucketDir.getFileName.toString.stripPrefix("bucket=").toInt
         listDir(bucketDir)
-          .filter { f =>
-            val n = f.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
+          .filter(f => isDataFile(f.getFileName.toString))
           .map { f =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f.toUri), hconf)
@@ -582,7 +589,8 @@ object SnapshotManifestFormat extends TableFormat {
                           fpMode: Option[String] = None,
                           bucketCount: Option[Int] = None,
                           operation: String = "append",
-                          props: Map[String, String] = Map.empty): Unit = {
+                          props: Map[String, String] = Map.empty,
+                          schemaDdl: Option[String] = None): Unit = {
     // flat-JSON manifest encoding: a '{'/'}' inside a props value would
     // break the object-scoped parse regex — refuse loudly at write time
     props.foreach { case (k, v) =>
@@ -595,8 +603,12 @@ object SnapshotManifestFormat extends TableFormat {
       if (k.startsWith("ref.")) {
         require(v.isEmpty || v.matches("\\d{1,9}"),
           s"'$k' is in the reserved tag namespace; its value must be a snapshot id, got: '$v'")
-        require(k.stripPrefix("ref.").matches("[A-Za-z0-9._-]+"),
-          s"invalid tag name in prop key '$k'")
+        // tombstones (empty value) are exempt from the name-charset check:
+        // a tag written before the charset tightened must stay DROPPABLE,
+        // or its snapshot is pinned against expiry forever
+        if (v.nonEmpty)
+          require(k.stripPrefix("ref.").matches("[A-Za-z0-9._-]+"),
+            s"invalid tag name in prop key '$k'")
       }
       // committed_at is the manifest's own trailing field; a prop with
       // that key would shadow it for the parser (props serialize first)
@@ -644,12 +656,13 @@ object SnapshotManifestFormat extends TableFormat {
       else listDir(stagingPath).sortBy(_.toString)
         .filter(p => p.getFileName.toString.startsWith("bucket="))
         .iterator
-        .flatMap(b => listDir(b).sortBy(_.toString).filter { f =>
-          val n = f.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        })
+        .flatMap(b => listDir(b).sortBy(_.toString)
+          .filter(f => isDataFile(f.getFileName.toString)))
         .nextOption()
         .map { f =>
+          // bare Configuration is deliberate: this format is local-FS by
+          // construction (every manifest/promote path uses java.nio.Files),
+          // and commitWave has no SparkSession to borrow a conf from
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.toUri), new org.apache.hadoop.conf.Configuration())
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -668,7 +681,8 @@ object SnapshotManifestFormat extends TableFormat {
             s"type ${p.dataType.catalogString} -> ${f.dataType.catalogString}")
       }
     }
-    val effSchemaDdl = stagedSchema.map(_.toDDL).orElse(prevMan.flatMap(_.schemaDdl))
+    val effSchemaDdl = schemaDdl.orElse(stagedSchema.map(_.toDDL))
+      .orElse(prevMan.flatMap(_.schemaDdl))
     // promote staged bucket dirs into data/ then commit the snapshot
     val dataDir = Paths.get(outDir, "data")
     Files.createDirectories(dataDir)

@@ -749,7 +749,8 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
                      inputFps: Map[Int, Long], additive: Boolean,
                      convFpsDir: Option[String], deleteDirs: Seq[String],
                      fpMode: Option[String], bucketCount: Option[Int],
-                     operation: String, props: Map[String, String]): Unit = {
+                     operation: String, props: Map[String, String],
+                     schemaDdl: Option[String]): Unit = {
         if (!injected) {
           injected = true
           val man = inner.readManifest(outDir).get

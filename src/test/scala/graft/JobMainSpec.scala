@@ -161,6 +161,11 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       JobMain.main(Array(in1, out, s"--rollback=$s0", "--compact"))
     }
+    // streaming ingest is a maintenance-class flag too: a mode flag beside
+    // it would silently skip the batch-vs-ingest work, so it refuses
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(in1, out, "--tags", "--stream-ingest=/tmp/nonexistent-ckpt"))
+    }
   }
 
   test("JobMain --stream-ingest tails the input and commits exactly-once snapshots") {

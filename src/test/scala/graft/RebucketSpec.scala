@@ -104,4 +104,42 @@ class RebucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.readCommitted(spark, out).count() ==
       ExtractionJob.extract(spark, turns).count())
   }
+
+  test("after rebucket drops fps, the next fingerprinted run re-baselines so future input changes are detected") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-rebucket-rebase").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, fingerprintInputs = true)
+    val turns = Transcripts.generate(spark, 25)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val snap = ExtractionJob.rebucket(spark, out, 8)
+    assert(fmt.readManifest(out).get.inputFps.isEmpty)
+
+    // unchanged rerun: recomputes nothing, but commits a metadata-only
+    // BASELINE snapshot recording the current input's fps under the NEW
+    // modulus — without it, every future input change would be invisible
+    assert(ExtractionJob.run(spark, turns, cfg) == Set.empty)
+    val man = fmt.readManifest(out).get
+    assert(man.snapshotId == snap + 1 && man.operation.contains("props"),
+      s"expected a props-only baseline commit, got ${man.operation} @ ${man.snapshotId}")
+    assert(man.inputFps.nonEmpty && man.fpMode.contains("bucket"))
+    assert(man.files.toSet == fmt.readManifestAt(out, snap).get.files.toSet,
+      "the baseline must not touch data")
+
+    // a second unchanged rerun is a full no-op (no baseline churn)
+    assert(ExtractionJob.run(spark, turns, cfg) == Set.empty)
+    assert(fmt.readManifest(out).get.snapshotId == snap + 1)
+
+    // an input change AFTER the baseline now recomputes exactly the
+    // changed conversation's new-modulus bucket
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\npost-rebucket fix") else t)
+    val expected = changed.where(org.apache.spark.sql.functions.col("conv_id") === victim)
+      .select(ExtractionJob.bucketOf(8).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val recomputed = ExtractionJob.run(spark, changed, cfg)
+    assert(recomputed == expected, s"recomputed $recomputed, expected $expected")
+    assert(ExtractionJob.run(spark, changed, cfg) == Set.empty)
+  }
 }

@@ -120,6 +120,39 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.count() == 2)
   }
 
+  test("rollback across a schema change restores the target snapshot's schema") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-schema-rollback").toString
+
+    // s0: engine v1 schema (conv_id, score)
+    val s0 = stage(out, "staging-0",
+      Seq((0, "c0", 10L), (1, "c1", 20L)).toDF("bucket", "conv_id", "score"))
+    val files0 = fmt.listStagedFiles(spark, s0).toVector
+    fmt.commitWave(out, s0, 0, Set(0, 1), files0, Vector.empty, Map.empty,
+      bucketCount = Some(2))
+
+    // s1: engine v2 ADDS quality
+    val s1 = stage(out, "staging-1",
+      Seq((0, "c2", 30L, 0.9)).toDF("bucket", "conv_id", "score", "quality"))
+    val files1 = fmt.listStagedFiles(spark, s1).toVector.map(_.copy(seq = 1))
+    fmt.commitWave(out, s1, 1, Set(0, 1), files0 ++ files1, Vector.empty, Map.empty,
+      additive = true, bucketCount = Some(2), operation = "delta")
+    assert(fmt.readCommitted(spark, out).columns.contains("quality"))
+
+    // rollback to s0: a file-less replacing commit — without an explicit
+    // schema override it would carry s1's schema sticky and keep serving a
+    // null-filled quality column the v1 table never had
+    val s2 = fmt.rollbackTo(out, 0)
+    assert(s2 == 2)
+    assert(fmt.readManifest(out).get.schemaDdl == fmt.readManifestAt(out, 0).get.schemaDdl,
+      "rollback must restore the TARGET snapshot's schema, not carry the head's")
+    assert(fmt.readCommitted(spark, out).columns.toSeq == Seq("conv_id", "score", "bucket"))
+    assert(fmt.readCommitted(spark, out).count() == 2)
+    // time travel still serves the evolved snapshot under ITS schema
+    assert(fmt.readCommittedAsOf(spark, out, 1).columns.contains("quality"))
+  }
+
   test("the extraction job records its output schema and evolved tables keep serving the flagship read") {
     val out = Files.createTempDirectory("graft-schema-job").toString
     val turns = Transcripts.generate(spark, 8)

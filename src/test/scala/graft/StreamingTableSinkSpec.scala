@@ -204,10 +204,12 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
                    inputFps: Map[Int, Long], additive: Boolean,
                    convFpsDir: Option[String], deleteDirs: Seq[String],
                    fpMode: Option[String], bucketCount: Option[Int],
-                   operation: String, props: Map[String, String]): Unit = {
+                   operation: String, props: Map[String, String],
+                   schemaDdl: Option[String]): Unit = {
       if (!injected) { injected = true; inject(outDir) }
       fmt.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
-        inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount, operation, props)
+        inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount, operation, props,
+        schemaDdl)
     }
   }
 

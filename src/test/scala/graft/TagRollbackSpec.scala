@@ -239,4 +239,30 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.contains(s0) && after.contains(man.snapshotId))
     assert(after.size < snaps.length)
   }
+
+  test("a legacy tag whose name violates the tightened charset stays droppable (tombstone exemption)") {
+    val out = Files.createTempDirectory("graft-tag-legacy").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1)
+    assert(ExtractionJob.run(spark, Transcripts.generate(spark, 8), cfg).nonEmpty)
+    val latest = ExtractionJob.latestSnapshot(out).get
+
+    // inject a ref prop written before the name charset tightened (names
+    // with spaces were once accepted) straight into the manifest, the way
+    // an old engine version left it on disk
+    val manPath = java.nio.file.Paths.get(out, "snapshots", s"snap-$latest.json")
+    val raw = new String(Files.readAllBytes(manPath), java.nio.charset.StandardCharsets.UTF_8)
+    assert(raw.contains("\"operation\":"))
+    Files.write(manPath, raw.replaceFirst("\"operation\":\"([a-z]+)\",",
+      "\"operation\":\"$1\",\"props\":{\"ref.bad name\":\"0\"},")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ExtractionJob.tags(out) == Map("bad name" -> 0))
+
+    // creating such a tag is refused today...
+    intercept[IllegalArgumentException] { ExtractionJob.tagSnapshot(out, "bad name", 0) }
+    // ...but the legacy one MUST stay droppable, or its snapshot is pinned
+    // against expiry forever (the tombstone's empty value is exempt from
+    // the name-charset check)
+    ExtractionJob.dropTag(out, "bad name")
+    assert(ExtractionJob.tags(out).isEmpty)
+  }
 }
