@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import graft.spark.SnapshotManifestFormat
+
+/** Table-as-a-stream: a Structured Streaming source over the snapshot
+  * table (the Delta/Iceberg streaming-read analog), completing the loop
+  * with the exactly-once streaming SINK — downstream incremental consumers
+  * (tokenization, indexing, stats) tail the extraction table instead of
+  * re-scanning it.
+  *
+  * ```
+  * spark.readStream.format("graft-table").load(tableDir)
+  * ```
+  *
+  * Offsets are snapshot ids, checkpointed by the engine, so a restarted
+  * query resumes exactly where it stopped. Batch semantics:
+  *  - the FIRST batch serves the full committed snapshot (MOR deletes
+  *    applied) as of the offset — a fresh consumer needs no side-channel
+  *    backfill, and history already expired before the stream existed is
+  *    irrelevant;
+  *  - each later batch is the NET post-image appends of `(start, end]`
+  *    (seq-aware: a conversation corrected twice in the range appears
+  *    once, at its latest content) — upsert semantics keyed by
+  *    `(conv_id, turn_idx)`, retractions available in batch via
+  *    `readDeleteKeysBetween`;
+  *  - a replacing commit (compaction, rebucket, rollback) or expired
+  *    in-range history fails the stream with the table format's distinct
+  *    errors — restart from a fresh checkpoint to re-baseline, the
+  *    standard lakehouse CDC contract;
+  *  - a schema change mid-stream fails loudly (v1 batches are spliced
+  *    positionally; serving a wider schema would misbind columns).
+  *
+  * v1 `Source` (over DSv2 `MicroBatchStream`) is deliberate: `getBatch`
+  * returns a DataFrame, so each microbatch reuses the exact snapshot /
+  * incremental read plans of the table format — vectorized parquet scan,
+  * snapshot-pinned schema, bucket partition discovery, broadcast-pinned
+  * MOR anti-join — instead of a hand-rolled row reader (the same reason
+  * Delta Lake's source is v1). Per-batch work scales with the files
+  * APPENDED in the range, never with table size.
+  *
+  * Options: `startSnapshot` = first snapshot id to serve (inclusive), or
+  * `latest` to serve only commits after stream start; default serves the
+  * whole table. With an explicit `startSnapshot`/`latest` start there is
+  * no initial-snapshot batch — consumption begins at the increments.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-table derives its schema from the table manifest; " +
+        "a user-specified schema is not supported")
+    (shortName(), GraftTableSource.tableSchema(GraftTableSource.pathOf(parameters)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(ctx.sparkSession, parameters, metadataPath)
+}
+
+object GraftTableSource {
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "option 'path' (the snapshot table directory) is required — " +
+        ".load(dir) or .option(\"path\", dir)"))
+
+  /** Manifest schema + the bucket partition column — the exact columns
+    * `readCommitted` serves. */
+  private[sources] def tableSchema(dir: String): StructType = {
+    val man = SnapshotManifestFormat.readManifest(dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $dir: the streaming source needs an existing table"))
+    val ddl = man.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"manifest ${man.snapshotId} under $dir records no schema (legacy table): " +
+        "commit once with current code before streaming from it"))
+    StructType.fromDDL(ddl).add("bucket", IntegerType, nullable = true)
+  }
+}
+
+class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
+                       metadataPath: String) extends Source {
+  private val dir = GraftTableSource.pathOf(parameters)
+  private val fmt = SnapshotManifestFormat
+
+  // the snapshot BEFORE the first one served (exclusive lower bound):
+  // "latest" pins to the head when the STREAM first starts — persisted in
+  // the source's checkpoint metadata dir so a restarted query (whose first
+  // run may never have committed a batch) does not silently re-pin to a
+  // newer head and drop commits; an explicit id N streams from N
+  // inclusive; default -1 = whole table (initial-snapshot batch)
+  private val startExclusive: Int = parameters.get("startSnapshot") match {
+    case Some("latest") =>
+      val marker = java.nio.file.Paths.get(metadataPath, "graft-start")
+      if (java.nio.file.Files.isRegularFile(marker))
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else {
+        val pinned = fmt.latestSnapshot(dir).getOrElse(-1)
+        java.nio.file.Files.createDirectories(marker.getParent)
+        val tmp = marker.resolveSibling("graft-start.tmp")
+        java.nio.file.Files.write(tmp,
+          pinned.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        pinned
+      }
+    case Some(s) =>
+      val n =
+        try s.toInt
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startSnapshot must be a snapshot id or 'latest', got: '$s'") }
+      require(n >= 0, s"startSnapshot must be >= 0, got $n")
+      n - 1
+    case None => -1
+  }
+  private val initialSnapshotBatch = !parameters.contains("startSnapshot")
+
+  // schema pinned at stream start; a mid-stream change fails the stream
+  private val pinnedDdl: Option[String] = fmt.readManifest(dir).flatMap(_.schemaDdl)
+
+  override val schema: StructType = GraftTableSource.tableSchema(dir)
+
+  override def getOffset: Option[Offset] =
+    fmt.latestSnapshot(dir).filter(_ > startExclusive).map(id => LongOffset(id.toLong))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = longOf(end).toInt
+    guardSchema(to)
+    val df = start.map(o => longOf(o).toInt) match {
+      case Some(from) => fmt.readAppendsBetweenStreaming(spark, dir, from, to)
+      case None if initialSnapshotBatch => fmt.readCommittedAsOfStreaming(spark, dir, to)
+      case None => fmt.readAppendsBetweenStreaming(spark, dir, startExclusive, to)
+    }
+    // pin column order to the declared source schema (v1 splices batches
+    // into the streaming plan positionally)
+    df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** Nullability (and field metadata) drift across commits — footer-derived
+    * DDLs record NOT NULL for files written straight from a typed Dataset
+    * but nullable for post-join delta rewrites — is not a schema CHANGE;
+    * only names/types/shape are. */
+  private def normalize(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f => f.copy(
+      dataType = normalize(f.dataType), nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = normalize(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = normalize(m.keyType), valueType = normalize(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private def guardSchema(to: Int): Unit = {
+    val nowDdl = fmt.readManifestAt(dir, to).flatMap(_.schemaDdl)
+    // `to` below the head happens on restart re-initialization (the engine
+    // replays getBatch over the committed range): the guard then catches a
+    // schema that evolved while the stream was DOWN, which is just as
+    // unservable through this checkpoint as a mid-run change
+    if (pinnedDdl.nonEmpty && nowDdl.nonEmpty &&
+        normalize(StructType.fromDDL(nowDdl.get)) !=
+          normalize(StructType.fromDDL(pinnedDdl.get)))
+      throw new IllegalStateException(
+        s"table schema changed mid-stream under $dir (snapshot $to): " +
+          s"was [${pinnedDdl.get}], now [${nowDdl.get}] — restart the streaming " +
+          "query from a fresh checkpoint to pick up the new schema")
+  }
+
+  private def longOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -819,7 +819,8 @@ object SnapshotManifestFormat extends TableFormat {
     * 5M rows ≈ 120 MB on each executor — the safe ceiling for a pinned hint. */
   private val BroadcastDeleteRowLimit = 5000000L
 
-  private def readAt(spark: SparkSession, outDir: String, man: Manifest): DataFrame = {
+  private def readAt(spark: SparkSession, outDir: String, man: Manifest,
+                     streaming: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val deletes = manifestDeleteDirs(outDir, man)
     // pin the scan to the manifest's snapshot-scoped schema: older files
@@ -828,16 +829,24 @@ object SnapshotManifestFormat extends TableFormat {
     // schema inference (at 10^6 files the inference read alone matters).
     // The bucket partition column is appended by partition discovery.
     // Legacy manifests (no schema) infer from footers, as before.
-    def reader() = man.schemaDdl.foldLeft(spark.read)((r, d) =>
-      r.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    // `streaming` swaps the DATA-side relations for streaming-flagged ones
+    // (same parquet scan, see StreamRelationBridge) so the v1 streaming
+    // source can serve this exact read as a microbatch; the delete side
+    // stays a batch read (a stream-static anti-filter join).
+    val userSchema = man.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    def mkRead(paths: Seq[String]): DataFrame =
+      if (streaming)
+        org.apache.spark.sql.graftbridge.StreamRelationBridge
+          .streamingParquet(spark, paths, userSchema, s"$outDir/data")
+      else userSchema.foldLeft(spark.read)(_ schema _)
+        .option("basePath", s"$outDir/data")
+        .parquet(paths: _*)
     def readPlain(): DataFrame = {
       val paths =
         if (man.files.nonEmpty) man.files.map(f => s"$outDir/data/${f.path}")
         else man.buckets.toSeq.sorted.map(b => s"$outDir/data/bucket=$b")
       require(paths.nonEmpty, s"empty committed snapshot under $outDir")
-      reader()
-        .option("basePath", s"$outDir/data")
-        .parquet(paths: _*)
+      mkRead(paths)
     }
     // a legacy manifest (no file list) cannot carry per-file seq numbers, so
     // equality deletes CANNOT be applied — reading plain would silently
@@ -858,9 +867,7 @@ object SnapshotManifestFormat extends TableFormat {
       val delBuckets = perBucket.map(_.getInt(0)).toSet
       val delRows = perBucket.map(_.getLong(1)).sum
       val (affectedFiles, cleanFiles) = man.files.partition(f => delBuckets.contains(f.bucket))
-      def read(fs: Seq[FileEntry]): DataFrame = reader()
-        .option("basePath", s"$outDir/data")
-        .parquet(fs.map(f => s"$outDir/data/${f.path}"): _*)
+      def read(fs: Seq[FileEntry]): DataFrame = mkRead(fs.map(f => s"$outDir/data/${f.path}"))
       val filteredPart =
         if (affectedFiles.isEmpty) None
         else {
@@ -956,7 +963,12 @@ object SnapshotManifestFormat extends TableFormat {
     }
 
   override def readAppendsBetween(spark: SparkSession, outDir: String,
-                                  fromSnapshot: Int, toSnapshot: Int): DataFrame = {
+                                  fromSnapshot: Int, toSnapshot: Int): DataFrame =
+    appendsBetween(spark, outDir, fromSnapshot, toSnapshot, streaming = false)
+
+  private def appendsBetween(spark: SparkSession, outDir: String,
+                             fromSnapshot: Int, toSnapshot: Int,
+                             streaming: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val mans = rangeManifests(outDir, fromSnapshot, toSnapshot)
     val manTo = mans.last
@@ -970,15 +982,34 @@ object SnapshotManifestFormat extends TableFormat {
       val eff = manTo.files.take(1)
       if (eff.isEmpty)
         throw new IllegalStateException(s"empty committed snapshot under $outDir")
-      return readAt(spark, outDir, manTo.copy(files = eff, deleteDirs = Vector.empty))
+      return readAt(spark, outDir, manTo.copy(files = eff, deleteDirs = Vector.empty),
+        streaming)
         .where(lit(false))
     }
     // the range's own deletes supersede its earlier deltas (seq-aware);
     // deletes BEFORE the range never apply to in-range files (lower seq),
     // deletes AFTER it are outside the requested snapshot horizon
     readAt(spark, outDir, manTo.copy(
-      files = files, deleteDirs = rangeDeleteDirs(manTo, fromSnapshot, toSnapshot)))
+      files = files, deleteDirs = rangeDeleteDirs(manTo, fromSnapshot, toSnapshot)),
+      streaming)
   }
+
+  /** Streaming-relation variants of the committed-snapshot and incremental
+    * reads, for the table's v1 streaming source (graft.sources): identical
+    * plans to [[readCommittedAsOf]]/[[readAppendsBetween]] — snapshot-pinned
+    * schema, MOR delete application, per-range net post-images — with the
+    * data-side parquet relations flagged `isStreaming` so
+    * MicroBatchExecution accepts them as a microbatch. */
+  def readCommittedAsOfStreaming(spark: SparkSession, outDir: String,
+                                 snapshotId: Int): DataFrame = {
+    val man = readManifestAt(outDir, snapshotId)
+      .getOrElse(throw new IllegalStateException(s"no snapshot $snapshotId under $outDir"))
+    readAt(spark, outDir, man, streaming = true)
+  }
+
+  def readAppendsBetweenStreaming(spark: SparkSession, outDir: String,
+                                  fromSnapshot: Int, toSnapshot: Int): DataFrame =
+    appendsBetween(spark, outDir, fromSnapshot, toSnapshot, streaming = true)
 
   override def readDeleteKeysBetween(spark: SparkSession, outDir: String,
                                      fromSnapshot: Int, toSnapshot: Int): DataFrame = {
