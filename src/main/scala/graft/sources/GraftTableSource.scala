@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -86,9 +87,25 @@ object GraftTableSource {
 }
 
 class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
-                       metadataPath: String) extends Source {
+                       metadataPath: String)
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val dir = GraftTableSource.pathOf(parameters)
   private val fmt = SnapshotManifestFormat
+
+  // admission control: at most this many snapshots advance per microbatch,
+  // so a backlogged consumer catches up in bounded batches instead of one
+  // giant one (the Delta maxFilesPerTrigger analog, in commit units —
+  // per-batch file count is bounded because each commit's appended files
+  // are bounded by the job's wave size)
+  private val maxSnapshotsPerBatch: Long =
+    parameters.get("maxSnapshotsPerBatch").map { s =>
+      val n =
+        try s.toLong
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxSnapshotsPerBatch must be a positive integer, got: '$s'") }
+      require(n > 0, s"maxSnapshotsPerBatch must be positive, got $n")
+      n
+    }.getOrElse(Long.MaxValue)
 
   // the snapshot BEFORE the first one served (exclusive lower bound):
   // "latest" pins to the head when the STREAM first starts — persisted in
@@ -130,6 +147,39 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
 
   override def getOffset: Option[Offset] =
     fmt.latestSnapshot(dir).filter(_ > startExclusive).map(id => LongOffset(id.toLong))
+
+  // AvailableNow: pin the head when the trigger run begins; batches in this
+  // run never pass it, and the run terminates once it is reached
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(fmt.latestSnapshot(dir).getOrElse(-1))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val head0 = fmt.latestSnapshot(dir).getOrElse(-1)
+    val head = availableNowCap.fold(head0)(math.min(head0, _)).toLong
+    val effStart: Long = Option(startOffset).map(connectorLongOf)
+      .getOrElse(startExclusive.toLong)
+    // snapshot ids are Ints, so capping the advance at Int.MaxValue keeps
+    // the sum overflow-free without changing semantics
+    var target = math.min(head,
+      effStart + math.min(maxSnapshotsPerBatch, Int.MaxValue.toLong))
+    // a capped FIRST batch must not land on an expired snapshot: clamp the
+    // initial-snapshot batch forward to the oldest retained manifest (the
+    // full-snapshot read then covers the GC'd history anyway)
+    if (startOffset == null && initialSnapshotBatch && target < head && target >= 0 &&
+        fmt.readManifestAt(dir, target.toInt).isEmpty)
+      target = fmt.retainedManifests(dir).headOption.map(_.snapshotId.toLong)
+        .getOrElse(head)
+    if (target > effStart) LongOffset(target)
+    else startOffset // unchanged (or null when the table is still empty)
+  }
+
+  private def connectorLongOf(o: ConnectorOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = longOf(end).toInt

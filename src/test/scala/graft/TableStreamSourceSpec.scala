@@ -138,6 +138,48 @@ class TableStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromId == tailed, "explicit startSnapshot must serve the same delta rows")
   }
 
+  test("maxSnapshotsPerBatch bounds catch-up: a backlog drains as multiple batches, exactly once") {
+    val ss = spark
+    import ss.implicits._
+    val base = Files.createTempDirectory("graft-tablestream-cap").toString
+    val out = s"$base/table"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 12)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty) // 2 waves -> snapshots 0, 1
+
+    // two corrections -> two more snapshots of backlog
+    val victim = turns.select("conv_id").as[String].head()
+    val v1 = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\ncap fix 1") else t)
+    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
+    val v2 = v1.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\ncap fix 2") else t)
+    assert(ExtractionJob.run(spark, v2, cfg).nonEmpty)
+    val head = ExtractionJob.latestSnapshot(out).get
+
+    // one AvailableNow drain, one snapshot per batch: the whole backlog
+    // arrives, split into bounded batches (capped initial snapshot first)
+    drain(out, sink, ckpt, Map("maxSnapshotsPerBatch" -> "1"))
+    val batches = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+    assert(batches == head + 1,
+      s"expected ${head + 1} capped batches (one per snapshot), got $batches")
+    val got = sinkRows(sink)
+    // every turn present; the victim carries BOTH post-image versions plus
+    // the original (three distinct main_text states across the batches)
+    assert(got.map(t => (t._1, t._2)) == tableRows(out).map(t => (t._1, t._2)))
+    val victimVersions = got.filter(_._1 == victim)
+      .groupBy(t => (t._1, t._2)).values.map(_.size).toSet
+    assert(victimVersions == Set(3),
+      s"each victim turn must appear in 3 content versions, got $victimVersions")
+    // an idle capped drain adds nothing
+    drain(out, sink, ckpt, Map("maxSnapshotsPerBatch" -> "1"))
+    assert(sinkRows(sink) == got)
+  }
+
   test("a replacing commit (compaction) fails the stream with the distinct CDC error") {
     val ss = spark
     import ss.implicits._
