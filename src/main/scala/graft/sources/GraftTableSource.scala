@@ -107,6 +107,44 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
       n
     }.getOrElse(Long.MaxValue)
 
+  // ---- checkpoint-scoped source metadata -------------------------------
+  // metadataPath is a scheme-qualified URI into the query CHECKPOINT (any
+  // Hadoop filesystem — file:, hdfs:, s3a:) — java.nio would treat the
+  // scheme as a relative path component and write into the driver CWD, so
+  // all access goes through the Hadoop FileSystem API.
+  private def metaFs: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  private def readMeta(name: String): Option[String] = {
+    val (fs, base) = metaFs
+    val f = new org.apache.hadoop.fs.Path(base, name)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val arr = new Array[Byte](4096)
+        var n = in.read(arr)
+        while (n >= 0) { buf.write(arr, 0, n); n = in.read(arr) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+  private def writeMeta(name: String, value: String): Unit = {
+    val (fs, base) = metaFs
+    fs.mkdirs(base)
+    val tmp = new org.apache.hadoop.fs.Path(base, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(base, name)))
+      fs.delete(tmp, false) // lost a creation race: the existing value wins
+  }
+
+  // one manifest read serves the start pin and the schema pin
+  private val headManifest = fmt.readManifest(dir)
+
   // the snapshot BEFORE the first one served (exclusive lower bound):
   // "latest" pins to the head when the STREAM first starts — persisted in
   // the source's checkpoint metadata dir so a restarted query (whose first
@@ -115,19 +153,12 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
   // inclusive; default -1 = whole table (initial-snapshot batch)
   private val startExclusive: Int = parameters.get("startSnapshot") match {
     case Some("latest") =>
-      val marker = java.nio.file.Paths.get(metadataPath, "graft-start")
-      if (java.nio.file.Files.isRegularFile(marker))
-        new String(java.nio.file.Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      else {
-        val pinned = fmt.latestSnapshot(dir).getOrElse(-1)
-        java.nio.file.Files.createDirectories(marker.getParent)
-        val tmp = marker.resolveSibling("graft-start.tmp")
-        java.nio.file.Files.write(tmp,
-          pinned.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, marker,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        pinned
+      readMeta("graft-start") match {
+        case Some(saved) => saved.trim.toInt
+        case None =>
+          val pinned = headManifest.map(_.snapshotId).getOrElse(-1)
+          writeMeta("graft-start", pinned.toString)
+          readMeta("graft-start").map(_.trim.toInt).getOrElse(pinned)
       }
     case Some(s) =>
       val n =
@@ -140,10 +171,32 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
   }
   private val initialSnapshotBatch = !parameters.contains("startSnapshot")
 
-  // schema pinned at stream start; a mid-stream change fails the stream
-  private val pinnedDdl: Option[String] = fmt.readManifest(dir).flatMap(_.schemaDdl)
+  // schema pinned when the STREAM first starts and persisted in the
+  // checkpoint: a restart over a since-evolved table must fail loudly even
+  // when every prior batch committed (the sink holds old-schema batches;
+  // silently adopting the new head schema would misbind them), not just
+  // when an uncommitted batch happens to be replayed
+  private val pinnedDdl: Option[String] = {
+    val current = headManifest.flatMap(_.schemaDdl)
+    readMeta("graft-schema") match {
+      case Some(saved) =>
+        if (current.exists(c => normalize(StructType.fromDDL(c)) !=
+            normalize(StructType.fromDDL(saved))))
+          throw new IllegalStateException(
+            s"table schema changed while the stream was down under $dir: " +
+              s"checkpointed [$saved], now [${current.get}] — restart the streaming " +
+              "query from a fresh checkpoint to pick up the new schema")
+        Some(saved)
+      case None =>
+        current.foreach(writeMeta("graft-schema", _))
+        current
+    }
+  }
 
-  override val schema: StructType = GraftTableSource.tableSchema(dir)
+  override val schema: StructType = pinnedDdl match {
+    case Some(d) => StructType.fromDDL(d).add("bucket", IntegerType, nullable = true)
+    case None => GraftTableSource.tableSchema(dir)
+  }
 
   override def getOffset: Option[Offset] =
     fmt.latestSnapshot(dir).filter(_ > startExclusive).map(id => LongOffset(id.toLong))

@@ -1004,6 +1004,17 @@ object SnapshotManifestFormat extends TableFormat {
                                  snapshotId: Int): DataFrame = {
     val man = readManifestAt(outDir, snapshotId)
       .getOrElse(throw new IllegalStateException(s"no snapshot $snapshotId under $outDir"))
+    // same history-loss guard as readCommittedAsOf — DOUBLY important here
+    // because the streaming relation resolves with checkFilesExist=false
+    // (the FileStreamSource convention: no per-file existence RPCs per
+    // batch), which would otherwise silently skip rewritten/GC'd files
+    // when the engine replays an uncommitted initial-snapshot batch over a
+    // since-compacted table
+    if (!latestSnapshot(outDir).contains(snapshotId) && !snapshotIntact(outDir, man))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId history has been rewritten or expired " +
+          "(compaction / expireSnapshots GC'd its files); the stream cannot replay its " +
+          "initial batch — restart from a fresh checkpoint")
     readAt(spark, outDir, man, streaming = true)
   }
 

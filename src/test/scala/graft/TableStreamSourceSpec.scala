@@ -42,13 +42,17 @@ class TableStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   // main_text included: a correction that only appends prose changes the
   // extracted main content even when the field list is unaffected — without
   // it the post-image rows would dedupe away in the Set compare
-  private def sinkRows(sinkDir: String): Set[(String, Int, String, String)] =
-    if (!Files.list(java.nio.file.Paths.get(sinkDir)).anyMatch(p =>
-        p.getFileName.toString.endsWith(".parquet")))
+  private def sinkRows(sinkDir: String): Set[(String, Int, String, String)] = {
+    val ls = Files.list(java.nio.file.Paths.get(sinkDir))
+    val hasParquet =
+      try ls.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    if (!hasParquet)
       Set.empty
     else spark.read.parquet(sinkDir)
       .select("conv_id", "turn_idx", "fields_json", "main_text")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+  }
 
   private def tableRows(out: String): Set[(String, Int, String, String)] =
     ExtractionJob.readCommitted(spark, out)
@@ -163,8 +167,10 @@ class TableStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one AvailableNow drain, one snapshot per batch: the whole backlog
     // arrives, split into bounded batches (capped initial snapshot first)
     drain(out, sink, ckpt, Map("maxSnapshotsPerBatch" -> "1"))
-    val batches = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
-      .filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+    val ols = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+    val batches =
+      try ols.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+      finally ols.close()
     assert(batches == head + 1,
       s"expected ${head + 1} capped batches (one per snapshot), got $batches")
     val got = sinkRows(sink)
@@ -180,31 +186,56 @@ class TableStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkRows(sink) == got)
   }
 
-  test("a replacing commit (compaction) fails the stream with the distinct CDC error") {
+  test("replacing commits fail the stream distinctly: rollback -> replace refusal, compaction -> rewritten history") {
     val ss = spark
     import ss.implicits._
-    val base = Files.createTempDirectory("graft-tablestream-replace").toString
-    val out = s"$base/table"
-    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 2, convGrained = true,
+
+    // ROLLBACK (files intact): the restart replays its initial batch fine
+    // and the new range hits the replace refusal
+    val base1 = Files.createTempDirectory("graft-tablestream-rollback").toString
+    val out1 = s"$base1/table"
+    val cfg1 = ExtractionJob.Config(out1, buckets = 4, waves = 2, convGrained = true,
       autoCompactDeletes = 0)
-    val turns = Transcripts.generate(spark, 12)
-    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
-    drain(out, s"$base/sink", s"$base/ckpt")
-
-    // a correction (accumulates deletes), then compaction -> replace commit
-    val victim = turns.select("conv_id").as[String].head()
-    val v1 = turns.map(t =>
-      if (t.conv_id == victim) t.copy(text = t.text + "\ncompact fix") else t)
-    assert(ExtractionJob.run(spark, v1, cfg).nonEmpty)
-    assert(ExtractionJob.compact(spark, out).nonEmpty)
-
-    val e = intercept[StreamingQueryException] {
-      drain(out, s"$base/sink", s"$base/ckpt")
+    val turns1 = Transcripts.generate(spark, 12)
+    assert(ExtractionJob.run(spark, turns1, cfg1).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out1).get
+    drain(out1, s"$base1/sink", s"$base1/ckpt")
+    val victim1 = turns1.select("conv_id").as[String].head()
+    val w1 = turns1.map(t =>
+      if (t.conv_id == victim1) t.copy(text = t.text + "\nrollback fix") else t)
+    assert(ExtractionJob.run(spark, w1, cfg1).nonEmpty)
+    ExtractionJob.rollbackTo(out1, s0) // replace commit, no file rewrite
+    val e1 = intercept[StreamingQueryException] {
+      drain(out1, s"$base1/sink", s"$base1/ckpt")
     }
-    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+    val msg1 = Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
-    assert(msg.contains("replacing commit"),
-      s"expected the replace-refusal error through the stream, got: $msg")
+    assert(msg1.contains("replacing commit"),
+      s"expected the replace-refusal error through the stream, got: $msg1")
+
+    // COMPACTION (rewrites affected buckets' files): the restart's replayed
+    // initial batch refuses on rewritten history instead of silently
+    // serving a partial snapshot (the streaming relation skips missing
+    // files rather than erroring)
+    val base2 = Files.createTempDirectory("graft-tablestream-compact").toString
+    val out2 = s"$base2/table"
+    val cfg2 = ExtractionJob.Config(out2, buckets = 4, waves = 2, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns2 = Transcripts.generate(spark, 12)
+    assert(ExtractionJob.run(spark, turns2, cfg2).nonEmpty)
+    drain(out2, s"$base2/sink", s"$base2/ckpt")
+    val victim2 = turns2.select("conv_id").as[String].head()
+    val w2 = turns2.map(t =>
+      if (t.conv_id == victim2) t.copy(text = t.text + "\ncompact fix") else t)
+    assert(ExtractionJob.run(spark, w2, cfg2).nonEmpty)
+    assert(ExtractionJob.compact(spark, out2).nonEmpty)
+    val e2 = intercept[StreamingQueryException] {
+      drain(out2, s"$base2/sink", s"$base2/ckpt")
+    }
+    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg2.contains("rewritten or expired") || msg2.contains("replacing commit"),
+      s"expected a distinct replace/history error through the stream, got: $msg2")
   }
 
   test("a mid-stream schema change fails the stream loudly") {
@@ -236,7 +267,8 @@ class TableStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
-    assert(msg.contains("schema changed mid-stream"), s"got: $msg")
+    // caught at restart (checkpoint-pinned schema) or mid-run (guardSchema)
+    assert(msg.contains("schema changed"), s"got: $msg")
     // a FRESH stream picks the new schema up from its first batch
     drain(out, s"$base/sink2", s"$base/ckpt2")
     assert(spark.read.parquet(s"$base/sink2").columns.toSeq ==
