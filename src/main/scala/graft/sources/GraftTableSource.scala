@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissi
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
 import graft.spark.SnapshotManifestFormat
 
 /** Table-as-a-stream: a Structured Streaming source over the snapshot
@@ -48,6 +48,11 @@ import graft.spark.SnapshotManifestFormat
   * `latest` to serve only commits after stream start; default serves the
   * whole table. With an explicit `startSnapshot`/`latest` start there is
   * no initial-snapshot batch — consumption begins at the increments.
+  * `changeFeed=true` (Delta CDF analog) adds a `_change_type` column and
+  * serves each range's conv-grained retraction keys as `delete` rows
+  * alongside the `insert` post-images, so a mirror-maintaining consumer
+  * also tracks pure deletions and shrinking corrections; a batch's
+  * deletes apply before its inserts.
   */
 class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -58,7 +63,11 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     require(schema.isEmpty,
       "graft-table derives its schema from the table manifest; " +
         "a user-specified schema is not supported")
-    (shortName(), GraftTableSource.tableSchema(GraftTableSource.pathOf(parameters)))
+    val base = GraftTableSource.tableSchema(GraftTableSource.pathOf(parameters))
+    (shortName(),
+      if (GraftTableSource.changeFeedOf(parameters))
+        base.add(GraftTableSource.ChangeTypeCol, StringType, nullable = true)
+      else base)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -68,10 +77,24 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
 }
 
 object GraftTableSource {
+  /** Column carrying the row's change kind in change-feed mode:
+    * "insert" (appended post-image) or "delete" (conv-grained retraction
+    * key — only `conv_id`/`bucket` populated). */
+  val ChangeTypeCol = "_change_type"
+
   private[sources] def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "option 'path' (the snapshot table directory) is required — " +
         ".load(dir) or .option(\"path\", dir)"))
+
+  private[sources] def changeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed") match {
+      case None => false
+      case Some(s) if s.equalsIgnoreCase("true") => true
+      case Some(s) if s.equalsIgnoreCase("false") => false
+      case Some(s) => throw new IllegalArgumentException(
+        s"changeFeed must be true or false, got: '$s'")
+    }
 
   /** Manifest schema + the bucket partition column — the exact columns
     * `readCommitted` serves. */
@@ -193,10 +216,24 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
     }
   }
 
-  override val schema: StructType = pinnedDdl match {
+  // change-feed mode (Delta CDF / Iceberg changelog-scan analog): each
+  // incremental batch carries the range's conv-grained RETRACTION keys
+  // (`_change_type = "delete"`, only conv_id/bucket populated) alongside
+  // the appended post-images (`_change_type = "insert"`). Without it a
+  // mirror-maintaining consumer tracks corrections (upsert by key) but
+  // silently diverges on pure deletions and on corrections that SHRINK a
+  // conversation. Consumers apply a batch's deletes before its inserts;
+  // the initial-snapshot batch is all-insert by construction.
+  private val changeFeed = GraftTableSource.changeFeedOf(parameters)
+
+  private val tableSchema: StructType = pinnedDdl match {
     case Some(d) => StructType.fromDDL(d).add("bucket", IntegerType, nullable = true)
     case None => GraftTableSource.tableSchema(dir)
   }
+
+  override val schema: StructType =
+    if (changeFeed) tableSchema.add(GraftTableSource.ChangeTypeCol, StringType, nullable = true)
+    else tableSchema
 
   override def getOffset: Option[Offset] =
     fmt.latestSnapshot(dir).filter(_ > startExclusive).map(id => LongOffset(id.toLong))
@@ -235,16 +272,48 @@ class GraftTableSource(spark: SparkSession, parameters: Map[String, String],
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val to = longOf(end).toInt
     guardSchema(to)
-    val df = start.map(o => longOf(o).toInt) match {
-      case Some(from) => fmt.readAppendsBetweenStreaming(spark, dir, from, to)
-      case None if initialSnapshotBatch => fmt.readCommittedAsOfStreaming(spark, dir, to)
-      case None => fmt.readAppendsBetweenStreaming(spark, dir, startExclusive, to)
+    // None = initial-snapshot batch; Some(from) = incremental range (from, to]
+    val fromOpt = start.map(o => longOf(o).toInt) match {
+      case Some(from) => Some(from)
+      case None if initialSnapshotBatch => None
+      case None => Some(startExclusive)
     }
+    val data = fromOpt match {
+      case Some(from) => fmt.readAppendsBetweenStreaming(spark, dir, from, to)
+      case None => fmt.readCommittedAsOfStreaming(spark, dir, to)
+    }
+    val df =
+      if (!changeFeed) data
+      else fromOpt match {
+        case None => data.withColumn(GraftTableSource.ChangeTypeCol, lit("insert"))
+        case Some(from) =>
+          data.withColumn(GraftTableSource.ChangeTypeCol, lit("insert"))
+            .unionByName(deleteRows(from, to))
+      }
     // pin column order to the declared source schema (v1 splices batches
     // into the streaming plan positionally)
-    df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    df.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The range's retraction keys widened to the source schema: conv_id and
+    * bucket from the equality-delete files, every other column null. The
+    * delete read is a tiny batch-side relation, which is fine inside the
+    * microbatch plan (the stream-static pattern) — the streaming flag the
+    * engine asserts on comes from the appends side of the union. */
+  private def deleteRows(from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = fmt.readDeleteKeysBetween(spark, dir, from, to)
+    val cols = tableSchema.fields.toSeq.map { f =>
+      f.name match {
+        case "conv_id" => col("conv_id")
+        case "bucket" => col("bucket").cast(f.dataType).as("bucket")
+        case other => lit(null).cast(f.dataType).as(other)
+      }
+    } :+ lit("delete").as(GraftTableSource.ChangeTypeCol)
+    keys.select(cols: _*)
   }
 
   /** Nullability (and field metadata) drift across commits — footer-derived
