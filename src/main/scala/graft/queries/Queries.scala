@@ -494,6 +494,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling for data mixing (q38): per-language
+    * keep-rates applied via an md5-prefix predicate on doc_id — the
+    * hash-threshold sampling web-corpus pipelines use to hit mixing
+    * weights reproducibly (same sample every run, every engine, no RNG
+    * state to coordinate). Thresholds are two-hex-char prefixes: keep when
+    * `substr(md5(doc_id), 1, 2) < t`, so rate = t/256 (en≈60%, es 50%,
+    * de≈30%, fr 40%, zh≈10%; unknown strata drop).
+    *
+    * Scale shape: ZERO shuffles — scan → codegen'd filter → project. The
+    * decision is row-local, so the sample parallelizes perfectly and the
+    * plan is the same at 100 TB; changing mix weights is a literal edit,
+    * not a recluster. */
+  def q38StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val thr = when(col("lang") === "en", "9a")
+      .when(col("lang") === "es", "80")
+      .when(col("lang") === "de", "4d")
+      .when(col("lang") === "fr", "66")
+      .when(col("lang") === "zh", "1a")
+      .otherwise("00")
+    table(spark, dir, "documents")
+      .where(hx < thr)
+      .select(col("doc_id"), col("lang"), hx.as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing for training batches (q39): greedy contiguous
+    * packing of documents into fixed token-capacity bins (2048 tokens),
+    * assignment = the bin where the document's segment STARTS under a
+    * running token total in doc_id order — the standard pretraining
+    * sequence-packing index (a doc may straddle two bins; its row records
+    * the start bin and offset).
+    *
+    * Scale shape: packing is SHARDED — the window partitions on
+    * (lang, doc_id % 8), so no partition is unbounded: at 100 TB the
+    * shard modulus scales with the cluster and each shard's prefix sum is
+    * one local sort + one pass (Spark's running-sum window never
+    * materializes the partition). An unsharded per-lang window would
+    * serialize each language through one task — the classic window-skew
+    * trap. */
+  def q39PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("running", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor((col("running") - col("n_tokens")) / lit(2048)).as("pack_bin"),
+        ((col("running") - col("n_tokens")) % 2048).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -531,7 +585,9 @@ object Queries {
     "q33_field_dump" -> q33FieldDump _,
     "q34_turn_field_dump" -> q34TurnFieldDump _,
     "q36_dedup_clusters" -> q36DedupClusters _,
-    "q37_training_mix" -> q37TrainingMix _
+    "q37_training_mix" -> q37TrainingMix _,
+    "q38_stratified_sample" -> q38StratifiedSample _,
+    "q39_pack_sequences" -> q39PackSequences _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -544,6 +600,14 @@ object Queries {
     * downstream stage in SQL — the "oracle the downstream" pattern.
     */
   val oracles: Map[String, String] = Map(
+    "q38_stratified_sample" ->
+      // full independent recomputation: DuckDB's md5 over the same decimal
+      // doc_id string and the same hex-prefix thresholds per stratum.
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < CASE lang WHEN 'en' THEN '9a' WHEN 'es' THEN '80' WHEN 'de' THEN '4d' WHEN 'fr' THEN '66' WHEN 'zh' THEN '1a' ELSE '00' END ORDER BY doc_id""",
+    "q39_pack_sequences" ->
+      // same sharded greedy packing: q11's token formula, a running-sum
+      // window per (lang, shard), start-bin + offset arithmetic.
+      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard, CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM t) SELECT doc_id, lang, shard, n_tokens, CAST((running - n_tokens) // 2048 AS BIGINT) AS pack_bin, CAST((running - n_tokens) % 2048 AS BIGINT) AS pack_offset FROM r ORDER BY doc_id""",
     "q37_training_mix" ->
       // full independent recomputation of the composed curation pipeline:
       // q18's language CASE, q13's token/stopword signals, keep-first

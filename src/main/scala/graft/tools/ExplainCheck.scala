@@ -71,6 +71,20 @@ object ExplainCheck {
         p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
       ("partial agg before shuffle", _.contains("partial_")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q38_stratified_sample", graft.queries.Queries.q38StratifiedSample(spark, dir),
+      // row-local hash-threshold sample: the only exchange is the final
+      // presentation orderBy's range partitioning — no hash shuffle, no
+      // UDF; the decision runs inside the scan's codegen stage
+      ("no hash shuffle (row-local sample)",
+        p => !p.contains("Exchange hashpartitioning")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q39_pack_sequences", graft.queries.Queries.q39PackSequences(spark, dir),
+      // sharded packing: exactly one hash exchange — the (lang, shard)
+      // window partitioning — and a running-frame window, never a
+      // whole-partition materialization
+      ("single shuffle (window partitioning)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
+      ("running-sum window present", _.contains("Window")))
     plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
       // fully-builtin pipeline: simhash + band math + bit_count(xor)
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
