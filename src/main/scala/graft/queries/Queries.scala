@@ -548,6 +548,94 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination (q40): flag training documents sharing any
+    * exact 4-gram with the held-out set (doc_id % 97 == 0 is the
+    * deterministic eval-set stand-in) and count the distinct shared
+    * grams — the n-gram-overlap decontamination step every pretraining
+    * pipeline runs against its eval suites.
+    *
+    * Scale shape: the gram fanout streams through codegen (no
+    * materialized explode), the eval side is BROADCAST (eval suites are
+    * tiny next to the corpus — ~10^6 grams against 10^12 turns), and the
+    * per-doc count is a partial-agg groupBy. No all-pairs anything: cost
+    * is linear in corpus grams. */
+  def q40Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))")))
+        .as("gram"))
+    val bench = grams.where(col("doc_id") % 97 === 0).select("gram").distinct()
+    grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (q41): scrub emails and phone numbers from document
+    * text, reporting the per-doc match counts and the md5 of the scrubbed
+    * text. The corpus is synthetic (no real PII), so deterministic PII
+    * spans are synthesized from doc_id first — the q24/q35 pattern: the
+    * payload is fabricated, the OPERATOR (regex scrub over the full text)
+    * is real and oracle-verified byte-for-byte via the hash.
+    *
+    * Scale shape: row-local regexp work inside whole-stage codegen; no
+    * shuffle, no UDF. */
+  def q41PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val pii = concat(col("text"),
+      when(col("doc_id") % 3 > 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), pii.as("pii_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition quality signals (q42, Gopher-style): per document, the
+    * frequency of its most common word 2-gram relative to its 2-gram
+    * count, plus the type-token ratio — the repetition filters (C4 /
+    * Gopher rules) that gate machine-generated and boilerplate text out
+    * of training corpora.
+    *
+    * Scale shape: the gram explode streams through codegen; both
+    * aggregations are partial-agg groupBys keyed by doc_id (+gram), so
+    * the shuffles carry counts, never text. */
+  def q42RepetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= 2)
+    val gramCounts = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("n_words"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val ttr = docs.select(col("doc_id"),
+      floor(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w")))
+        .cast("long").as("ttr_x1000"))
+    gramCounts
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(max(col("cnt")).as("top2_cnt"), count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("n_words"), col("top2_cnt"), col("n_grams"),
+        floor(lit(1000.0) * col("top2_cnt") / (col("n_words") - 1))
+          .cast("long").as("rep_ratio_x1000"))
+      .join(ttr, "doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -587,7 +675,10 @@ object Queries {
     "q36_dedup_clusters" -> q36DedupClusters _,
     "q37_training_mix" -> q37TrainingMix _,
     "q38_stratified_sample" -> q38StratifiedSample _,
-    "q39_pack_sequences" -> q39PackSequences _
+    "q39_pack_sequences" -> q39PackSequences _,
+    "q40_decontaminate" -> q40Decontaminate _,
+    "q41_pii_scrub" -> q41PiiScrub _,
+    "q42_repetition" -> q42RepetitionSignals _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -600,6 +691,17 @@ object Queries {
     * downstream stage in SQL — the "oracle the downstream" pattern.
     */
   val oracles: Map[String, String] = Map(
+    "q40_decontaminate" ->
+      // full independent recomputation: same 4-gram fanout, same eval-set
+      // stand-in predicate, same distinct shared-gram count.
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+3), ' ')))) AS gram FROM d WHERE len(w) >= 4), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared FROM g JOIN bench ON g.gram = bench.gram WHERE g.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1""",
+    "q41_pii_scrub" ->
+      // same synthesized PII spans, same scrub regexes (Java and RE2 agree
+      // on these character-class patterns), match counts + scrubbed md5.
+      """WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 3 > 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS pii_text FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(pii_text, '\b555-[0-9]{4}\b', 0)) AS BIGINT) AS n_phones, md5(regexp_replace(regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_hash FROM p ORDER BY doc_id""",
+    "q42_repetition" ->
+      // same 2-gram frequency + type-token arithmetic over the word array.
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2), g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, unnest(list_transform(generate_series(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+1), ' '))) AS gram FROM d), c AS (SELECT doc_id, n_words, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3), a AS (SELECT doc_id, n_words, max(cnt) AS top2_cnt, count(*) AS n_grams FROM c GROUP BY 1, 2), t AS (SELECT doc_id, CAST(floor(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_x1000 FROM d) SELECT a.doc_id, a.n_words, a.top2_cnt, a.n_grams, CAST(floor(1000.0 * a.top2_cnt / (a.n_words - 1)) AS BIGINT) AS rep_ratio_x1000, t.ttr_x1000 FROM a JOIN t ON a.doc_id = t.doc_id ORDER BY a.doc_id""",
     "q38_stratified_sample" ->
       // full independent recomputation: DuckDB's md5 over the same decimal
       // doc_id string and the same hex-prefix thresholds per stratum.

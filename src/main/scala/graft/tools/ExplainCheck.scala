@@ -85,6 +85,15 @@ object ExplainCheck {
       ("single shuffle (window partitioning)",
         p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
       ("running-sum window present", _.contains("Window")))
+    plan("q40_decontaminate", graft.queries.Queries.q40Decontaminate(spark, dir),
+      // eval-set grams broadcast against the streaming corpus-gram fanout;
+      // the per-doc count is a partial-agg groupBy
+      ("broadcast eval-gram join", _.contains("BroadcastHashJoin")),
+      ("partial agg before shuffle", _.contains("partial_")))
+    plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
+      // shuffles carry (doc_id, gram, cnt) counts, never text
+      ("partial agg before shuffle", _.contains("partial_")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q26_simhash_pairs", graft.queries.Queries.q26SimhashPairs(spark, dir),
       // fully-builtin pipeline: simhash + band math + bit_count(xor)
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")),
