@@ -37,6 +37,12 @@ import org.apache.spark.sql.SparkSession
   * maintenance flags (--compact, --expire, --remove-orphans) still apply
   * after ingestion. On an existing table the recorded bucket modulus wins
   * over the positional [buckets] argument.
+  * --replicate=CKPT_DIR replaces the batch run with incremental table
+  * replication: <inputParquet> is a SOURCE snapshot table whose change
+  * feed is drained into <outDir> as merge-on-read deltas (equality
+  * deletes for retractions, additive post-image files), one exactly-once
+  * snapshot per micro-batch. The replica adopts the source bucket layout;
+  * maintenance flags apply to the replica after the pass.
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
@@ -112,10 +118,11 @@ object JobMain {
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
-          rebucketTo.isEmpty && !args.exists(_.startsWith("--stream-ingest=")),
+          rebucketTo.isEmpty && !args.exists(_.startsWith("--stream-ingest=")) &&
+          !args.exists(_.startsWith("--replicate=")),
         s"${modeFlags.head} does not compose with maintenance or ingest flags " +
-          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket/--stream-ingest) — " +
-          "run them as separate invocations")
+          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket/--stream-ingest/" +
+          "--replicate) — run them as separate invocations")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -214,6 +221,19 @@ object JobMain {
         else (graft.spark.ExtractionJob.readAppendsBetween(spark, outDir, from, to).count(),
           graft.spark.ExtractionJob.readDeleteKeysBetween(spark, outDir, from, to).count())
       println(s"""{"appends_from":$from,"appends_to":$to,"rows":$rows,"changed_keys":$keys,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--replicate=")).foreach { a =>
+      val ckpt = a.stripPrefix("--replicate=")
+      require(ckpt.nonEmpty, "--replicate=CKPT_DIR requires a checkpoint directory")
+      require(!args.exists(_.startsWith("--stream-ingest=")),
+        "--replicate and --stream-ingest are different sinks — one per invocation")
+      val rows = graft.spark.TableReplication.replicateAvailableNow(spark, input, outDir, ckpt)
+      val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
+        rebucketTo)
+      val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
+      println(s"""{"replicate":true,"snapshot":$snap,"rows_applied":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }

@@ -204,4 +204,34 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(stale.getParent))
     assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
+
+  test("JobMain --replicate drains a source table's change feed into a replica") {
+    val base = Files.createTempDirectory("graft-jobmain-replica").toString
+    val in = s"$base/turns"
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    val turns = graft.spark.Transcripts.generate(spark, 8)
+    turns.write.mode("overwrite").parquet(in)
+    graft.spark.ExtractionJob.run(spark,
+      spark.read.parquet(in)
+        .as[graft.spark.Turn](org.apache.spark.sql.Encoders.product[graft.spark.Turn]),
+      graft.spark.ExtractionJob.Config(src, buckets = 4, waves = 1, convGrained = true))
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      JobMain.main(Array(src, dst, s"--replicate=$ckpt"))
+    }
+    val line = buf.toString.linesIterator.find(_.startsWith("{\"replicate\"")).get
+    assert(line.contains(s""""rows_applied":${turns.count()}"""), line)
+    assert(graft.spark.ExtractionJob.readCommitted(spark, dst).count() == turns.count())
+
+    // --replicate does not compose with --stream-ingest or mode flags
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(src, dst, s"--replicate=$ckpt", "--stream-ingest=$ckpt"))
+    }
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(src, dst, "--tags", s"--replicate=$ckpt"))
+    }
+  }
 }
