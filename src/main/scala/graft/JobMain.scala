@@ -229,6 +229,12 @@ object JobMain {
       require(ckpt.nonEmpty, "--replicate=CKPT_DIR requires a checkpoint directory")
       require(!args.exists(_.startsWith("--stream-ingest=")),
         "--replicate and --stream-ingest are different sinks — one per invocation")
+      // a rebucketted replica can no longer accept source-bucketed
+      // change-feed rows (replication adopts the source layout verbatim),
+      // so the composition would wedge the NEXT replication pass
+      require(rebucketTo.isEmpty,
+        "--replicate does not compose with --rebucket: the replica must keep " +
+          "the source bucket layout — rebucket the SOURCE and re-baseline instead")
       val rows = graft.spark.TableReplication.replicateAvailableNow(spark, input, outDir, ckpt)
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
         rebucketTo)

@@ -40,8 +40,19 @@ object TableReplication {
     // then exactly as effective as on the source. A mid-stream rebucket
     // upstream is a replacing commit and fails the stream before any
     // mixed-modulus batch could commit.
-    val srcBuckets = SnapshotManifestFormat.readManifest(srcDir).flatMap(_.bucketCount)
+    val srcBuckets = format.readManifest(srcDir).flatMap(_.bucketCount)
     val sinkKey = s"$queryKey-${StreamingExtraction.checkpointSinkId(checkpointDir)}"
+    // re-baseline guard: a fresh checkpoint is a fresh sink whose first
+    // batch is the FULL source snapshot — appended onto a replica that
+    // already has content it would silently double every row. Refuse;
+    // re-baselining after an upstream replacing commit means starting
+    // with an empty replica dir (or resuming the original checkpoint).
+    format.readManifest(dstDir).foreach { man =>
+      require(man.files.isEmpty || man.props.contains(s"stream.$sinkKey"),
+        s"replica $dstDir already has content but no marker for sink '$sinkKey' — " +
+          "a fresh checkpoint would replay the full source snapshot on top of it; " +
+          "re-baseline into an empty replica dir or resume the original checkpoint")
+    }
     val applied = new java.util.concurrent.atomic.LongAdder
     val q = spark.readStream.format("graft-table")
       .option("changeFeed", "true").load(srcDir)
@@ -72,6 +83,18 @@ object TableReplication {
     def marker(man: Option[ExtractionJob.Manifest]): Option[Long] =
       man.flatMap(_.props.get(s"stream.$queryKey")).map(_.toLong)
     if (marker(man0).exists(batchId <= _)) return 0L // crash replay: fenced
+    // feed rows carry SOURCE buckets, and unlike the extraction sink this
+    // one cannot re-stage under a different modulus (the source bucket
+    // column is all it has) — a replica whose recorded modulus diverged
+    // (e.g. an out-of-band --rebucket on the replica) must refuse, or
+    // keyed-read pruning and MOR delete application would silently miss
+    // rows bucketed under the old modulus
+    man0.flatMap(_.bucketCount).foreach { rec =>
+      require(srcBuckets.forall(_ == rec),
+        s"replica $dstDir records bucket modulus $rec but the source uses " +
+          s"${srcBuckets.getOrElse("(none)")} — a rebucketted replica cannot accept " +
+          "source-bucketed change-feed rows; re-baseline it instead")
+    }
 
     // one pass over the incoming batch: retraction keys (conv-grained,
     // bounded by the batch's changed conversations) and post-images into
@@ -96,17 +119,27 @@ object TableReplication {
 
       var attempt = 0
       var lastDeleteDir: Option[String] = None
+      // a lost race leaves our deletes/snap-K on disk under a name the
+      // WINNER's committed manifest may now track (both computed seq K):
+      // dropping it blind would break every read of the winner's snapshot
+      // ("manifest-tracked delete dir missing"). Drop only when no
+      // retained manifest references the name; a referenced one is the
+      // winner's property and ours is simply superseded.
+      def dropDeleteDirIfUnreferenced(name: String): Unit = {
+        val referenced = format.retainedManifests(dstDir).exists(_.deleteDirs.contains(name))
+        if (!referenced) dropDir(s"$dstDir/deletes/$name")
+      }
       while (true) {
         val man = if (attempt == 0) man0 else format.readManifest(dstDir)
         if (attempt > 0 && marker(man).exists(batchId <= _)) { // zombie fence
-          dropDir(staging); lastDeleteDir.foreach(d => dropDir(s"$dstDir/deletes/$d"))
+          dropDir(staging); lastDeleteDir.foreach(dropDeleteDirIfUnreferenced)
           return 0L
         }
         val seq = man.map(_.snapshotId).getOrElse(-1) + 1
         // the delete file's name and seq column are commit-seq-stamped, so
         // a lost race rewrites it under the winner's successor seq
         val deleteDir = if (nDel == 0L) None else {
-          lastDeleteDir.foreach(d => dropDir(s"$dstDir/deletes/$d"))
+          lastDeleteDir.filter(_ != s"snap-$seq").foreach(dropDeleteDirIfUnreferenced)
           delDf.withColumn("seq", lit(seq))
             .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/deletes/snap-$seq")
           lastDeleteDir = Some(s"snap-$seq")

@@ -90,6 +90,11 @@ object ExplainCheck {
       // the per-doc count is a partial-agg groupBy
       ("broadcast eval-gram join", _.contains("BroadcastHashJoin")),
       ("partial agg before shuffle", _.contains("partial_")))
+    plan("q41_pii_scrub", graft.queries.Queries.q41PiiScrub(spark, dir),
+      // row-local regex scrub: no hash shuffle, no UDF boundary
+      ("no hash shuffle (row-local scrub)",
+        p => !p.contains("Exchange hashpartitioning")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
-import graft.spark.{ExtractionJob, SnapshotManifestFormat, TableReplication, Transcripts}
+import graft.spark.{ExtractionJob, SnapshotManifestFormat, StreamingExtraction, TableReplication, Transcripts}
 import java.nio.file.Files
 
 /** Incremental table replication over the change feed: the replica is an
@@ -123,5 +123,36 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableReplication.replicateBatch(spark, widened, batchId = 1L, dst, "q",
       fmt.readManifest(src).flatMap(_.bucketCount)) == 1L)
     assert(!content(dst).exists(_._1 == victim), "delete-only batch must retract the conv")
+  }
+
+  test("guards: re-baseline into a non-empty replica refuses; a diverged modulus refuses") {
+    val ss = spark
+    import ss.implicits._
+    val base = Files.createTempDirectory("graft-replica-guards").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val cfg = ExtractionJob.Config(src, buckets = 4, waves = 1, convGrained = true)
+    val turns = Transcripts.generate(spark, 6)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    assert(TableReplication.replicateAvailableNow(spark, src, dst, s"$base/ckpt1") > 0L)
+
+    // a FRESH checkpoint against the populated replica would replay the
+    // full snapshot on top of it — refused before the stream starts
+    val ex = intercept[IllegalArgumentException] {
+      TableReplication.replicateAvailableNow(spark, src, dst, s"$base/ckpt2")
+    }
+    assert(ex.getMessage.contains("no marker for sink"), ex.getMessage)
+
+    // an out-of-band rebucket on the replica diverges its modulus from the
+    // source's: the next batch must refuse, not mis-bucket
+    ExtractionJob.rebucket(spark, dst, 8)
+    val feed = fmt.readCommitted(spark, src)
+      .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TableReplication.replicateBatch(spark, feed, batchId = 99L, dst,
+        "q-" + StreamingExtraction.checkpointSinkId(s"$base/ckpt1"),
+        fmt.readManifest(src).flatMap(_.bucketCount))
+    }
+    assert(ex2.getMessage.contains("bucket modulus"), ex2.getMessage)
   }
 }
