@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFns
@@ -636,6 +636,68 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination (q43): same contract as q40 — flag
+    * training documents sharing any exact 4-gram with the held-out set and
+    * count the distinct shared grams — but built for the regime where the
+    * eval gram set is too large to broadcast AS STRINGS (a full eval-suite
+    * union is 10^8–10^9 grams ≈ tens of GB of text; q40's broadcast is
+    * only viable for one small suite). The standard production shape:
+    *
+    *   1. build a Bloom filter over the eval grams DISTRIBUTIVELY
+    *      (k probe positions per gram -> bit_or partial agg by 64-bit
+    *      word; only `m/64` packed longs ever reach the driver — 10 bits
+    *      per gram keeps 10^9 grams in ~1.2 GB of bits vs ~40 GB of
+    *      strings),
+    *   2. broadcast the bits and prefilter the corpus gram stream
+    *      row-locally inside codegen (xxhash64 + mask probes, no UDF) —
+    *      at ~1% eval-hit rates this drops ~99% of corpus grams before
+    *      any join,
+    *   3. confirm survivors with an exact shuffle-hash join against the
+    *      eval grams (the join both sides shuffle is now sized by the
+    *      SURVIVORS, not the corpus).
+    *
+    * Bloom false positives only cost a survivor row; the exact join
+    * removes them, so the result is byte-identical to q40's semantics and
+    * fully DuckDB-oracleable. False negatives are impossible (every
+    * inserted gram's bits are set), spec'd as q43 == q40 equivalence. */
+  def q43BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 1 << 20 // ~10 bits/gram headroom at sandbox scale; sized to corpus at 100 TB
+    val kProbes = 3
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))")))
+        .as("gram"))
+    val bench = grams.where(col("doc_id") % 97 === 0).select("gram").distinct()
+    // one-bit masks as a literal lookup table: keeps the variable-shift bit
+    // test in pure Column ops (functions.shiftleft only takes a static Int)
+    val masks = typedLit((0 until 64).map(i => 1L << i))
+    def probePos(seed: Int): Column =
+      pmod(xxhash64(lit(seed.toLong), col("gram")), lit(mBits.toLong))
+    // distributive bloom build: positions -> per-word bit_or; m/64 rows max
+    val words = bench
+      .select(explode(array((0 until kProbes).map(probePos): _*)).as("p"))
+      .select(floor(col("p") / 64).cast("int").as("wi"),
+        element_at(masks, (col("p") % 64).cast("int") + 1).as("bit"))
+      .groupBy("wi").agg(bit_or(col("bit")).as("bits"))
+      .collect() // driver-bounded by construction: <= mBits/64 = 16384 longs
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bloom = typedLit(bits.toSeq) // ONE ArrayType literal, not a CreateArray
+    def probeHit(seed: Int): Column = {
+      val p = probePos(seed)
+      (element_at(bloom, floor(p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(masks, (p % 64).cast("int") + 1))) =!= lit(0L)
+    }
+    grams.where(col("doc_id") % 97 =!= 0)
+      .where((0 until kProbes).map(probeHit).reduce(_ && _))
+      .hint("shuffle_hash")
+      .join(bench.hint("shuffle_hash"), Seq("gram"))
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -678,7 +740,8 @@ object Queries {
     "q39_pack_sequences" -> q39PackSequences _,
     "q40_decontaminate" -> q40Decontaminate _,
     "q41_pii_scrub" -> q41PiiScrub _,
-    "q42_repetition" -> q42RepetitionSignals _
+    "q42_repetition" -> q42RepetitionSignals _,
+    "q43_bloom_decontaminate" -> q43BloomDecontaminate _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -694,6 +757,11 @@ object Queries {
     "q40_decontaminate" ->
       // full independent recomputation: same 4-gram fanout, same eval-set
       // stand-in predicate, same distinct shared-gram count.
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+3), ' ')))) AS gram FROM d WHERE len(w) >= 4), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared FROM g JOIN bench ON g.gram = bench.gram WHERE g.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1""",
+    "q43_bloom_decontaminate" ->
+      // the bloom is a pure prefilter (false positives die in the exact
+      // join; false negatives are impossible), so the oracle recomputes
+      // q40's exact semantics — bloom-independent by construction.
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+3), ' ')))) AS gram FROM d WHERE len(w) >= 4), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared FROM g JOIN bench ON g.gram = bench.gram WHERE g.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1""",
     "q41_pii_scrub" ->
       // same synthesized PII spans, same scrub regexes (Java and RE2 agree

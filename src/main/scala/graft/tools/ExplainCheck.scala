@@ -95,6 +95,15 @@ object ExplainCheck {
       ("no hash shuffle (row-local scrub)",
         p => !p.contains("Exchange hashpartitioning")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q43_bloom_decontaminate",
+      graft.queries.Queries.q43BloomDecontaminate(spark, dir),
+      // the big-eval-set shape: bloom bits probe row-locally in codegen
+      // BEFORE any join; the exact confirm join shuffles survivors rather
+      // than broadcasting eval gram strings
+      ("bloom probes inside codegen filter", _.contains("xxhash64")),
+      ("exact confirm is a shuffle join, not broadcast",
+        p => p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
