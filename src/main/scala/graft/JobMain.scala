@@ -43,9 +43,22 @@ import org.apache.spark.sql.SparkSession
   * deletes for retractions, additive post-image files), one exactly-once
   * snapshot per micro-batch. The replica adopts the source bucket layout;
   * maintenance flags apply to the replica after the pass.
+  * --to-branch=NAME stages the run's conv-grained delta commit on an
+  * unpublished branch ref (write-audit-publish): readers of the table see
+  * nothing, and the table head is frozen, until --publish-branch or
+  * --abandon-branch. --audit-branch=NAME prints the structural audit
+  * (key uniqueness under MOR deletes, null payloads, file intactness) and
+  * exits nonzero when it fails, so
+  * `--audit-branch=N && --publish-branch=N` is the WAP pipeline.
+  * --branches lists branch refs.
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
+  * --rewrite-sorted=ROWS_PER_FILE rewrites every bucket as sorted files
+  * split at the target row count (rewrite_data_files with a sort
+  * strategy): per-file conv_id bounds become disjoint slices of each
+  * bucket, so keyed reads prune inside huge buckets; pending deletes are
+  * applied by the rewrite.
   * --rebucket=N rewrites the whole table under a new bucket modulus as one
   * replacing snapshot (partition evolution for a hash layout); pending
   * deletes are applied by the rewrite and the conv-fp sidecar is re-keyed,
@@ -100,6 +113,16 @@ object JobMain {
         require(n >= 1, s"--rebucket=N requires a positive modulus, got $n")
         n
       }
+    val rewriteSortedTarget: Option[Long] =
+      args.find(_.startsWith("--rewrite-sorted=")).map { a =>
+        val n =
+          try a.stripPrefix("--rewrite-sorted=").toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--rewrite-sorted=ROWS_PER_FILE requires an integer, got: $a")
+          }
+        require(n >= 1, s"--rewrite-sorted=ROWS_PER_FILE must be positive, got $n")
+        n
+      }
     val setProps: Map[String, String] =
       args.filter(_.startsWith("--set-prop=")).map { a =>
         val kv = a.stripPrefix("--set-prop=")
@@ -107,22 +130,39 @@ object JobMain {
         require(eq > 0, s"--set-prop expects KEY=VALUE (empty VALUE retires the key), got: $a")
         kv.substring(0, eq) -> kv.substring(eq + 1)
       }.toMap
+    val toBranch: Option[String] =
+      args.find(_.startsWith("--to-branch=")).map { a =>
+        val n = a.stripPrefix("--to-branch=")
+        require(n.nonEmpty, "--to-branch=NAME requires a branch name")
+        n
+      }
+    // a pending branch freezes the table head, so head-committing
+    // maintenance cannot ride the same invocation — it runs post-publish
+    require(toBranch.isEmpty || (!doCompact && rebucketTo.isEmpty && setProps.isEmpty &&
+        rewriteSortedTarget.isEmpty &&
+        !args.exists(_.startsWith("--stream-ingest=")) &&
+        !args.exists(_.startsWith("--replicate="))),
+      "--to-branch does not compose with head-committing flags " +
+        "(--compact/--rebucket/--rewrite-sorted/--set-prop/--stream-ingest/--replicate): " +
+        "the staged branch freezes the table until it is published or abandoned")
     // single-purpose mode flags early-return: refuse combinations whose
     // extra flags would otherwise be silently discarded (an operator
     // scripting "roll back AND pin" must not get a half-applied operation)
     val modeFlags =
-      Seq("--get-conv=", "--rollback=", "--tag=", "--drop-tag=", "--appends-since=")
+      Seq("--get-conv=", "--rollback=", "--tag=", "--drop-tag=", "--appends-since=",
+        "--audit-branch=", "--publish-branch=", "--abandon-branch=")
         .flatMap(p => args.find(_.startsWith(p))) ++
-        Seq("--tags", "--history").filter(args.contains)
+        Seq("--tags", "--history", "--branches").filter(args.contains)
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
-          rebucketTo.isEmpty && !args.exists(_.startsWith("--stream-ingest=")) &&
+          rebucketTo.isEmpty && rewriteSortedTarget.isEmpty &&
+          !args.exists(_.startsWith("--stream-ingest=")) &&
           !args.exists(_.startsWith("--replicate=")),
         s"${modeFlags.head} does not compose with maintenance or ingest flags " +
-          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket/--stream-ingest/" +
-          "--replicate) — run them as separate invocations")
+          "(--compact/--expire/--remove-orphans/--set-prop/--rebucket/--rewrite-sorted/" +
+          "--stream-ingest/--replicate) — run them as separate invocations")
     val pos = args.filterNot(_.startsWith("--"))
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
@@ -200,6 +240,44 @@ object JobMain {
       if (preexisting.isEmpty) spark.stop()
       return
     }
+    if (args.contains("--branches")) {
+      val bs = graft.spark.ExtractionJob.branches(outDir).toSeq.sorted
+        .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
+      println(s"""{"branches":$bs,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--audit-branch=")).foreach { a =>
+      val name = a.stripPrefix("--audit-branch=")
+      require(name.nonEmpty, "--audit-branch=NAME requires a branch name")
+      val r = graft.spark.ExtractionJob.auditBranch(spark, outDir, name)
+      println(s"""{"audit_branch":"$name","snapshot":${r.snapshotId},"rows":${r.rows},""" +
+        s""""duplicate_keys":${r.duplicateKeys},"null_specs":${r.nullSpecs},""" +
+        s""""intact":${r.intact},"ok":${r.ok},"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      // gate for shell pipelines: `--audit-branch && --publish-branch`
+      // publishes only a snapshot that passed the audit. Exit-code
+      // signalling only when running standalone — inside a host-owned
+      // session (tests, notebooks) the caller reads `ok` from the JSON.
+      if (!r.ok && preexisting.isEmpty) sys.exit(1)
+      return
+    }
+    args.find(_.startsWith("--publish-branch=")).foreach { a =>
+      val name = a.stripPrefix("--publish-branch=")
+      require(name.nonEmpty, "--publish-branch=NAME requires a branch name")
+      val snap = graft.spark.ExtractionJob.publishBranch(outDir, name)
+      println(s"""{"published_branch":"$name","snapshot":$snap,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--abandon-branch=")).foreach { a =>
+      val name = a.stripPrefix("--abandon-branch=")
+      require(name.nonEmpty, "--abandon-branch=NAME requires a branch name")
+      graft.spark.ExtractionJob.abandonBranch(outDir, name)
+      println(s"""{"abandoned_branch":"$name","out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     if (args.contains("--tags")) {
       val ts = graft.spark.ExtractionJob.tags(outDir).toSeq.sorted
         .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
@@ -237,7 +315,7 @@ object JobMain {
           "the source bucket layout — rebucket the SOURCE and re-baseline instead")
       val rows = graft.spark.TableReplication.replicateAvailableNow(spark, input, outDir, ckpt)
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo)
+        rebucketTo, rewriteSortedTarget)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"replicate":true,"snapshot":$snap,"rows_applied":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -252,7 +330,7 @@ object JobMain {
       // they do with a batch run — a scheduled ingest+retention invocation
       // must not silently drop its retention half
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo)
+        rebucketTo, rewriteSortedTarget)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -261,10 +339,11 @@ object JobMain {
     val turns = spark.read.parquet(input).as[graft.spark.Turn]
     val done = graft.spark.ExtractionJob.run(spark, turns,
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
-        fingerprintInputs = fingerprint, convGrained = convGrained))
+        fingerprintInputs = fingerprint, convGrained = convGrained, toBranch = toBranch))
     val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-      rebucketTo)
-    println(s"""{"committed_buckets_this_run":${done.size},$maint"out":"$outDir"}""")
+      rebucketTo, rewriteSortedTarget)
+    val branchJson = toBranch.map(n => s""""staged_branch":"$n",""").getOrElse("")
+    println(s"""{"committed_buckets_this_run":${done.size},$branchJson$maint"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }
 
@@ -274,11 +353,17 @@ object JobMain {
   private def runMaintenance(spark: SparkSession, outDir: String, doCompact: Boolean,
                              expireRetain: Option[Int], orphanAge: Option[Long],
                              setProps: Map[String, String],
-                             rebucketTo: Option[Int] = None): String = {
+                             rebucketTo: Option[Int] = None,
+                             rewriteSorted: Option[Long] = None): String = {
     // rebucket FIRST: the replacing rewrite applies pending deletes itself,
     // so a combined --rebucket --compact invocation compacts a clean table
     val rebucketed = rebucketTo.map { n =>
       graft.spark.ExtractionJob.rebucket(spark, outDir, n); n
+    }
+    // sorted split rewrite next (applies deletes too): composing it after
+    // rebucket re-splits the new layout; --compact after it is a no-op
+    val sortRewritten = rewriteSorted.map { n =>
+      graft.spark.ExtractionJob.rewriteSorted(spark, outDir, n); n
     }
     val compacted =
       if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
@@ -292,6 +377,7 @@ object JobMain {
     }
     if (setProps.nonEmpty) graft.spark.SnapshotManifestFormat.setTableProps(outDir, setProps)
     s""""rebucketed_to":${rebucketed.getOrElse(0)},"compacted_buckets":${compacted.size},""" +
+      s""""sort_rewritten_target":${sortRewritten.getOrElse(0)},""" +
       s""""expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,""" +
       s""""props_set":${setProps.size},"""
   }

@@ -698,6 +698,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-grained exact dedup with keep-first semantics (q44) — the
+    * C4 / RefinedWeb span-dedup shape: boilerplate repeated ACROSS
+    * documents (headers, disclaimers, navigation) is removed everywhere
+    * except its first occurrence in corpus order, and each document is
+    * reassembled from its surviving spans. The fixture corpus has no
+    * paragraph breaks, so "paragraph" = non-overlapping 10-word chunk;
+    * the operator shape is identical for any span tokenizer.
+    *
+    * Scale shape: keep-first is an aggregation, not a window — the
+    * first-occurrence agg shuffles only (hash, doc_id, chunk_idx), never
+    * chunk TEXT (pruned before the exchange), with a map-side partial
+    * min. Text crosses one shuffle, in the confirm join keyed by the
+    * 64-bit chunk hash; a viral chunk (one span duplicated 10^6 times)
+    * skews one join key, which AQE skew-join splits — the same reason
+    * the MinHash pipeline (q14) prefers agg+join over a window. */
+  def q44ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunkWords = 10
+    val chunks = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(ceil(size(w) / $chunkWords.0)) - 1), " +
+          s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))")))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+      .withColumn("h", xxhash64(col("chunk")))
+    // first occurrence per chunk content, in (doc_id, chunk_idx) corpus
+    // order: struct min gives lexicographic (doc_id, chunk_idx) — chunk
+    // text does NOT ride this shuffle
+    val firsts = chunks
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.chunk_idx").as("f_idx"))
+    val kept = chunks.join(firsts, "h")
+      .where(col("doc_id") === col("f_doc") && col("chunk_idx") === col("f_idx"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk")))), x => x.getField("chunk")), " "))
+          .as("kept_md5"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -741,7 +786,8 @@ object Queries {
     "q40_decontaminate" -> q40Decontaminate _,
     "q41_pii_scrub" -> q41PiiScrub _,
     "q42_repetition" -> q42RepetitionSignals _,
-    "q43_bloom_decontaminate" -> q43BloomDecontaminate _
+    "q43_bloom_decontaminate" -> q43BloomDecontaminate _,
+    "q44_paragraph_dedup" -> q44ParagraphDedup _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -763,6 +809,11 @@ object Queries {
       // join; false negatives are impossible), so the oracle recomputes
       // q40's exact semantics — bloom-independent by construction.
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+3), ' ')))) AS gram FROM d WHERE len(w) >= 4), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared FROM g JOIN bench ON g.gram = bench.gram WHERE g.doc_id % 97 <> 0 GROUP BY 1 ORDER BY 1""",
+    "q44_paragraph_dedup" ->
+      // full independent recomputation: same 10-word chunking, keep-first
+      // as a row_number window (the argmin-agg's SQL twin), same md5 of
+      // the reassembled surviving text
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1), c AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)), i -> struct_pack(chunk_idx := i - 1, chunk := array_to_string(list_slice(w, (i-1)*10 + 1, (i-1)*10 + 10), ' '))), recursive := true) FROM d), r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM c), t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1), k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5 FROM r WHERE rn = 1 GROUP BY 1) SELECT k.doc_id, t.n_chunks, k.n_kept, k.kept_md5 FROM k JOIN t USING (doc_id) ORDER BY 1""",
     "q41_pii_scrub" ->
       // same synthesized PII spans, same scrub regexes (Java and RE2 agree
       // on these character-class patterns), match counts + scrubbed md5.

@@ -65,7 +65,16 @@ object ExtractionJob {
       // re-planned attempt sees the winner's commits as already done, so
       // only genuinely remaining work is recomputed. 0 = propagate the
       // conflict to the caller (single-writer deployments).
-      commitRetries: Int = 2
+      commitRetries: Int = 2,
+      // Write-audit-publish (Iceberg WAP analog): stage this run's
+      // conv-grained delta on an unpublished branch ref instead of
+      // advancing the table head. Readers see nothing until
+      // publishBranch; auditBranch runs the structural gate; the table
+      // is frozen against other commits while the branch is pending
+      // (publish or abandon releases it). Requires convGrained and a
+      // fully committed table — full waves are replacing promotes, which
+      // cannot be staged un-published.
+      toBranch: Option[String] = None
   )
 
   final case class LineageRow(
@@ -237,6 +246,9 @@ object ExtractionJob {
     */
   def run(spark: SparkSession, turns: Dataset[Turn], config: Config,
           format: TableFormat = SnapshotManifestFormat): Set[Int] = {
+    require(config.toBranch.isEmpty || config.convGrained,
+      "toBranch (write-audit-publish) requires convGrained: only merge-on-read " +
+        "delta commits are additive and can be staged unpublished")
     val acc = scala.collection.mutable.Set.empty[Int]
     var attempt = 0
     while (true) {
@@ -324,10 +336,13 @@ object ExtractionJob {
     val withBucket = turns
       .withColumn("bucket", bucketOf(config.buckets))
 
+    // writer-unique staging names (see runConvGrained's runToken note)
+    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
     waves.zipWithIndex.foreach { case (waveBuckets, waveIdx) =>
       val input = withBucket.where(col("bucket").isin(waveBuckets: _*)).as[TurnWithBucket]
       val (staging, waveFiles, lineage) =
-        stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx", snapshotId + 1)
+        stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx-$runToken",
+          snapshotId + 1)
 
       snapshotId += 1
       committed = committed ++ waveBuckets
@@ -438,10 +453,25 @@ object ExtractionJob {
         else verified.toSeq.sorted
       val uncommitted = (0 until config.buckets).filterNot(verified.contains)
       if (dirty.isEmpty && uncommitted.isEmpty) return
+      // WAP: a branch can only stage the (additive) delta commit — full
+      // waves for never-committed buckets are replacing promotes and
+      // would mutate the published table before the audit
+      require(config.toBranch.isEmpty || uncommitted.isEmpty,
+        s"cannot stage branch '${config.toBranch.get}': buckets " +
+          s"${uncommitted.take(8).mkString(",")}${if (uncommitted.size > 8) ",…" else ""} " +
+          "have no committed snapshot — branch staging requires a fully committed table")
 
       var snapshotId = format.latestSnapshot(config.outDir).getOrElse(-1)
+      // Writer-unique artifact names: every PRE-COMMIT on-disk artifact
+      // (conv-fp sidecar, equality-delete dir, staging dirs) carries this
+      // run's token, so a concurrent writer computing the SAME next
+      // snapshot id (a pending WAP branch, a racing scheduler retry)
+      // can never overwrite it before the optimistic commit check settles
+      // who wins. Losers' token-named orphans are swept by
+      // removeOrphanFiles; the commit seq stays a parseable name prefix.
+      val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
       // this run's conv-fp sidecar; prior sidecars stay for older snapshots
-      val newConvFpsDir = s"fp-${snapshotId + 1}"
+      val newConvFpsDir = s"fp-${snapshotId + 1}-$runToken"
       convFps.write.mode(SaveMode.Overwrite)
         .parquet(s"${config.outDir}/conv_fps/$newConvFpsDir")
 
@@ -482,19 +512,20 @@ object ExtractionJob {
           if (nDiff > 0) {
             // equality delete file (the Iceberg MOR shape): rows for these
             // conversations in files with a LOWER seq are invisible to readers
+            val delDir = s"snap-$seq-$runToken"
             differing.select(col("bucket"), col("conv_id"), lit(seq).as("seq"))
-              .write.mode(SaveMode.Overwrite).parquet(s"${config.outDir}/deletes/snap-$seq")
-            deleteDirs = deleteDirs :+ s"snap-$seq"
+              .write.mode(SaveMode.Overwrite).parquet(s"${config.outDir}/deletes/$delDir")
+            deleteDirs = deleteDirs :+ delDir
             // recompute ONLY conversations that still exist with changed content
             val changedKeys = differing.where(col("cfp").isNotNull).select("bucket", "conv_id")
             val toRecompute = withBucket
               .join(changedKeys, Seq("bucket", "conv_id"), "left_semi").as[TurnWithBucket]
-            stageWave(spark, toRecompute, config, format, dirty, s"delta-$seq", seq)
+            stageWave(spark, toRecompute, config, format, dirty, s"delta-$seq-$runToken", seq)
           } else {
             // bucket fps were marked dirty but no conversation actually
             // differs (fp-formula re-baseline after mode mixing): commit the
             // refreshed fingerprints without writing deletes or data
-            (s"${config.outDir}/staging-delta-$seq", Vector.empty[FileEntry],
+            (s"${config.outDir}/staging-delta-$seq-$runToken", Vector.empty[FileEntry],
               Vector.empty[LineageRow])
           }
         differing.unpersist()
@@ -504,7 +535,7 @@ object ExtractionJob {
         format.commitWave(config.outDir, staging, snapshotId, committed, committedFiles,
           lineage, fpsBase, additive = true, convFpsDir = Some(newConvFpsDir),
           deleteDirs = deleteDirs, fpMode = Some("conv"), bucketCount = Some(config.buckets),
-          operation = "delta")
+          operation = "delta", toBranch = config.toBranch)
         acc ++= dirty
         if (config.failAfterWave == waveCounter)
           throw new RuntimeException(s"simulated kill after delta (snapshot $snapshotId committed)")
@@ -518,7 +549,7 @@ object ExtractionJob {
           val seq = snapshotId + 1
           val input = withBucket.where(col("bucket").isin(waveBuckets: _*)).as[TurnWithBucket]
           val (staging, files, lineage) =
-            stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx", seq)
+            stageWave(spark, input, config, format, waveBuckets, s"wave-$waveIdx-$runToken", seq)
           snapshotId = seq
           committed = committed ++ waveBuckets
           committedFiles = committedFiles ++ files
@@ -534,8 +565,11 @@ object ExtractionJob {
         }
       }
       // auto-compaction policy: bound the accumulated MOR delete debt
-      // (counted over the MANIFEST-tracked delete dirs — orphans don't count)
-      if (config.autoCompactDeletes > 0 && deleteDirs.nonEmpty) {
+      // (counted over the MANIFEST-tracked delete dirs — orphans don't
+      // count). Skipped in branch mode: compaction is a replacing commit
+      // to the table head, which the pending branch freezes — it runs on
+      // the first post-publish maintenance pass instead.
+      if (config.autoCompactDeletes > 0 && deleteDirs.nonEmpty && config.toBranch.isEmpty) {
         // same loud policy as the read path: a MANIFEST-tracked delete dir
         // missing on disk is an integrity error, not something to skip over
         val paths = deleteDirs.map { d =>
@@ -588,6 +622,50 @@ object ExtractionJob {
     * travel to pre-rebucket snapshots reports history loss once their
     * files are gone — both the established `compact` contracts. Returns
     * the new snapshot id; no-op when the modulus already matches. */
+  /** Sort-ordered file-split rewrite (Iceberg `rewrite_data_files` with a
+    * sort strategy + target file size): rewrite every bucket as
+    * (conv_id, turn_idx)-sorted runs split at `targetRowsPerFile`, so each
+    * file's recorded conv_id footer bounds cover a DISJOINT slice of its
+    * bucket and keyed reads prune INSIDE huge buckets, not just across
+    * them. At 100 TB a bucket is tens of GB — without the split, a
+    * point lookup that correctly plans one bucket still reads all of it;
+    * after the split it reads ~targetRowsPerFile rows. Pending equality
+    * deletes are applied by the rewrite (the source is the committed
+    * view) and one replacing snapshot is committed. Returns the new
+    * snapshot id. */
+  def rewriteSorted(spark: SparkSession, outDir: String, targetRowsPerFile: Long,
+                    format: TableFormat = SnapshotManifestFormat): Int = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive, got $targetRowsPerFile")
+    val man = format.readManifest(outDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    val buckets = man.files.map(_.bucket).distinct
+    if (buckets.isEmpty) return man.snapshotId
+    val seq = man.snapshotId + 1
+    // writer-unique names (see runConvGrained's runToken note)
+    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val staging = s"$outDir/staging-sortrewrite-$seq-$runToken"
+    // the leading `bucket` sort key makes the plan's output ordering
+    // satisfy the partitioned write's required ordering, so the writer
+    // does NOT inject its own partition sort (which would not preserve
+    // the conv order the disjoint per-file bounds depend on)
+    format.readCommitted(spark, outDir)
+      .repartition(buckets.size, col("bucket"))
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("bucket").parquet(staging)
+    val newFiles = format.listStagedFiles(spark, staging).toVector.map(_.copy(seq = seq))
+    val now = java.time.Instant.now().toString
+    val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>
+      LineageRow(seq, b.toLong, fs.map(_.rowCount).sum, 0L, 0L, now)
+    }.toVector
+    format.commitWave(outDir, staging, seq, man.buckets, newFiles, lineage,
+      man.inputFps, additive = false, convFpsDir = man.convFpsDir,
+      deleteDirs = Seq.empty, // applied by the rewrite
+      fpMode = man.fpMode, bucketCount = man.bucketCount, operation = "replace")
+    seq
+  }
+
   def rebucket(spark: SparkSession, outDir: String, newBuckets: Int,
                format: TableFormat = SnapshotManifestFormat): Int = {
     require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
@@ -595,7 +673,9 @@ object ExtractionJob {
       throw new IllegalStateException(s"no committed snapshot under $outDir"))
     if (man.bucketCount.contains(newBuckets)) return man.snapshotId
     val seq = man.snapshotId + 1
-    val staging = s"$outDir/staging-rebucket-$seq"
+    // writer-unique names (see runConvGrained's runToken note)
+    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val staging = s"$outDir/staging-rebucket-$seq-$runToken"
     format.readCommitted(spark, outDir)
       .drop("bucket")
       .withColumn("bucket", bucketOf(newBuckets))
@@ -609,7 +689,7 @@ object ExtractionJob {
     }.toVector
     val (newConvFpsDir, fps) = man.convFpsDir match {
       case Some(d) if new java.io.File(s"$outDir/conv_fps/$d").isDirectory =>
-        val nd = s"fp-$seq"
+        val nd = s"fp-$seq-$runToken"
         spark.read.parquet(s"$outDir/conv_fps/$d")
           .drop("bucket").withColumn("bucket", bucketOf(newBuckets))
           .select("bucket", "conv_id", "fp")
@@ -656,6 +736,53 @@ object ExtractionJob {
   /** Roll back to a snapshot (see TableFormat.rollbackTo). */
   def rollbackTo(outDir: String, snapshotId: Int): Int =
     defaultFormat.rollbackTo(outDir, snapshotId)
+
+  /** Branch refs: name -> staged snapshot id (see TableFormat.branches). */
+  def branches(outDir: String): Map[String, Int] = defaultFormat.branches(outDir)
+
+  /** WAP publish: make the branch's staged snapshot the table head. */
+  def publishBranch(outDir: String, name: String): Int =
+    defaultFormat.publishBranch(outDir, name)
+
+  /** WAP abandon: drop the staged snapshot and GC what only it references. */
+  def abandonBranch(outDir: String, name: String): Unit =
+    defaultFormat.abandonBranch(outDir, name)
+
+  /** WAP audit read: the branch's snapshot exactly as the table would
+    * serve it after publish (MOR deletes applied). */
+  def readCommittedAtBranch(spark: SparkSession, outDir: String, name: String): DataFrame =
+    defaultFormat.readCommittedAtBranch(spark, outDir, name)
+
+  /** Structural audit verdict for a staged branch (the "A" of
+    * write-audit-publish). `ok` gates publish in an unattended pipeline. */
+  final case class AuditReport(branch: String, snapshotId: Int, rows: Long,
+                               duplicateKeys: Long, nullSpecs: Long, intact: Boolean) {
+    def ok: Boolean = intact && duplicateKeys == 0 && nullSpecs == 0
+  }
+
+  /** Audit a staged branch before publishing: the invariants every
+    * servable extraction snapshot must hold —
+    *  - (conv_id, turn_idx) key uniqueness AFTER MOR delete application
+    *    (a duplicate means a delta landed without its equality delete:
+    *    downstream consumers would double-count the turn),
+    *  - no null/empty extraction payloads (`fields_json`),
+    *  - file-level intactness (every manifest-tracked file present).
+    * One distributed aggregation over the branch read; the intactness
+    * sweep is driver-side and manifest-sized. */
+  def auditBranch(spark: SparkSession, outDir: String, name: String): AuditReport = {
+    val id = defaultFormat.branches(outDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
+    val man = defaultFormat.readManifestAt(outDir, id).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' points at snapshot $id but its manifest is missing under $outDir"))
+    val r = defaultFormat.readCommittedAtBranch(spark, outDir, name).agg(
+      count(lit(1)).as("rows"),
+      (count(lit(1)) - countDistinct(col("conv_id"), col("turn_idx"))).as("dups"),
+      count(when(col("fields_json").isNull || length(col("fields_json")) === 0, lit(1)))
+        .as("nulls")).collect()(0)
+    AuditReport(name, id, r.getLong(0), r.getLong(1), r.getLong(2),
+      defaultFormat.snapshotIntact(outDir, man))
+  }
 
   /** `$snapshots` metadata table (see TableFormat.readSnapshotsTable). */
   def readSnapshotsTable(spark: SparkSession, outDir: String): DataFrame =

@@ -65,7 +65,17 @@ trait TableFormat {
                  // the TARGET snapshot's schema so a rollback across a
                  // schema change restores the schema too; None = derive
                  // from staged footers or carry the previous one sticky
-                 schemaDdl: Option[String] = None): Unit
+                 schemaDdl: Option[String] = None,
+                 // write-audit-publish (Iceberg WAP analog): stage the
+                 // snapshot under a named branch ref instead of advancing
+                 // the table head — readers see nothing until
+                 // publishBranch. Branch commits must be ADDITIVE (a
+                 // replacing promote would rewrite published bucket dirs
+                 // before the audit), and while a branch is pending the
+                 // table is frozen against every other commit (the branch
+                 // holds the next snapshot id); publish or abandon
+                 // releases it.
+                 toBranch: Option[String] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
     * manifest (promoted-but-uncommitted data is invisible). */
@@ -141,6 +151,31 @@ trait TableFormat {
     * nothing a manifest references — table reads and time travel are
     * unaffected. */
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep
+
+  /** Branch refs on the table: name -> staged snapshot id. A ref whose id
+    * is beyond the table head is PENDING (unpublished, freezes other
+    * commits); a ref at or below the head is a publish-crash remnant that
+    * the next publishBranch call retires. */
+  def branches(outDir: String): Map[String, Int]
+
+  /** Atomically make branch `name`'s staged snapshot the table head (the
+    * WAP "publish" step) and retire the ref. Refuses if the staged
+    * snapshot's files have gone missing (a crashed abandon). Idempotent
+    * across a publish crash: a ref left pointing at an already-published
+    * snapshot is simply cleaned up. Returns the published snapshot id. */
+  def publishBranch(outDir: String, name: String): Int
+
+  /** Drop branch `name` without publishing: delete the staged snapshot's
+    * manifest, lineage, and every data file / delete dir / conv-fp sidecar
+    * that ONLY the branch references, then retire the ref. The published
+    * table is untouched. Safe to re-run after a crash (the ref is removed
+    * last). */
+  def abandonBranch(outDir: String, name: String): Unit
+
+  /** Snapshot-isolated read of branch `name`'s staged snapshot — the
+    * "audit" read of write-audit-publish, served with full MOR delete
+    * application exactly as the table would read AFTER publish. */
+  def readCommittedAtBranch(spark: SparkSession, outDir: String, name: String): DataFrame
 
   /** Tag a snapshot with a named ref (Iceberg tag analog): the tag is a
     * sticky prop `ref.<name>` -> snapshot id, so it survives every later
@@ -590,7 +625,8 @@ object SnapshotManifestFormat extends TableFormat {
                           bucketCount: Option[Int] = None,
                           operation: String = "append",
                           props: Map[String, String] = Map.empty,
-                          schemaDdl: Option[String] = None): Unit = {
+                          schemaDdl: Option[String] = None,
+                          toBranch: Option[String] = None): Unit = {
     // flat-JSON manifest encoding: a '{'/'}' inside a props value would
     // break the object-scoped parse regex — refuse loudly at write time
     props.foreach { case (k, v) =>
@@ -627,6 +663,33 @@ object SnapshotManifestFormat extends TableFormat {
       throw new CommitConflictException(
         s"commit of snapshot $snapshotId computed against ${expectedBase.getOrElse("<none>")} " +
           s"but table is at ${current.getOrElse("<none>")} under $outDir — another writer committed first")
+    // Write-audit-publish freeze: a PENDING branch ref (id beyond the
+    // head) owns the next snapshot id — its manifest file is
+    // snap-<id>.json, which any other commit of that id would silently
+    // overwrite, orphaning the staged audit data. So while a branch is
+    // pending, EVERY other commit (main, compaction, rollback, a second
+    // branch) refuses; publish or abandon releases the table.
+    val pendingBranches =
+      branches(outDir).filter { case (_, id) => id > current.getOrElse(-1) }
+    toBranch match {
+      case Some(name) =>
+        require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name: '$name'")
+        require(additive,
+          s"branch commit '$name' must be additive (merge-on-read): a replacing " +
+            "promote would rewrite published bucket dirs before the audit")
+        if (pendingBranches.nonEmpty) {
+          val (n, id) = pendingBranches.head
+          throw new CommitConflictException(
+            s"cannot stage branch '$name' at snapshot $snapshotId under $outDir: " +
+              s"unpublished branch '$n' already holds snapshot $id — publish or abandon it first")
+        }
+      case None =>
+        pendingBranches.headOption.foreach { case (n, id) =>
+          throw new CommitConflictException(
+            s"cannot commit snapshot $snapshotId under $outDir: unpublished branch '$n' " +
+              s"holds snapshot $id — publish or abandon it first")
+        }
+    }
     val prevMan = readManifest(outDir)
     // sticky table properties: every commit carries the previous manifest's
     // props forward with this commit's entries laid over them, so markers
@@ -741,7 +804,92 @@ object SnapshotManifestFormat extends TableFormat {
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
         s"""$operationJson$schemaJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
-    atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
+    toBranch match {
+      // branch commit: the manifest exists but the table head does NOT
+      // move — only the branch ref points at it until publishBranch
+      case Some(name) =>
+        atomicWrite(Paths.get(outDir, "snapshots", s"branch-$name"), snapshotId.toString)
+      case None =>
+        atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
+    }
+  }
+
+  override def branches(outDir: String): Map[String, Int] = {
+    val dir = Paths.get(outDir, "snapshots")
+    if (!Files.isDirectory(dir)) Map.empty
+    else listDir(dir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("branch-")) {
+        val content = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        require(content.matches("\\d{1,9}"),
+          s"corrupt branch ref '$n' under $outDir: expected a snapshot id, got '$content'")
+        Some(n.stripPrefix("branch-") -> content.toInt)
+      } else None
+    }.toMap
+  }
+
+  override def publishBranch(outDir: String, name: String): Int = {
+    val ref = Paths.get(outDir, "snapshots", s"branch-$name")
+    val id = branches(outDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
+    val cur = latestSnapshot(outDir).getOrElse(-1)
+    if (id <= cur) { // publish crashed between the head swap and the ref
+      Files.deleteIfExists(ref) // delete: the snapshot is already live
+      return id
+    }
+    // the pending-branch commit freeze makes this invariant; check anyway
+    // so a hand-damaged table fails loudly instead of skipping history
+    require(id == cur + 1,
+      s"branch '$name' head $id is not the table's next snapshot (head is $cur) under $outDir")
+    val man = readManifestAt(outDir, id).getOrElse(throw new IllegalStateException(
+      s"branch '$name' points at snapshot $id but its manifest is missing under $outDir — " +
+        "a crashed abandon; re-run abandonBranch to finish retiring it"))
+    require(snapshotIntact(outDir, man),
+      s"cannot publish branch '$name': snapshot $id references files missing under $outDir")
+    atomicWrite(Paths.get(outDir, "snapshots", "_latest"), id.toString)
+    Files.deleteIfExists(ref)
+    id
+  }
+
+  override def abandonBranch(outDir: String, name: String): Unit = {
+    val ref = Paths.get(outDir, "snapshots", s"branch-$name")
+    val id = branches(outDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
+    val cur = latestSnapshot(outDir).getOrElse(-1)
+    if (id > cur) {
+      // GC exactly what ONLY the branch references. Branch commits are
+      // additive (head's files + new ones), so diffing against the head
+      // would usually suffice — but older RETAINED manifests can also
+      // reference files the head no longer lists (post-compact history),
+      // so the reference set is every on-disk manifest except the
+      // branch's own, the same rule expireSnapshots GC uses. Everything
+      // is deleteIfExists / recursive-quiet and the ref goes LAST, so a
+      // crash mid-abandon re-runs to completion.
+      readManifestAt(outDir, id).foreach { man =>
+        val others = allManifests(outDir).filter(_.snapshotId != id)
+        val refFiles = others.flatMap(_.files.map(_.path)).toSet
+        man.files.filterNot(f => refFiles.contains(f.path))
+          .foreach(f => Files.deleteIfExists(Paths.get(outDir, "data", f.path)))
+        val refDels = others.flatMap(_.deleteDirs).toSet
+        man.deleteDirs.filterNot(refDels.contains)
+          .foreach(d => deleteRecursively(Paths.get(outDir, "deletes", d)))
+        val refFps = others.flatMap(_.convFpsDir).toSet
+        for (fp <- man.convFpsDir if !refFps.contains(fp))
+          deleteRecursively(Paths.get(outDir, "conv_fps", fp))
+        Files.deleteIfExists(Paths.get(outDir, "lineage", s"lineage-$id.json"))
+        Files.deleteIfExists(Paths.get(outDir, "snapshots", s"snap-$id.json"))
+      }
+    } // id <= cur: publish-crash remnant — the snapshot is live, only drop the ref
+    Files.deleteIfExists(ref)
+    ()
+  }
+
+  override def readCommittedAtBranch(spark: SparkSession, outDir: String,
+                                     name: String): DataFrame = {
+    val id = branches(outDir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
+    readCommittedAsOf(spark, outDir, id)
   }
 
   /** Delete-file directories visible at a snapshot: exactly the manifest's
@@ -954,13 +1102,24 @@ object SnapshotManifestFormat extends TableFormat {
   }
 
   /** Delete dirs of `man` whose snapshot falls in (from, to]. */
-  private def rangeDeleteDirs(man: Manifest, from: Int, to: Int): Vector[String] =
-    man.deleteDirs.filter { d =>
-      val k = d.stripPrefix("snap-")
-      d.startsWith("snap-") && k.nonEmpty && k.forall(_.isDigit) && {
-        val n = k.toInt; n > from && n <= to
-      }
+  /** Commit seq encoded in a delete dir's name: `snap-<seq>` (legacy) or
+    * `snap-<seq>-<runToken>` — the token makes pre-commit artifacts
+    * writer-unique so concurrent writers computing the same next snapshot
+    * id can never overwrite each other's files before the optimistic
+    * commit check settles who wins. */
+  private[spark] def deleteDirSeq(name: String): Option[Int] =
+    if (!name.startsWith("snap-")) None
+    else {
+      val rest = name.stripPrefix("snap-")
+      val digits = rest.takeWhile(_.isDigit)
+      if (digits.isEmpty || digits.length > 9) None
+      else if (rest.length == digits.length || rest.charAt(digits.length) == '-')
+        Some(digits.toInt)
+      else None
     }
+
+  private def rangeDeleteDirs(man: Manifest, from: Int, to: Int): Vector[String] =
+    man.deleteDirs.filter(d => deleteDirSeq(d).exists(n => n > from && n <= to))
 
   override def readAppendsBetween(spark: SparkSession, outDir: String,
                                   fromSnapshot: Int, toSnapshot: Int): DataFrame =
@@ -1048,18 +1207,22 @@ object SnapshotManifestFormat extends TableFormat {
     // fileless bucket hides nothing and can simply be dropped
     val affected = withDeletes.intersect(man.files.map(_.bucket).toSet)
     val seq = man.snapshotId + 1
+    // writer-unique staging (see ExtractionJob.runConvGrained's runToken
+    // note): a concurrent compactor computing the same seq must not share
+    // a staging dir with this one
+    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
     if (affected.isEmpty) {
       // no data to rewrite, but the tracked deletes must still be RETIRED
       // through a manifest commit BEFORE their dirs are removed — deleting
       // dirs a live manifest references would trip the integrity check
-      commitWave(outDir, s"$outDir/staging-compact-$seq", seq, man.buckets, man.files,
+      commitWave(outDir, s"$outDir/staging-compact-$seq-$runToken", seq, man.buckets, man.files,
         Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
         deleteDirs = Seq.empty, fpMode = man.fpMode, bucketCount = man.bucketCount,
         operation = "replace")
     } else {
       // the committed view already applies the deletes — rewrite it as
       // clean sorted files, one dir per bucket
-      val staging = s"$outDir/staging-compact-$seq"
+      val staging = s"$outDir/staging-compact-$seq-$runToken"
       readCommitted(spark, outDir)
         .where(col("bucket").isin(affected.toSeq: _*))
         .repartition(affected.size, col("bucket"))

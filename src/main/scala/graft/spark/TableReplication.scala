@@ -119,12 +119,12 @@ object TableReplication {
 
       var attempt = 0
       var lastDeleteDir: Option[String] = None
-      // a lost race leaves our deletes/snap-K on disk under a name the
-      // WINNER's committed manifest may now track (both computed seq K):
-      // dropping it blind would break every read of the winner's snapshot
-      // ("manifest-tracked delete dir missing"). Drop only when no
-      // retained manifest references the name; a referenced one is the
-      // winner's property and ours is simply superseded.
+      // writer-unique delete-dir names (snap-<seq>-<token>, the
+      // ExtractionJob runToken convention): a concurrent writer computing
+      // the same seq can never overwrite ours pre-commit. The
+      // unreferenced-only drop stays as defense in depth — a name a
+      // retained manifest tracks is never ours to delete.
+      val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
       def dropDeleteDirIfUnreferenced(name: String): Unit = {
         val referenced = format.retainedManifests(dstDir).exists(_.deleteDirs.contains(name))
         if (!referenced) dropDir(s"$dstDir/deletes/$name")
@@ -139,10 +139,11 @@ object TableReplication {
         // the delete file's name and seq column are commit-seq-stamped, so
         // a lost race rewrites it under the winner's successor seq
         val deleteDir = if (nDel == 0L) None else {
-          lastDeleteDir.filter(_ != s"snap-$seq").foreach(dropDeleteDirIfUnreferenced)
+          val name = s"snap-$seq-$runToken"
+          lastDeleteDir.filter(_ != name).foreach(dropDeleteDirIfUnreferenced)
           delDf.withColumn("seq", lit(seq))
-            .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/deletes/snap-$seq")
-          lastDeleteDir = Some(s"snap-$seq")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/deletes/$name")
+          lastDeleteDir = Some(name)
           lastDeleteDir
         }
         val files = files0.map(_.copy(seq = seq))

@@ -104,6 +104,13 @@ object ExplainCheck {
       ("exact confirm is a shuffle join, not broadcast",
         p => p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q44_paragraph_dedup", graft.queries.Queries.q44ParagraphDedup(spark, dir),
+      // keep-first as an argmin AGG (partial min map-side), not a window:
+      // the first-occurrence shuffle carries (hash, doc_id, chunk_idx)
+      // only — chunk text crosses one exchange, in the confirm join
+      ("partial argmin before shuffle", _.contains("partial_min")),
+      ("no window operator", p => !p.contains("Window")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),

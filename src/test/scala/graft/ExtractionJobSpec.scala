@@ -302,7 +302,8 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // on disk while the delta manifest still references it (retired by
     // expireSnapshots, not compact — the Iceberg split)
     assert(manCompacted.deleteDirs.isEmpty, "compacted manifest must track no deletes")
-    assert(Files.isDirectory(java.nio.file.Paths.get(out, "deletes", s"snap-${manAfter.snapshotId}")),
+    assert(manAfter.deleteDirs.nonEmpty && manAfter.deleteDirs.forall(d =>
+      Files.isDirectory(java.nio.file.Paths.get(out, "deletes", d))),
       "delete dir referenced by a retained manifest must survive compact")
     // compaction rewrote the bucket's files, so time travel to the delta
     // snapshot is genuinely gone — reported as history loss, NOT as a
@@ -744,13 +745,18 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
                              from: Int, to: Int) = inner.readAppendsBetween(s, outDir, from, to)
       def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
                                 from: Int, to: Int) = inner.readDeleteKeysBetween(s, outDir, from, to)
+      def branches(outDir: String) = inner.branches(outDir)
+      def publishBranch(outDir: String, name: String) = inner.publishBranch(outDir, name)
+      def abandonBranch(outDir: String, name: String) = inner.abandonBranch(outDir, name)
+      def readCommittedAtBranch(s: org.apache.spark.sql.SparkSession, outDir: String,
+                                name: String) = inner.readCommittedAtBranch(s, outDir, name)
       def commitWave(outDir: String, staging: String, snapshotId: Int,
                      buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                      inputFps: Map[Int, Long], additive: Boolean,
                      convFpsDir: Option[String], deleteDirs: Seq[String],
                      fpMode: Option[String], bucketCount: Option[Int],
                      operation: String, props: Map[String, String],
-                     schemaDdl: Option[String]): Unit = {
+                     schemaDdl: Option[String], toBranch: Option[String]): Unit = {
         if (!injected) {
           injected = true
           val man = inner.readManifest(outDir).get

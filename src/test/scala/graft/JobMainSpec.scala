@@ -234,4 +234,47 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       JobMain.main(Array(src, dst, "--tags", s"--replicate=$ckpt"))
     }
   }
+
+  test("JobMain WAP cycle from the CLI: --to-branch stages, --audit-branch gates, --publish-branch serves; --rewrite-sorted splits files") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-jobmain-wap").toString
+    val in1 = base + "/turns1"; val in2 = base + "/turns2"; val out = base + "/table"
+    val turns = graft.spark.Transcripts.generate(s, 16)
+    turns.write.parquet(in1)
+    JobMain.main(Array(in1, out, "4", "2", "--conv-grained"))
+    val s0 = graft.spark.ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nState: IL") else t)
+      .write.parquet(in2)
+    def cli(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { JobMain.main(args.toArray) }
+      buf.toString.linesIterator.find(_.startsWith("{")).get
+    }
+    val staged = cli(in2, out, "4", "2", "--conv-grained", "--to-branch=audit")
+    assert(staged.contains(""""staged_branch":"audit""""), staged)
+    assert(graft.spark.ExtractionJob.latestSnapshot(out).contains(s0),
+      "the head must not move on a branch stage")
+    assert(cli(in1, out, "--branches") ==
+      s"""{"branches":{"audit":${s0 + 1}},"out":"$out"}""")
+    val audit = cli(in1, out, "--audit-branch=audit")
+    assert(audit.contains(""""ok":true""") && audit.contains(""""duplicate_keys":0"""), audit)
+    val pub = cli(in1, out, "--publish-branch=audit")
+    assert(pub.contains(s""""snapshot":${s0 + 1}"""), pub)
+    assert(graft.spark.ExtractionJob.latestSnapshot(out).contains(s0 + 1))
+    assert(graft.spark.ExtractionJob.readCommitted(s, out).count() == turns.count())
+    // --to-branch refuses head-committing companions at parse time
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(in2, out, "4", "2", "--conv-grained",
+        "--to-branch=x", "--compact"))
+    }
+    // sorted split rewrite from the CLI: per-file rows bounded, buckets split
+    val rw = cli(in2, out, "4", "2", "--conv-grained", "--rewrite-sorted=40")
+    assert(rw.contains(""""sort_rewritten_target":40"""), rw)
+    val man = graft.spark.ExtractionJob.readManifest(out).get
+    assert(man.files.forall(_.rowCount <= 40), "target rows per file must bound every file")
+    assert(man.files.groupBy(_.bucket).values.exists(_.size > 1), "buckets must be split")
+    assert(graft.spark.ExtractionJob.readCommitted(s, out).count() == turns.count())
+  }
 }

@@ -199,17 +199,22 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
                            from: Int, to: Int) = fmt.readAppendsBetween(s, outDir, from, to)
     def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
                               from: Int, to: Int) = fmt.readDeleteKeysBetween(s, outDir, from, to)
+    def branches(outDir: String) = fmt.branches(outDir)
+    def publishBranch(outDir: String, name: String) = fmt.publishBranch(outDir, name)
+    def abandonBranch(outDir: String, name: String) = fmt.abandonBranch(outDir, name)
+    def readCommittedAtBranch(s: org.apache.spark.sql.SparkSession, outDir: String,
+                              name: String) = fmt.readCommittedAtBranch(s, outDir, name)
     def commitWave(outDir: String, staging: String, snapshotId: Int,
                    buckets: Set[Int], files: Seq[FileEntry], lineage: Seq[LineageRow],
                    inputFps: Map[Int, Long], additive: Boolean,
                    convFpsDir: Option[String], deleteDirs: Seq[String],
                    fpMode: Option[String], bucketCount: Option[Int],
                    operation: String, props: Map[String, String],
-                   schemaDdl: Option[String]): Unit = {
+                   schemaDdl: Option[String], toBranch: Option[String]): Unit = {
       if (!injected) { injected = true; inject(outDir) }
       fmt.commitWave(outDir, staging, snapshotId, buckets, files, lineage,
         inputFps, additive, convFpsDir, deleteDirs, fpMode, bucketCount, operation, props,
-        schemaDdl)
+        schemaDdl, toBranch)
     }
   }
 
