@@ -155,6 +155,11 @@ object JobMain {
         Seq("--tags", "--history", "--branches").filter(args.contains)
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
+    // a mode flag early-returns before the extraction run, so a combined
+    // --to-branch would be silently discarded — refuse instead
+    require(modeFlags.isEmpty || toBranch.isEmpty,
+      s"${modeFlags.head} does not compose with --to-branch: the mode flag " +
+        "returns before any run is staged — run them as separate invocations")
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
           rebucketTo.isEmpty && rewriteSortedTarget.isEmpty &&
@@ -342,7 +347,14 @@ object JobMain {
         fingerprintInputs = fingerprint, convGrained = convGrained, toBranch = toBranch))
     val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
       rebucketTo, rewriteSortedTarget)
-    val branchJson = toBranch.map(n => s""""staged_branch":"$n",""").getOrElse("")
+    // truthful only: a no-op run (input unchanged, nothing dirty) stages no
+    // ref — report null so an unattended WAP pipeline skips the audit step
+    // instead of crashing on a branch that was never created
+    val branchJson = toBranch.map { n =>
+      if (graft.spark.ExtractionJob.branches(outDir).contains(n))
+        s""""staged_branch":"$n","""
+      else s""""staged_branch":null,"""
+    }.getOrElse("")
     println(s"""{"committed_buckets_this_run":${done.size},$branchJson$maint"out":"$outDir"}""")
     if (preexisting.isEmpty) spark.stop() // don't stop a host-owned session
   }

@@ -709,10 +709,16 @@ object Queries {
     * Scale shape: keep-first is an aggregation, not a window — the
     * first-occurrence agg shuffles only (hash, doc_id, chunk_idx), never
     * chunk TEXT (pruned before the exchange), with a map-side partial
-    * min. Text crosses one shuffle, in the confirm join keyed by the
-    * 64-bit chunk hash; a viral chunk (one span duplicated 10^6 times)
-    * skews one join key, which AQE skew-join splits — the same reason
-    * the MinHash pipeline (q14) prefers agg+join over a window. */
+    * min. Text crosses one shuffle, in the confirm join on the hash key;
+    * a viral chunk (one span duplicated 10^6 times) skews one join key,
+    * which AQE skew-join splits — the same reason the MinHash pipeline
+    * (q14) prefers agg+join over a window.
+    *
+    * Chunk identity is the 64-bit xxhash64 (the standard exact-dedup-by-
+    * hash contract, same identity q10 uses): a collision — probability
+    * ~n²/2⁶⁵ over n distinct chunks — would wrongly merge two spans.
+    * The DuckDB oracle partitions by chunk TEXT, so a collision surfaces
+    * as a correctness mismatch rather than passing silently. */
   def q44ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunkWords = 10
     val chunks = table(spark, dir, "documents")

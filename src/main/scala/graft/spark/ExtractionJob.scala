@@ -337,7 +337,7 @@ object ExtractionJob {
       .withColumn("bucket", bucketOf(config.buckets))
 
     // writer-unique staging names (see runConvGrained's runToken note)
-    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val runToken = SnapshotManifestFormat.newRunToken()
     waves.zipWithIndex.foreach { case (waveBuckets, waveIdx) =>
       val input = withBucket.where(col("bucket").isin(waveBuckets: _*)).as[TurnWithBucket]
       val (staging, waveFiles, lineage) =
@@ -469,7 +469,7 @@ object ExtractionJob {
       // can never overwrite it before the optimistic commit check settles
       // who wins. Losers' token-named orphans are swept by
       // removeOrphanFiles; the commit seq stays a parseable name prefix.
-      val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+      val runToken = SnapshotManifestFormat.newRunToken()
       // this run's conv-fp sidecar; prior sidecars stay for older snapshots
       val newConvFpsDir = s"fp-${snapshotId + 1}-$runToken"
       convFps.write.mode(SaveMode.Overwrite)
@@ -642,7 +642,7 @@ object ExtractionJob {
     if (buckets.isEmpty) return man.snapshotId
     val seq = man.snapshotId + 1
     // writer-unique names (see runConvGrained's runToken note)
-    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val runToken = SnapshotManifestFormat.newRunToken()
     val staging = s"$outDir/staging-sortrewrite-$seq-$runToken"
     // the leading `bucket` sort key makes the plan's output ordering
     // satisfy the partitioned write's required ordering, so the writer
@@ -674,7 +674,7 @@ object ExtractionJob {
     if (man.bucketCount.contains(newBuckets)) return man.snapshotId
     val seq = man.snapshotId + 1
     // writer-unique names (see runConvGrained's runToken note)
-    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val runToken = SnapshotManifestFormat.newRunToken()
     val staging = s"$outDir/staging-rebucket-$seq-$runToken"
     format.readCommitted(spark, outDir)
       .drop("bucket")

@@ -673,7 +673,8 @@ object SnapshotManifestFormat extends TableFormat {
       branches(outDir).filter { case (_, id) => id > current.getOrElse(-1) }
     toBranch match {
       case Some(name) =>
-        require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name: '$name'")
+        require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
+          s"invalid branch name: '$name'") // .tmp is atomicWrite's staging suffix
         require(additive,
           s"branch commit '$name' must be additive (merge-on-read): a replacing " +
             "promote would rewrite published bucket dirs before the audit")
@@ -803,14 +804,45 @@ object SnapshotManifestFormat extends TableFormat {
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
         s"""$operationJson$schemaJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
-    atomicWrite(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"), manifest)
+    val manPath = Paths.get(outDir, "snapshots", s"snap-$snapshotId.json")
+    atomicWrite(manPath, manifest)
+    // Post-write overwrite check: the freeze/CAS reads above are
+    // check-then-act, so two writers that both passed them can both have
+    // written snap-<id>.json — last write wins the file. Re-reading it
+    // after our pointer write detects the clobber (manifests embed a
+    // commit timestamp, so two writers' bytes always differ) and turns a
+    // would-be silent data loss into a CommitConflictException. A real
+    // catalog's compare-and-swap would close the remaining tiny window
+    // between this read and the loser's cleanup.
+    def manifestClobbered(): Boolean =
+      new String(Files.readAllBytes(manPath), StandardCharsets.UTF_8) != manifest
     toBranch match {
       // branch commit: the manifest exists but the table head does NOT
       // move — only the branch ref points at it until publishBranch
       case Some(name) =>
-        atomicWrite(Paths.get(outDir, "snapshots", s"branch-$name"), snapshotId.toString)
+        val ref = Paths.get(outDir, "snapshots", s"branch-$name")
+        atomicWrite(ref, snapshotId.toString)
+        if (manifestClobbered()) {
+          Files.deleteIfExists(ref) // our staged data is orphaned, not served
+          throw new CommitConflictException(
+            s"branch '$name' lost a concurrent-commit race for snapshot $snapshotId " +
+              s"under $outDir: another writer overwrote the staged manifest")
+        }
       case None =>
-        atomicWrite(Paths.get(outDir, "snapshots", "_latest"), snapshotId.toString)
+        val head = Paths.get(outDir, "snapshots", "_latest")
+        atomicWrite(head, snapshotId.toString)
+        if (manifestClobbered()) {
+          // restore the head only if it still names OUR id (a third
+          // writer may legitimately have advanced it past us)
+          val cur = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim
+          if (cur == snapshotId.toString) current match {
+            case Some(prev) => atomicWrite(head, prev.toString)
+            case None       => Files.deleteIfExists(head)
+          }
+          throw new CommitConflictException(
+            s"commit of snapshot $snapshotId under $outDir lost a concurrent-commit race: " +
+              "another writer overwrote the manifest after the freeze check")
+        }
     }
   }
 
@@ -819,7 +851,10 @@ object SnapshotManifestFormat extends TableFormat {
     if (!Files.isDirectory(dir)) Map.empty
     else listDir(dir).flatMap { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("branch-")) {
+      // '.tmp' siblings are atomicWrite staging leftovers from a crashed
+      // ref write, never refs — parsing one would register a phantom
+      // branch (or throw on partial content) and freeze the table
+      if (n.startsWith("branch-") && !n.endsWith(".tmp")) {
         val content = new String(Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim
         require(content.matches("\\d{1,9}"),
@@ -1107,6 +1142,14 @@ object SnapshotManifestFormat extends TableFormat {
     * writer-unique so concurrent writers computing the same next snapshot
     * id can never overwrite each other's files before the optimistic
     * commit check settles who wins. */
+  /** Token for writer-unique PRE-COMMIT artifact names (staging dirs,
+    * delete dirs `snap-<seq>-<token>`, conv-fp sidecars `fp-<seq>-<token>`):
+    * concurrent writers computing the same next snapshot id must never
+    * share an on-disk name before the optimistic commit check settles who
+    * wins. One definition pins the convention `deleteDirSeq` parses. */
+  private[spark] def newRunToken(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   private[spark] def deleteDirSeq(name: String): Option[Int] =
     if (!name.startsWith("snap-")) None
     else {
@@ -1210,7 +1253,7 @@ object SnapshotManifestFormat extends TableFormat {
     // writer-unique staging (see ExtractionJob.runConvGrained's runToken
     // note): a concurrent compactor computing the same seq must not share
     // a staging dir with this one
-    val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val runToken = newRunToken()
     if (affected.isEmpty) {
       // no data to rewrite, but the tracked deletes must still be RETIRED
       // through a manifest commit BEFORE their dirs are removed — deleting

@@ -124,7 +124,7 @@ object TableReplication {
       // the same seq can never overwrite ours pre-commit. The
       // unreferenced-only drop stays as defense in depth — a name a
       // retained manifest tracks is never ours to delete.
-      val runToken = java.util.UUID.randomUUID().toString.substring(0, 8)
+      val runToken = SnapshotManifestFormat.newRunToken()
       def dropDeleteDirIfUnreferenced(name: String): Unit = {
         val referenced = format.retainedManifests(dstDir).exists(_.deleteDirs.contains(name))
         if (!referenced) dropDir(s"$dstDir/deletes/$name")

@@ -264,10 +264,20 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pub.contains(s""""snapshot":${s0 + 1}"""), pub)
     assert(graft.spark.ExtractionJob.latestSnapshot(out).contains(s0 + 1))
     assert(graft.spark.ExtractionJob.readCommitted(s, out).count() == turns.count())
+    // a no-op stage (input unchanged after publish) creates no ref and
+    // says so — an unattended pipeline reads null and skips the audit
+    val noop = cli(in2, out, "4", "2", "--conv-grained", "--to-branch=noop")
+    assert(noop.contains(""""staged_branch":null"""), noop)
+    assert(graft.spark.ExtractionJob.branches(out).isEmpty)
     // --to-branch refuses head-committing companions at parse time
     intercept[IllegalArgumentException] {
       JobMain.main(Array(in2, out, "4", "2", "--conv-grained",
         "--to-branch=x", "--compact"))
+    }
+    // ...and mode flags, which early-return before any run is staged
+    intercept[IllegalArgumentException] {
+      JobMain.main(Array(in2, out, "4", "2", "--conv-grained",
+        "--to-branch=x", "--branches"))
     }
     // sorted split rewrite from the CLI: per-file rows bounded, buckets split
     val rw = cli(in2, out, "4", "2", "--conv-grained", "--rewrite-sorted=40")

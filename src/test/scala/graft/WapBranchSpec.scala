@@ -210,4 +210,42 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.latestSnapshot(out).contains(snap))
     assert(rows(ExtractionJob.readCommitted(spark, out)) == want)
   }
+
+  test("a crashed ref write's .tmp leftover is not a branch: no phantom freeze, no corrupt-ref error") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-tmp").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 8)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+
+    // exactly what a kill between atomicWrite's write(tmp) and move leaves
+    // behind — once with complete digits (would register a phantom branch
+    // named 'ghost.tmp' freezing the table) and once with partial content
+    // (would throw 'corrupt branch ref' from every later commit)
+    Files.write(Paths.get(out, "snapshots", "branch-ghost.tmp"), (s0 + 1).toString.getBytes)
+    assert(ExtractionJob.branches(out).isEmpty, ".tmp staging leftovers are not refs")
+    Files.write(Paths.get(out, "snapshots", "branch-ghost.tmp"), "1".getBytes) // partial
+    assert(ExtractionJob.branches(out).isEmpty)
+
+    // the table is NOT frozen: a head commit and a real branch both land
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nZip: 10001") else t)
+    assert(ExtractionJob.run(spark, changed, cfg).nonEmpty)
+    assert(ExtractionJob.latestSnapshot(out).contains(s0 + 1))
+    val changed2 = changed.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nState: NY") else t)
+    assert(ExtractionJob.run(spark, changed2, cfg.copy(toBranch = Some("real"))).nonEmpty)
+    assert(ExtractionJob.branches(out) == Map("real" -> (s0 + 2)))
+    ExtractionJob.abandonBranch(out, "real")
+
+    // and a branch NAMED like the staging suffix is refused outright —
+    // its ref file would be indistinguishable from a crash leftover
+    intercept[IllegalArgumentException] {
+      ExtractionJob.run(spark, changed2, cfg.copy(toBranch = Some("x.tmp"), commitRetries = 0))
+    }
+  }
 }
