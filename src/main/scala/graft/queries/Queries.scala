@@ -749,6 +749,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Target-mixture reweighting (q45) — the DoReMi/Pile domain-mixing
+    * shape: given a TARGET language mixture, derive each language's
+    * acceptance rate from the corpus's ACTUAL counts so the sampled
+    * corpus hits the target proportions exactly (scaled so the
+    * tightest language keeps 100% — no language oversampled), then
+    * sample deterministically by md5 prefix. Differs from q38 (fixed
+    * per-stratum rates): here the rates are data-derived.
+    *
+    * Scale shape: the count agg is a tiny map-side-partial shuffle
+    * (one row per language); the global scaling constant is a 1-row
+    * cross-joined aggregate (never collected); the rate table is
+    * broadcast; the accept predicate is row-local. One pass over the
+    * corpus plus one 5-row broadcast — survives 10^12 docs. Float
+    * parity with the oracle holds because both engines evaluate the
+    * same IEEE-754 double formula. */
+  def q45MixtureReweight(spark: SparkSession, dir: String): DataFrame = {
+    val target = Seq(("en", 0.50), ("es", 0.10), ("de", 0.15), ("fr", 0.15), ("zh", 0.10))
+    import spark.implicits._
+    val tgt = target.toDF("lang", "p")
+    val docs = table(spark, dir, "documents")
+    val pre = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n")).join(tgt, "lang")
+    // C = min over languages of n/p: the binding language keeps rate 1.0
+    val cDf = pre.agg(min(col("n") / col("p")).as("c"))
+    val rates = pre.crossJoin(broadcast(cDf))
+      .select(col("lang"), least(lit(1.0), col("c") * col("p") / col("n")).as("rate"))
+    val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+    docs.join(broadcast(rates), "lang")
+      .where(col("rate") >= 1.0 ||
+        hx < format_string("%06x", floor(col("rate") * lit(16777216.0)).cast("long")))
+      .select(col("doc_id"), col("lang"), hx.as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic epoch shuffle (q46) — the training-order operator:
+    * each epoch's seed keys an md5 permutation, documents are dealt to
+    * fixed shards (doc_id mod) and ordered within each shard by the
+    * seeded key, so every epoch is a different but REPRODUCIBLE global
+    * order and any worker can recompute its shard's order
+    * independently (no materialized shuffle state).
+    *
+    * Scale shape: one hash exchange on shard + an in-partition sort
+    * (the window's order), both streaming — no driver state, no global
+    * sort. At 10^12 docs the shard count scales with the worker fleet;
+    * the per-shard sort is the same work a shuffle-read already does. */
+  def q46EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("epoch7:"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"), key.as("sort_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("sort_key"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -793,7 +847,9 @@ object Queries {
     "q41_pii_scrub" -> q41PiiScrub _,
     "q42_repetition" -> q42RepetitionSignals _,
     "q43_bloom_decontaminate" -> q43BloomDecontaminate _,
-    "q44_paragraph_dedup" -> q44ParagraphDedup _
+    "q44_paragraph_dedup" -> q44ParagraphDedup _,
+    "q45_mixture_reweight" -> q45MixtureReweight _,
+    "q46_epoch_shuffle" -> q46EpochShuffle _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -820,6 +876,13 @@ object Queries {
       // as a row_number window (the argmin-agg's SQL twin), same md5 of
       // the reassembled surviving text
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1), c AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)), i -> struct_pack(chunk_idx := i - 1, chunk := array_to_string(list_slice(w, (i-1)*10 + 1, (i-1)*10 + 10), ' '))), recursive := true) FROM d), r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM c), t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1), k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5 FROM r WHERE rn = 1 GROUP BY 1) SELECT k.doc_id, t.n_chunks, k.n_kept, k.kept_md5 FROM k JOIN t USING (doc_id) ORDER BY 1""",
+    "q45_mixture_reweight" ->
+      // same data-derived rates (all arithmetic in IEEE-754 double, same
+      // formula shape), same md5-prefix acceptance
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1), t(lang, p) AS (VALUES ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.10 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.10 AS DOUBLE))), j AS (SELECT cnt.lang, n, p FROM cnt JOIN t USING (lang)), k AS (SELECT min(n / p) AS c FROM j), r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), c * p / n) AS rate FROM j, k) SELECT d.doc_id, d.lang, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS sample_key FROM documents d JOIN r USING (lang) WHERE rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', CAST(floor(rate * 16777216.0) AS BIGINT)) ORDER BY 1""",
+    "q46_epoch_shuffle" ->
+      // same seeded md5 permutation key, same shard deal, same tiebreak
+      """WITH s AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS sort_key FROM documents) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos, sort_key FROM s ORDER BY doc_id""",
     "q41_pii_scrub" ->
       // same synthesized PII spans, same scrub regexes (Java and RE2 agree
       // on these character-class patterns), match counts + scrubbed md5.

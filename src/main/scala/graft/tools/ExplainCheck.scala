@@ -111,6 +111,17 @@ object ExplainCheck {
       ("partial argmin before shuffle", _.contains("partial_min")),
       ("no window operator", p => !p.contains("Window")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q45_mixture_reweight", graft.queries.Queries.q45MixtureReweight(spark, dir),
+      // data-derived rates: tiny count agg (partial map-side), rate table
+      // broadcast to the corpus scan, accept predicate row-local
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("rate table broadcast to the corpus", _.contains("BroadcastHashJoin")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q46_epoch_shuffle", graft.queries.Queries.q46EpochShuffle(spark, dir),
+      // one hash exchange on shard feeding the per-shard order window
+      ("window partitioned by shard (not partition-less)",
+        p => p.contains("hashpartitioning(shard")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
