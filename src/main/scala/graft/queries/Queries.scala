@@ -803,6 +803,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-vocabulary induction (q47) — the vocab-training step of a
+    * tokenizer pipeline: global word frequencies, the top-k vocabulary by
+    * (count desc, word) and each prefix's cumulative corpus coverage, so
+    * the "how big must the vocab be for X% coverage" curve falls out.
+    * Coverage is integer basis points (cum·10⁴ / total, bigint division)
+    * to keep engine/oracle values bit-identical.
+    *
+    * Scale shape: the only corpus-sized shuffle is the word-count agg
+    * (map-side partial — 10⁵-ish distinct words regardless of corpus
+    * size); top-k is TakeOrdered (never a global sort); the cumulative
+    * window runs on the k-row result (k bounded by construction), and the
+    * total-token denominator is a 1-row cross-joined aggregate. */
+  def q47VocabInduction(spark: SparkSession, dir: String): DataFrame = {
+    val k = 500
+    val words = table(spark, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
+    // k-row result: the partition-less cumulative window is bounded by
+    // construction (k), not by corpus size
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.coalesce(1)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        // integer division (DIV, not /): Column./ widens to double
+        expr("CAST(cum * 10000 DIV total AS BIGINT)").as("coverage_bp"))
+      .orderBy("rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -849,7 +884,8 @@ object Queries {
     "q43_bloom_decontaminate" -> q43BloomDecontaminate _,
     "q44_paragraph_dedup" -> q44ParagraphDedup _,
     "q45_mixture_reweight" -> q45MixtureReweight _,
-    "q46_epoch_shuffle" -> q46EpochShuffle _
+    "q46_epoch_shuffle" -> q46EpochShuffle _,
+    "q47_vocab_induction" -> q47VocabInduction _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -883,6 +919,10 @@ object Queries {
     "q46_epoch_shuffle" ->
       // same seeded md5 permutation key, same shard deal, same tiebreak
       """WITH s AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS sort_key FROM documents) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos, sort_key FROM s ORDER BY doc_id""",
+    "q47_vocab_induction" ->
+      // same tokenization, same (count desc, word) vocabulary order, same
+      // integer basis-point coverage — bigint division on both engines
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents), f AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE length(word) > 0 GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f), k AS (SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank, CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f ORDER BY cnt DESC, word LIMIT 500) SELECT rank, word, cnt, CAST(cum * 10000 // total AS BIGINT) AS coverage_bp FROM k, t ORDER BY rank""",
     "q41_pii_scrub" ->
       // same synthesized PII spans, same scrub regexes (Java and RE2 agree
       // on these character-class patterns), match counts + scrubbed md5.

@@ -122,6 +122,13 @@ object ExplainCheck {
       ("window partitioned by shard (not partition-less)",
         p => p.contains("hashpartitioning(shard")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q47_vocab_induction", graft.queries.Queries.q47VocabInduction(spark, dir),
+      // corpus-sized work is the word-count agg only (map-side partial);
+      // top-k is TakeOrdered, never a global sort; the cumulative window
+      // runs on the k-row bounded result
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("top-k is TakeOrdered, not a global sort", _.contains("TakeOrderedAndProject")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
