@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation CLI — the corpus-side twin of `JobMain`: one
+  * command takes a raw documents table to a training-ready, deduped,
+  * mixture-balanced, epoch-ordered corpus, composing the engine's
+  * operators in the order a web-scale pipeline runs them:
+  *
+  *   1. quality gates (token bounds for every language; stopword-ratio
+  *      gate for English, where the stoplist is meaningful),
+  *   2. exact dedup, keep-first by content hash,
+  *   3. near-dup removal: MinHash/LSH candidate pairs (exact-jaccard
+  *      verified, hot-band capped) → connected components → keep each
+  *      cluster's minimum doc_id,
+  *   4. target-mixture reweighting (rates derived from the surviving
+  *      counts, deterministic md5-prefix acceptance),
+  *   5. deterministic epoch shuffle (shard + reproducible order).
+  *
+  * Usage: CurateMain <documentsParquet> <outDir>
+  *          [--shards=N] [--epoch=K] [--target=en:0.5,es:0.1,...]
+  *          [--near-dup-cap=N]
+  * Prints one JSON funnel line (stage counts) on completion.
+  *
+  * Scale notes: the pipeline materializes ONE intermediate (the
+  * post-exact-dedup survivor set) to parquet before the iterative
+  * near-dup stage — at 100 TB the LSH + connected-components loop must
+  * not re-execute the scan/gate/dedup lineage on every label-propagation
+  * iteration, and a staged parquet is the standard super-stage boundary.
+  * Everything else is single-pass: gates are row-local; exact dedup is
+  * ONE hash aggregation (`min_by` keeps the whole surviving row, so the
+  * gate scan runs exactly once and its observe() count is exact);
+  * mixture rates are a broadcast the size of the language set; the epoch
+  * order is one hash exchange + in-partition sort. Funnel counts come
+  * from observe() on the single staged pass, parquet metadata counts
+  * (no data scan) for the materialized stages, and the tiny
+  * checkpointed loser set for near-dups. The final corpus is written
+  * partitioned by shard so a trainer reads its shard's files only.
+  */
+object CurateMain {
+
+  final case class Funnel(input: Long, qualityKept: Long, exactUnique: Long,
+                          nearDupRemoved: Long, mixtureKept: Long)
+
+  private val enStops =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Row-local quality gates: token bounds everywhere; stopword-ratio
+    * floor (>= 6 percent) for English only — the same signals as q13/q37. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
+    val ws = expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
+      "named_struct('w', 0L, 's', 0L), " +
+      "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
+      s"CAST(x IN (${enStops.map("'" + _ + "'").mkString(",")}) AS BIGINT)))")
+    docs.withColumn("__ws", ws)
+      .where(col("__ws.w").between(5, 900) &&
+        (col("lang") =!= "en" || col("__ws.s") * 1000 >= col("__ws.w") * 60))
+      .drop("__ws")
+  }
+
+  /** Exact dedup, keep-first: the minimum doc_id per content hash survives.
+    * ONE aggregation — `min_by` carries the surviving row through the
+    * map-side partial, so the input is scanned exactly once (an agg+semi-
+    * join shape would scan it twice and double any upstream observe()). */
+  private[graft] def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("lang"), col("source")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.doc_id"), col("__r.text"), col("__r.lang"), col("__r.source"))
+
+  /** Near-dup losers of the survivor set: LSH candidate pairs → connected
+    * components → every non-minimum cluster member. Tiny (pair-graph
+    * vertices only) and checkpointed, so counting it and anti-joining it
+    * costs no recomputation of the upstream pipeline. */
+  private[graft] def nearDupLosers(spark: SparkSession, docs: DataFrame,
+                                   maxBandBucket: Int): DataFrame = {
+    val pairs = graft.queries.Queries.nearDupPairs(spark, docs, maxBandBucket)
+    graft.functions.DedupCluster.connectedComponents(spark, pairs, "doc_a", "doc_b")
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+      .localCheckpoint(true)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length == 2, "usage: CurateMain <documentsParquet> <outDir> " +
+      "[--shards=N] [--epoch=K] [--target=en:0.5,...] [--near-dup-cap=N]")
+    val Array(input, outDir) = pos
+    def intFlag(name: String, dflt: Int): Int =
+      args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name=").toInt).getOrElse(dflt)
+    val shards = intFlag("shards", 8)
+    val epoch = intFlag("epoch", 0)
+    val nearDupCap = intFlag("near-dup-cap", 1000)
+    require(shards > 0 && nearDupCap > 0, "--shards and --near-dup-cap must be positive")
+    val target: Seq[(String, Double)] =
+      args.find(_.startsWith("--target=")).map { a =>
+        a.stripPrefix("--target=").split(",").toSeq.map { kv =>
+          val Array(l, p) = kv.split(":")
+          l -> p.toDouble
+        }
+      }.getOrElse(Seq("en" -> 0.50, "es" -> 0.10, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.10))
+    require(target.nonEmpty && target.forall(_._2 > 0), "--target weights must be positive")
+
+    val preexisting = SparkSession.getActiveSession
+    val spark = SparkSession.builder()
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val f = curate(spark, spark.read.parquet(input), outDir,
+      target, shards, epoch, nearDupCap)
+    println(s"""{"input":${f.input},"quality_kept":${f.qualityKept},""" +
+      s""""exact_unique":${f.exactUnique},"near_dup_removed":${f.nearDupRemoved},""" +
+      s""""mixture_kept":${f.mixtureKept},"shards":$shards,"epoch":$epoch,""" +
+      s""""out":"$outDir"}""")
+    if (preexisting.isEmpty) spark.stop()
+  }
+
+  /** Full pipeline; writes `outDir/corpus` (partitioned by shard) and
+    * `outDir/staging-dedup` (the super-stage intermediate), returns the
+    * funnel counts. Deterministic for a given input + parameters. */
+  def curate(spark: SparkSession, raw: DataFrame, outDir: String,
+             target: Seq[(String, Double)], shards: Int, epoch: Int,
+             nearDupCap: Int): Funnel = {
+    val docs = raw.select("doc_id", "text", "lang", "source")
+    // the input + gate counts ride the single staged pass via observe()
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsGate = org.apache.spark.sql.Observation()
+    val staged = exactDedup(
+      qualityGate(docs.observe(obsIn, count(lit(1)).as("n")))
+        .observe(obsGate, count(lit(1)).as("n")))
+    val staging = s"$outDir/staging-dedup"
+    staged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val input = obsIn.get.getOrElse("n", 0L).asInstanceOf[Long]
+    val gateKept = obsGate.get.getOrElse("n", 0L).asInstanceOf[Long]
+
+    val survivors = spark.read.parquet(staging)
+    val exactUnique = survivors.count() // parquet metadata count, no scan
+    val losers = nearDupLosers(spark, survivors, nearDupCap)
+    val nearDupRemoved = losers.count() // checkpointed, tiny
+    val kept = survivors.join(losers, Seq("doc_id"), "left_anti")
+    val mixed = graft.queries.Queries.mixtureReweight(spark, kept, target)
+    graft.queries.Queries.epochOrder(mixed, shards, epoch)
+      .select("doc_id", "lang", "source", "text", "shard", "pos")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$outDir/corpus")
+    val mixtureKept = spark.read.parquet(s"$outDir/corpus").count() // metadata
+    Funnel(input, gateKept, exactUnique, nearDupRemoved, mixtureKept)
+  }
+}

@@ -166,9 +166,17 @@ object Queries {
     * reuses one exchange for the count input, both self-join sides and the
     * keep-filter join), so the guard adds a hash join but no extra
     * shuffle, sort, or second scan. */
-  def q14MinhashLsh(spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame = {
+  def q14MinhashLsh(spark: SparkSession, dir: String, maxBandBucket: Int): DataFrame =
+    nearDupPairs(spark, table(spark, dir, "documents").select("doc_id", "text"),
+      maxBandBucket)
+      .orderBy("doc_a", "doc_b")
+
+  /** DataFrame-shaped core of q14: candidate pairs with verified exact
+    * shingle-jaccard ≥ 0.5 over any (doc_id, text) input — reused by the
+    * curation CLI on the post-exact-dedup survivor set. */
+  def nearDupPairs(spark: SparkSession, input: DataFrame, maxBandBucket: Int): DataFrame = {
     import spark.implicits._
-    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val docs = input.select("doc_id", "text")
     // native expressions (no ScalaUDF boundary): band keys + exact-jaccard
     // verification both stay inside whole-stage codegen
     val banded0 = docs.withColumn("band",
@@ -198,7 +206,6 @@ object Queries {
         graft.functions.NativeFns.jaccardShingles1000(col("da.text"), col("db.text"), 3))
       .where(col("jaccard_x1000") >= 500)
       .select("doc_a", "doc_b", "jaccard_x1000")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash per document (near-dup blocking key). Native Catalyst
@@ -766,9 +773,19 @@ object Queries {
     * same IEEE-754 double formula. */
   def q45MixtureReweight(spark: SparkSession, dir: String): DataFrame = {
     val target = Seq(("en", 0.50), ("es", 0.10), ("de", 0.15), ("fr", 0.15), ("zh", 0.10))
+    val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+    mixtureReweight(spark, table(spark, dir, "documents"), target)
+      .select(col("doc_id"), col("lang"), hx.as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** DataFrame-shaped core of q45 over any input with (doc_id, lang):
+    * returns the kept rows (all input columns). Reused by the curation
+    * CLI after dedup. */
+  def mixtureReweight(spark: SparkSession, docs: DataFrame,
+                      target: Seq[(String, Double)]): DataFrame = {
     import spark.implicits._
     val tgt = target.toDF("lang", "p")
-    val docs = table(spark, dir, "documents")
     val pre = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n")).join(tgt, "lang")
     // C = min over languages of n/p: the binding language keeps rate 1.0
     val cDf = pre.agg(min(col("n") / col("p")).as("c"))
@@ -778,8 +795,7 @@ object Queries {
     docs.join(broadcast(rates), "lang")
       .where(col("rate") >= 1.0 ||
         hx < format_string("%06x", floor(col("rate") * lit(16777216.0)).cast("long")))
-      .select(col("doc_id"), col("lang"), hx.as("sample_key"))
-      .orderBy("doc_id")
+      .drop("rate")
   }
 
   /** Deterministic epoch shuffle (q46) — the training-order operator:
@@ -793,14 +809,20 @@ object Queries {
     * (the window's order), both streaming — no driver state, no global
     * sort. At 10^12 docs the shard count scales with the worker fleet;
     * the per-shard sort is the same work a shuffle-read already does. */
-  def q46EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val key = md5(concat(lit("epoch7:"), col("doc_id").cast("string")).cast("binary"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
-    table(spark, dir, "documents")
-      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"), key.as("sort_key"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+  def q46EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochOrder(table(spark, dir, "documents"), shards = 8, epoch = 7)
       .select(col("doc_id"), col("shard"), col("pos"), col("sort_key"))
       .orderBy("doc_id")
+
+  /** DataFrame-shaped core of q46 over any input with doc_id: adds
+    * (shard, pos, sort_key). Reused by the curation CLI. */
+  def epochOrder(docs: DataFrame, shards: Int, epoch: Int): DataFrame = {
+    val key = md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+    docs
+      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+      .withColumn("sort_key", key)
+      .withColumn("pos", row_number().over(w).cast("long"))
   }
 
   /** Tokenizer-vocabulary induction (q47) — the vocab-training step of a
