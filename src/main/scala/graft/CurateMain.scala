@@ -41,23 +41,18 @@ import org.apache.spark.sql.functions._
 object CurateMain {
 
   final case class Funnel(input: Long, qualityKept: Long, exactUnique: Long,
-                          nearDupRemoved: Long, mixtureKept: Long)
-
-  private val enStops =
-    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for")
+                          nearDupRemoved: Long, untargetedDropped: Long,
+                          mixtureKept: Long)
 
   /** Row-local quality gates: token bounds everywhere; stopword-ratio
-    * floor (>= 6 percent) for English only — the same signals as q13/q37. */
-  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
-    val ws = expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
-      "named_struct('w', 0L, 's', 0L), " +
-      "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
-      s"CAST(x IN (${enStops.map("'" + _ + "'").mkString(",")}) AS BIGINT)))")
-    docs.withColumn("__ws", ws)
+    * floor (>= 6 percent) for English only. The word/stopword fold is
+    * `Queries.wordStopCounts` — the SAME definition q13/q37 score with,
+    * so the CLI's gate can never silently diverge from the query surface. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame =
+    docs.withColumn("__ws", graft.queries.Queries.wordStopCounts)
       .where(col("__ws.w").between(5, 900) &&
         (col("lang") =!= "en" || col("__ws.s") * 1000 >= col("__ws.w") * 60))
       .drop("__ws")
-  }
 
   /** Exact dedup, keep-first: the minimum doc_id per content hash survives.
     * ONE aggregation — `min_by` carries the surviving row through the
@@ -101,8 +96,13 @@ object CurateMain {
         }
       }.getOrElse(Seq("en" -> 0.50, "es" -> 0.10, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.10))
     require(target.nonEmpty && target.forall(_._2 > 0), "--target weights must be positive")
+    require(target.map(_._1).distinct.length == target.length,
+      s"--target lists a language twice: ${target.map(_._1).mkString(",")}")
 
-    val preexisting = SparkSession.getActiveSession
+    // same host-owned-session guard as JobMain: active OR default —
+    // getOrCreate() can return another thread's default session
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .appName("graft-curate")
       .config("spark.sql.shuffle.partitions",
@@ -112,10 +112,16 @@ object CurateMain {
 
     val f = curate(spark, spark.read.parquet(input), outDir,
       target, shards, epoch, nearDupCap)
+    val outJson = outDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
     println(s"""{"input":${f.input},"quality_kept":${f.qualityKept},""" +
       s""""exact_unique":${f.exactUnique},"near_dup_removed":${f.nearDupRemoved},""" +
+      s""""untargeted_dropped":${f.untargetedDropped},""" +
       s""""mixture_kept":${f.mixtureKept},"shards":$shards,"epoch":$epoch,""" +
-      s""""out":"$outDir"}""")
+      s""""out":"$outJson"}""")
     if (preexisting.isEmpty) spark.stop()
   }
 
@@ -142,12 +148,34 @@ object CurateMain {
     val losers = nearDupLosers(spark, survivors, nearDupCap)
     val nearDupRemoved = losers.count() // checkpointed, tiny
     val kept = survivors.join(losers, Seq("doc_id"), "left_anti")
-    val mixed = graft.queries.Queries.mixtureReweight(spark, kept, target)
+    // per-language counts of the dedup survivors, collected ONCE (bounded
+    // by language cardinality, like the IVF sample): they feed the funnel
+    // (languages outside the target are DROPPED by the mixture join — the
+    // count makes that loss visible instead of masquerading as sampling)
+    // and go back in as a LOCAL relation so the mixture rates add no
+    // second corpus scan to the final write plan
+    import spark.implicits._
+    val langCounts = kept.groupBy("lang")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targetLangs = target.map(_._1).toSet
+    val untargetedDropped =
+      langCounts.collect { case (l, n) if !targetLangs.contains(l) => n }.sum
+    val countsLocal = langCounts.toSeq.sortBy(_._1)
+      .map { case (l, n) => (l, n.toDouble) }.toDF("lang", "n")
+    val mixed = graft.queries.Queries
+      .mixtureReweight(spark, kept, target, langCounts = Some(countsLocal))
+    // the corpus count rides the write via observe() (a zero-row write
+    // observes no metrics — getOrElse covers the empty corpus, which a
+    // partitioned-parquet read-back could not even infer a schema for)
+    val obsOut = org.apache.spark.sql.Observation()
     graft.queries.Queries.epochOrder(mixed, shards, epoch)
       .select("doc_id", "lang", "source", "text", "shard", "pos")
+      .observe(obsOut, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(s"$outDir/corpus")
-    val mixtureKept = spark.read.parquet(s"$outDir/corpus").count() // metadata
-    Funnel(input, gateKept, exactUnique, nearDupRemoved, mixtureKept)
+    val mixtureKept = obsOut.get.getOrElse("n", 0L).asInstanceOf[Long]
+    Funnel(input, gateKept, exactUnique, nearDupRemoved, untargetedDropped,
+      mixtureKept)
   }
 }

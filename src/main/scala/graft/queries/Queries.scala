@@ -133,16 +133,20 @@ object Queries {
 
   /** Quality signals: word count, stopword count, scaled stopword ratio —
     * pure built-in higher-order functions (no UDF, stays in codegen). */
+  /** One-pass word + stopword fold over a `text` column: both counts
+    * derive from one split() result, and aggregate() folds them together
+    * so CollapseProject cannot re-inline the split into two copies. The
+    * single definition is shared by q13, q37 and CurateMain's quality
+    * gate — the gate signal must never silently diverge between them. */
+  val wordStopCounts: Column =
+    expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
+      "named_struct('w', 0L, 's', 0L), " +
+      "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
+      "CAST(x IN ('the','a','and','of','to','in','is','on','for') AS BIGINT)))")
+
   def q13QualitySignals(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      // single tokenization: both counts derive from one split() result.
-      // aggregate() folds words and stopwords in one pass so CollapseProject
-      // cannot re-inline the split into two copies.
-      .select(col("doc_id"),
-        expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
-          "named_struct('w', 0L, 's', 0L), " +
-          "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
-          "CAST(x IN ('the','a','and','of','to','in','is','on','for') AS BIGINT)))").as("ws"))
+      .select(col("doc_id"), wordStopCounts.as("ws"))
       .select(col("doc_id"), col("ws.w").as("n_words"), col("ws.s").as("n_stop"))
       .withColumn("stop_ratio_x1000",
         floor(lit(1000.0) * col("n_stop") / col("n_words")).cast("bigint"))
@@ -483,10 +487,7 @@ object Queries {
     val scored = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         graft.functions.NativeFns.langId(col("text")).as("pred_lang"),
-        expr("aggregate(split(lower(trim(text)), '\\\\s+'), " +
-          "named_struct('w', 0L, 's', 0L), " +
-          "(acc, x) -> named_struct('w', acc.w + 1L, 's', acc.s + " +
-          "CAST(x IN ('the','a','and','of','to','in','is','on','for') AS BIGINT)))").as("ws"))
+        wordStopCounts.as("ws"))
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("ws.w").as("n_words"), col("ws.s").as("n_stop"))
     val gated = scored.where(col("pred_lang") === "en" &&
@@ -781,12 +782,24 @@ object Queries {
 
   /** DataFrame-shaped core of q45 over any input with (doc_id, lang):
     * returns the kept rows (all input columns). Reused by the curation
-    * CLI after dedup. */
+    * CLI after dedup. `langCounts` (columns lang, n: double) lets a
+    * caller that already holds the per-language counts — e.g. CurateMain,
+    * which also reports them in its funnel — supply a LOCAL relation so
+    * the final plan does not re-scan `docs` for the count aggregate;
+    * None derives the counts from `docs` (one extra scan). Languages
+    * absent from `target` are DROPPED (inner join) by design: the target
+    * IS the output language set. */
   def mixtureReweight(spark: SparkSession, docs: DataFrame,
-                      target: Seq[(String, Double)]): DataFrame = {
+                      target: Seq[(String, Double)],
+                      langCounts: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    require(target.map(_._1).distinct.length == target.length,
+      s"duplicate language in mixture target: ${target.map(_._1).mkString(",")} — " +
+        "a duplicated rate row would multiply every document of that language")
     val tgt = target.toDF("lang", "p")
-    val pre = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n")).join(tgt, "lang")
+    val counts = langCounts.getOrElse(
+      docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n")))
+    val pre = counts.join(tgt, "lang")
     // C = min over languages of n/p: the binding language keeps rate 1.0
     val cDf = pre.agg(min(col("n") / col("p")).as("c"))
     val rates = pre.crossJoin(broadcast(cDf))

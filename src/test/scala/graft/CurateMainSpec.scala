@@ -34,6 +34,7 @@ class CurateMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.input == raw.count())
     assert(f.qualityKept <= f.input && f.exactUnique <= f.qualityKept)
     assert(f.mixtureKept <= f.exactUnique - f.nearDupRemoved)
+    assert(f.untargetedDropped == 0, "every fixture language is in the target")
     val corpus = spark.read.parquet(s"$out/corpus")
     assert(corpus.count() == f.mixtureKept && f.mixtureKept > 0)
 
@@ -94,5 +95,15 @@ class CurateMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val corpus = spark.read.parquet(s"$out/corpus")
     assert(corpus.select("lang").distinct().collect().map(_.getString(0)).toSet ==
       Set("en", "es"))
+    // languages outside the 2-language target are reported as dropped,
+    // not silently folded into the mixture count
+    val dropped = "\"untargeted_dropped\":(\\d+)".r
+      .findFirstMatchIn(line).get.group(1).toLong
+    assert(dropped > 0, line)
+    // a duplicated target language is refused before any work
+    intercept[IllegalArgumentException] {
+      CurateMain.main(Array(s"$dir/documents.parquet", out,
+        "--target=en:0.5,en:0.3"))
+    }
   }
 }
