@@ -171,12 +171,44 @@ class MorLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         model = model ++ nextConv()
         ExtractionJob.run(spark, toDs(model), cfg)
         record(); checkServed(s"$ctx add")
-      } else if (roll < 77) { // compaction (content-neutral)
+      } else if (roll < 75) { // compaction (content-neutral)
         ExtractionJob.compact(spark, out)
         record(); checkServed(s"$ctx compact")
-      } else if (roll < 87) { // snapshot expiry
+      } else if (roll < 84) { // snapshot expiry
         ExtractionJob.expireSnapshots(out, retainLast = 1 + rnd.nextInt(2))
         checkServed(s"$ctx expire")
+      } else if (roll < 91) { // WAP: stage on a branch, audit, publish/abandon
+        val victim = convIds(rnd.nextInt(convIds.size))
+        mutationCounter += 1
+        val branch = s"wap$op"
+        val staged = model.map(t =>
+          if (t.conv_id == victim) t.copy(text = t.text + s"\nlifecycle fix $mutationCounter")
+          else t)
+        assert(ExtractionJob.run(spark, toDs(staged),
+          cfg.copy(toBranch = Some(branch))).nonEmpty, s"[seed=$seed $ctx] stage")
+        // invisible until publish (model unchanged), and the pending
+        // branch freezes every other commit
+        checkServed(s"$ctx wap-staged")
+        intercept[graft.spark.CommitConflictException] {
+          ExtractionJob.tagSnapshot(out, s"frozen$op",
+            ExtractionJob.latestSnapshot(out).get)
+        }
+        val audit = ExtractionJob.auditBranch(spark, out, branch)
+        assert(audit.ok, s"[seed=$seed $ctx] audit must be green, got $audit")
+        if (rnd.nextBoolean()) {
+          ExtractionJob.publishBranch(out, branch)
+          model = staged
+          record(); checkServed(s"$ctx wap-published")
+        } else {
+          ExtractionJob.abandonBranch(out, branch)
+          checkServed(s"$ctx wap-abandoned")
+          // the abandoned correction must still land through a normal
+          // commit — no fingerprint residue claiming the work was done
+          model = staged
+          assert(ExtractionJob.run(spark, toDs(model), cfg).nonEmpty,
+            s"[seed=$seed $ctx] post-abandon rerun must recompute")
+          record(); checkServed(s"$ctx wap-abandon-reland")
+        }
       } else if (roll < 95) { // kill mid-run, then resume
         val victim = convIds(rnd.nextInt(convIds.size))
         mutationCounter += 1
