@@ -727,9 +727,11 @@ object Queries {
     * ~n²/2⁶⁵ over n distinct chunks — would wrongly merge two spans.
     * The DuckDB oracle partitions by chunk TEXT, so a collision surfaces
     * as a correctness mismatch rather than passing silently. */
-  def q44ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunkWords = 10
-    val chunks = table(spark, dir, "documents")
+  /** Non-overlapping `chunkWords`-word spans of every document, with
+    * position and 64-bit content hash — the span layer q44 (keep-first
+    * dedup) and q48 (document-frequency boilerplate filter) share. */
+  private def docChunks(spark: SparkSession, dir: String, chunkWords: Int): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .where(size(col("w")) >= 1)
       .select(col("doc_id"), posexplode(expr(
@@ -737,6 +739,26 @@ object Queries {
           s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))")))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
       .withColumn("h", xxhash64(col("chunk")))
+
+  /** Per-doc reassembly summary of the surviving chunks: total vs kept
+    * counts plus the md5 of the surviving text in position order. Docs
+    * whose every chunk was removed report 0/'' (left join from totals). */
+  private def chunkSummary(chunks: DataFrame, kept: DataFrame): DataFrame = {
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val k = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk")))), x => x.getField("chunk")), " "))
+          .as("kept_md5"))
+    totals.join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), lit("")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  def q44ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunks(spark, dir, chunkWords = 10)
     // first occurrence per chunk content, in (doc_id, chunk_idx) corpus
     // order: struct min gives lexicographic (doc_id, chunk_idx) — chunk
     // text does NOT ride this shuffle
@@ -746,15 +768,29 @@ object Queries {
       .select(col("h"), col("f.doc_id").as("f_doc"), col("f.chunk_idx").as("f_idx"))
     val kept = chunks.join(firsts, "h")
       .where(col("doc_id") === col("f_doc") && col("chunk_idx") === col("f_idx"))
-    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(array_sort(collect_list(
-          struct(col("chunk_idx"), col("chunk")))), x => x.getField("chunk")), " "))
-          .as("kept_md5"))
-      .join(totals, "doc_id")
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("kept_md5"))
-      .orderBy("doc_id")
+    chunkSummary(chunks, kept)
+  }
+
+  /** Boilerplate removal by document frequency (q48) — the CCNet shape
+    * and q44's complement: a span present in MORE than `dfCap` distinct
+    * documents (headers, navigation, disclaimers) is removed from EVERY
+    * document (keep-first keeps one copy; a DF filter keeps none), and
+    * each document is reassembled from its surviving spans.
+    *
+    * Scale shape: the DF aggregation shuffles (hash, doc_id) only —
+    * never span text — with map-side partial distinct; the hot-span set
+    * (spans over the cap) is tiny by construction at any corpus size,
+    * but the anti-join is left as a shuffle join rather than forced
+    * broadcast because a pathological corpus can make it wide. Span
+    * identity is the 64-bit hash (same contract as q44/q10). */
+  def q48DfBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val dfCap = 3
+    val chunks = docChunks(spark, dir, chunkWords = 10)
+    val hot = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > dfCap)
+      .select("h")
+    chunkSummary(chunks, chunks.join(hot, Seq("h"), "left_anti"))
   }
 
   /** Target-mixture reweighting (q45) — the DoReMi/Pile domain-mixing
@@ -920,7 +956,8 @@ object Queries {
     "q44_paragraph_dedup" -> q44ParagraphDedup _,
     "q45_mixture_reweight" -> q45MixtureReweight _,
     "q46_epoch_shuffle" -> q46EpochShuffle _,
-    "q47_vocab_induction" -> q47VocabInduction _
+    "q47_vocab_induction" -> q47VocabInduction _,
+    "q48_df_boilerplate" -> q48DfBoilerplate _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -946,7 +983,11 @@ object Queries {
       // full independent recomputation: same 10-word chunking, keep-first
       // as a row_number window (the argmin-agg's SQL twin), same md5 of
       // the reassembled surviving text
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1), c AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)), i -> struct_pack(chunk_idx := i - 1, chunk := array_to_string(list_slice(w, (i-1)*10 + 1, (i-1)*10 + 10), ' '))), recursive := true) FROM d), r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM c), t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1), k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5 FROM r WHERE rn = 1 GROUP BY 1) SELECT k.doc_id, t.n_chunks, k.n_kept, k.kept_md5 FROM k JOIN t USING (doc_id) ORDER BY 1""",
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1), c AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)), i -> struct_pack(chunk_idx := i - 1, chunk := array_to_string(list_slice(w, (i-1)*10 + 1, (i-1)*10 + 10), ' '))), recursive := true) FROM d), r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM c), t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1), k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5 FROM r WHERE rn = 1 GROUP BY 1) SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_md5, '') AS kept_md5 FROM t LEFT JOIN k USING (doc_id) ORDER BY 1""",
+    "q48_df_boilerplate" ->
+      // same chunking; DF filter recomputed over chunk TEXT (the identity
+      // caveat of q44 applies); zero-kept docs report 0/''
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 1), c AS (SELECT doc_id, unnest(list_transform(generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)), i -> struct_pack(chunk_idx := i - 1, chunk := array_to_string(list_slice(w, (i-1)*10 + 1, (i-1)*10 + 10), ' '))), recursive := true) FROM d), hot AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) > 3), t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1), k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5 FROM c WHERE chunk NOT IN (SELECT chunk FROM hot) GROUP BY 1) SELECT t.doc_id, t.n_chunks, coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_md5, '') AS kept_md5 FROM t LEFT JOIN k USING (doc_id) ORDER BY 1""",
     "q45_mixture_reweight" ->
       // same data-derived rates (all arithmetic in IEEE-754 double, same
       // formula shape), same md5-prefix acceptance

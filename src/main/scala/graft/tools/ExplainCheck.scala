@@ -129,6 +129,12 @@ object ExplainCheck {
       ("partial count agg before shuffle", _.contains("partial_count")),
       ("top-k is TakeOrdered, not a global sort", _.contains("TakeOrderedAndProject")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q48_df_boilerplate", graft.queries.Queries.q48DfBoilerplate(spark, dir),
+      // DF agg shuffles (hash, doc_id) only, map-side partial; the hot-set
+      // removal is an anti-join, not a window
+      ("partial agg before shuffle", _.contains("partial_")),
+      ("hot-set removal is an anti-join", p => p.contains("LeftAnti")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
