@@ -50,7 +50,9 @@ import org.apache.spark.sql.SparkSession
   * (key uniqueness under MOR deletes, null payloads, file intactness) and
   * exits nonzero when it fails, so
   * `--audit-branch=N && --publish-branch=N` is the WAP pipeline.
-  * --branches lists branch refs.
+  * --branches lists branch refs. --files[=SNAP] prints the $files
+  * metadata table (per-file bucket/rows/seq/conv bounds) of the current
+  * or a retained snapshot; --lineage prints the per-bucket audit trail.
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
@@ -152,7 +154,8 @@ object JobMain {
       Seq("--get-conv=", "--rollback=", "--tag=", "--drop-tag=", "--appends-since=",
         "--audit-branch=", "--publish-branch=", "--abandon-branch=")
         .flatMap(p => args.find(_.startsWith(p))) ++
-        Seq("--tags", "--history", "--branches").filter(args.contains)
+        Seq("--tags", "--history", "--branches", "--lineage").filter(args.contains) ++
+        args.find(a => a == "--files" || a.startsWith("--files="))
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     // a mode flag early-returns before the extraction run, so a combined
@@ -242,6 +245,39 @@ object JobMain {
           s""""tags":$ts,"schema_cols":$cols}"""
       }.mkString("[", ",", "]")
       println(s"""{"history":$hist,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(a => a == "--files" || a.startsWith("--files=")).foreach { a =>
+      // $files metadata table (Iceberg files analog): current snapshot, or
+      // --files=SNAP for any retained one — per-file bucket/rows/seq/bounds
+      val snap = if (a.contains("=")) Some(a.stripPrefix("--files=").toInt) else None
+      val rows = graft.spark.ExtractionJob.readFilesTable(spark, outDir, snap)
+        .collect().sortBy(r => (r.getInt(1), r.getString(2)))
+      val fs = rows.map { r =>
+        val bounds = (r.isNullAt(5), r.isNullAt(6)) match {
+          case (false, false) =>
+            s""","min_conv":"${r.getString(5)}","max_conv":"${r.getString(6)}""""
+          case _ => ""
+        }
+        s"""{"bucket":${r.getInt(1)},"path":"${r.getString(2)}",""" +
+          s""""rows":${r.getLong(3)},"seq":${r.getInt(4)}$bounds}"""
+      }.mkString("[", ",", "]")
+      val sid = if (rows.isEmpty) -1 else rows.head.getInt(0)
+      println(s"""{"snapshot":$sid,"files":$fs,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    if (args.contains("--lineage")) {
+      // per-bucket audit trail: which run produced each bucket, how long
+      val rows = graft.spark.ExtractionJob.readLineageTable(spark, outDir)
+        .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      val ls = rows.map { r =>
+        s"""{"snapshot":${r.getLong(0)},"bucket":${r.getLong(1)},"rows":${r.getLong(2)},""" +
+          s""""field_count_sum":${r.getLong(3)},"extract_ms":${r.getLong(4)},""" +
+          s""""committed_at":"${r.getString(5)}"}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"lineage":$ls,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }

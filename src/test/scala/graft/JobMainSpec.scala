@@ -235,6 +235,28 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JobMain --files and --lineage print the metadata tables") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-jobmain-meta").toString
+    val in = base + "/turns"; val out = base + "/table"
+    graft.spark.Transcripts.generate(s, 8).write.parquet(in)
+    JobMain.main(Array(in, out, "2", "1", "--conv-grained"))
+    def cli(args: String*): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { JobMain.main(args.toArray) }
+      buf.toString.linesIterator.find(_.startsWith("{")).get
+    }
+    val files = cli(in, out, "--files")
+    assert(files.contains("\"files\":[{") && files.contains("\"min_conv\":"), files)
+    val snap = graft.spark.ExtractionJob.latestSnapshot(out).get
+    assert(cli(in, out, s"--files=$snap") == files, "explicit snapshot == current")
+    val lineage = cli(in, out, "--lineage")
+    assert(lineage.contains("\"lineage\":[{") && lineage.contains("\"extract_ms\":"), lineage)
+    // metadata modes refuse maintenance companions like every other mode
+    intercept[IllegalArgumentException] { JobMain.main(Array(in, out, "--files", "--compact")) }
+  }
+
   test("JobMain WAP cycle from the CLI: --to-branch stages, --audit-branch gates, --publish-branch serves; --rewrite-sorted splits files") {
     val s = spark
     import s.implicits._
