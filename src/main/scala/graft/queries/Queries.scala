@@ -909,6 +909,75 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Overlapping-window duplication signal (q49) — the scalable stand-in
+    * for suffix-array substring dedup ("Deduplicating Training Data
+    * Makes Language Models Better"): every 10-word SLIDING window
+    * (stride 1, unlike q44/q48's disjoint chunks) is hashed, and a
+    * document's duplication score is the fraction of its windows whose
+    * content appears more than once corpus-wide — overlap-sensitive, so
+    * a long shared passage scores every position it covers, not just
+    * the aligned chunk.
+    *
+    * Scale shape: windows are hashed in the SAME projection that
+    * explodes them, so only (doc_id, h) pairs reach the exchange —
+    * window text never shuffles; the duplicate-hash set comes from one
+    * map-side-partial count agg and the per-doc score from a semi join
+    * + count. Fraction is integer basis points (bigint division).
+    * Window identity is the 64-bit hash (q10/q44 contract); the oracle
+    * recomputes by window TEXT. */
+  def q49WindowDup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 10
+    val wins = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${w - 1}), i -> array_join(slice(w, i, $w), ' '))"))
+        .as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("h")) // text dies here
+    val dups = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("h")
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dups, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_bp", expr("CAST(n_dup_windows * 10000 DIV n_windows AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length report (q50): exact rank-based token-count percentiles
+    * per language — p50/p90/p99 defined as the value at row number
+    * ceil(q·n) in (n_tokens, doc_id) order, so the result is an exact
+    * corpus element (bigint), never an interpolated float; both engines
+    * compute the identical rank formula.
+    *
+    * Scale shape: token counts are row-local; one exchange on lang feeds
+    * both the per-lang count and the rank window (languages partition
+    * the corpus, so the window never serializes more than one language
+    * through a task); the final pick is a filter + tiny agg. */
+  def q50LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
+    val counts = toks.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    ranked.join(broadcast(counts), "lang")
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(
+        max(when(col("rn") === ceil(col("n_docs") * 0.50).cast("int"), col("n_tokens")))
+          .as("p50_tokens"),
+        max(when(col("rn") === ceil(col("n_docs") * 0.90).cast("int"), col("n_tokens")))
+          .as("p90_tokens"),
+        max(when(col("rn") === ceil(col("n_docs") * 0.99).cast("int"), col("n_tokens")))
+          .as("p99_tokens"))
+      .select(col("lang"), col("n_docs"), col("p50_tokens"), col("p90_tokens"),
+        col("p99_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -957,7 +1026,9 @@ object Queries {
     "q45_mixture_reweight" -> q45MixtureReweight _,
     "q46_epoch_shuffle" -> q46EpochShuffle _,
     "q47_vocab_induction" -> q47VocabInduction _,
-    "q48_df_boilerplate" -> q48DfBoilerplate _
+    "q48_df_boilerplate" -> q48DfBoilerplate _,
+    "q49_window_dup" -> q49WindowDup _,
+    "q50_length_percentiles" -> q50LengthPercentiles _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -999,6 +1070,14 @@ object Queries {
       // same tokenization, same (count desc, word) vocabulary order, same
       // integer basis-point coverage — bigint division on both engines
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents), f AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE length(word) > 0 GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f), k AS (SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank, CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f ORDER BY cnt DESC, word LIMIT 500) SELECT rank, word, cnt, CAST(cum * 10000 // total AS BIGINT) AS coverage_bp FROM k, t ORDER BY rank""",
+    "q49_window_dup" ->
+      // same sliding windows, duplicate set recomputed by window TEXT
+      // (q44's identity caveat), same integer basis points
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 10), v AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 9), i -> array_to_string(list_slice(w, i, i + 9), ' '))) AS win FROM d), dup AS (SELECT win FROM v GROUP BY win HAVING count(*) > 1), p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM v GROUP BY 1), q AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM v WHERE win IN (SELECT win FROM dup) GROUP BY 1) SELECT p.doc_id, p.n_windows, CAST(coalesce(q.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, CAST(coalesce(q.n_dup_windows, 0) * 10000 // p.n_windows AS BIGINT) AS dup_bp FROM p LEFT JOIN q USING (doc_id) ORDER BY 1""",
+    "q50_length_percentiles" ->
+      // identical rank formula; quantile literals cast to DOUBLE so both
+      // engines evaluate the same IEEE-754 ceil(q*n)
+      """WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT lang, n_tokens, row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn FROM t), c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY 1) SELECT c.lang, c.n_docs, max(CASE WHEN rn = CAST(ceil(n_docs * CAST(0.50 AS DOUBLE)) AS INT) THEN n_tokens END) AS p50_tokens, max(CASE WHEN rn = CAST(ceil(n_docs * CAST(0.90 AS DOUBLE)) AS INT) THEN n_tokens END) AS p90_tokens, max(CASE WHEN rn = CAST(ceil(n_docs * CAST(0.99 AS DOUBLE)) AS INT) THEN n_tokens END) AS p99_tokens FROM r JOIN c USING (lang) GROUP BY 1, 2 ORDER BY 1""",
     "q41_pii_scrub" ->
       // same synthesized PII spans, same scrub regexes (Java and RE2 agree
       // on these character-class patterns), match counts + scrubbed md5.

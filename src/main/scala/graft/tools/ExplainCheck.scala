@@ -135,6 +135,19 @@ object ExplainCheck {
       ("partial agg before shuffle", _.contains("partial_")),
       ("hot-set removal is an anti-join", p => p.contains("LeftAnti")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q49_window_dup", graft.queries.Queries.q49WindowDup(spark, dir),
+      // window text is hashed in the exploding projection — only
+      // (doc_id, h) reaches any exchange; dup membership is a semi join
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("dup membership is a semi join", _.contains("LeftSemi")),
+      ("window text never shuffles",
+        p => !"Exchange[^\\n]*win".r.findFirstIn(p).isDefined),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q50_length_percentiles", graft.queries.Queries.q50LengthPercentiles(spark, dir),
+      // rank window partitioned by lang; per-lang counts broadcast
+      ("rank window partitioned by lang", _.contains("hashpartitioning(lang")),
+      ("counts broadcast to the ranked side", _.contains("BroadcastHashJoin")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
