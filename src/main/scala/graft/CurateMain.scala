@@ -91,8 +91,16 @@ object CurateMain {
     val target: Seq[(String, Double)] =
       args.find(_.startsWith("--target=")).map { a =>
         a.stripPrefix("--target=").split(",").toSeq.map { kv =>
-          val Array(l, p) = kv.split(":")
-          l -> p.toDouble
+          kv.split(":") match {
+            case Array(l, p) if l.nonEmpty =>
+              try l -> p.toDouble
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"--target weight for '$l' is not a number: '$p'")
+              }
+            case _ => throw new IllegalArgumentException(
+              s"--target expects LANG:WEIGHT pairs, got: '$kv'")
+          }
         }
       }.getOrElse(Seq("en" -> 0.50, "es" -> 0.10, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.10))
     require(target.nonEmpty && target.forall(_._2 > 0), "--target weights must be positive")
