@@ -82,8 +82,21 @@ object CurateMain {
     require(pos.length == 2, "usage: CurateMain <documentsParquet> <outDir> " +
       "[--shards=N] [--epoch=K] [--target=en:0.5,...] [--near-dup-cap=N]")
     val Array(input, outDir) = pos
+    // a typo'd flag must not silently run with defaults — a corpus built
+    // with --epochs=3 (for --epoch) would differ only at training time
+    val known = Set("shards", "epoch", "near-dup-cap", "target")
+    args.filter(_.startsWith("--")).foreach { a =>
+      val name = a.stripPrefix("--").takeWhile(_ != '=')
+      require(known.contains(name), s"unknown flag --$name " +
+        s"(known: ${known.toSeq.sorted.map("--" + _).mkString(", ")})")
+    }
     def intFlag(name: String, dflt: Int): Int =
-      args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name=").toInt).getOrElse(dflt)
+      args.find(_.startsWith(s"--$name=")).map { a =>
+        val v = a.stripPrefix(s"--$name=")
+        try v.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--$name expects an integer, got: '$v'")
+        }
+      }.getOrElse(dflt)
     val shards = intFlag("shards", 8)
     val epoch = intFlag("epoch", 0)
     val nearDupCap = intFlag("near-dup-cap", 1000)

@@ -251,7 +251,12 @@ object JobMain {
     args.find(a => a == "--files" || a.startsWith("--files=")).foreach { a =>
       // $files metadata table (Iceberg files analog): current snapshot, or
       // --files=SNAP for any retained one — per-file bucket/rows/seq/bounds
-      val snap = if (a.contains("=")) Some(a.stripPrefix("--files=").toInt) else None
+      val snap = if (a.contains("=")) {
+        val v = a.stripPrefix("--files=")
+        try Some(v.toInt) catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--files=SNAP expects an integer, got: '$v'")
+        }
+      } else None
       val rows = graft.spark.ExtractionJob.readFilesTable(spark, outDir, snap)
         .collect().sortBy(r => (r.getInt(1), r.getString(2)))
       val fs = rows.map { r =>

@@ -836,10 +836,16 @@ object Queries {
     val counts = langCounts.getOrElse(
       docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n")))
     val pre = counts.join(tgt, "lang")
-    // C = min over languages of n/p: the binding language keeps rate 1.0
+    // C = min over languages of n/p: the binding language keeps rate 1.0.
+    // The binding row is detected by comparing n/p to C directly (the min
+    // IS that row's double, so <= is exact) — the round-trip (n/p)*p/n
+    // can land at 0.9999999999999999 and silently drop ~1/16.7M of the
+    // binding language's docs through the md5 threshold.
     val cDf = pre.agg(min(col("n") / col("p")).as("c"))
     val rates = pre.crossJoin(broadcast(cDf))
-      .select(col("lang"), least(lit(1.0), col("c") * col("p") / col("n")).as("rate"))
+      .select(col("lang"),
+        when(col("n") / col("p") <= col("c"), lit(1.0))
+          .otherwise(least(lit(1.0), col("c") * col("p") / col("n"))).as("rate"))
     val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
     docs.join(broadcast(rates), "lang")
       .where(col("rate") >= 1.0 ||
@@ -869,7 +875,10 @@ object Queries {
     val key = md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")).cast("binary"))
     val w = Window.partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
     docs
-      .withColumn("shard", (col("doc_id") % shards).cast("int"))
+      // pmod, not %: a negative doc_id must land in [0, shards) — a
+      // trainer reading "its shard's files" over 0..shards-1 would
+      // silently never see a signed-% negative shard
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("sort_key", key)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
@@ -894,14 +903,14 @@ object Queries {
     val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
-    // k-row result: the partition-less cumulative window is bounded by
-    // construction (k), not by corpus size
-    val w = Window.orderBy(col("cnt").desc, col("word"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.coalesce(1)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
-      .withColumn("cum", sum(col("cnt")).over(w))
+    // k-row result: the partition-less windows (one ORDER spec for both
+    // rank and running sum, so the two orderings cannot drift) are
+    // bounded by construction (k), not by corpus size
+    val order = Window.orderBy(col("cnt").desc, col("word"))
+    top
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("word"), col("cnt"),
         // integer division (DIV, not /): Column./ widens to double
@@ -1062,10 +1071,10 @@ object Queries {
     "q45_mixture_reweight" ->
       // same data-derived rates (all arithmetic in IEEE-754 double, same
       // formula shape), same md5-prefix acceptance
-      """WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1), t(lang, p) AS (VALUES ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.10 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.10 AS DOUBLE))), j AS (SELECT cnt.lang, n, p FROM cnt JOIN t USING (lang)), k AS (SELECT min(n / p) AS c FROM j), r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), c * p / n) AS rate FROM j, k) SELECT d.doc_id, d.lang, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS sample_key FROM documents d JOIN r USING (lang) WHERE rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', CAST(floor(rate * 16777216.0) AS BIGINT)) ORDER BY 1""",
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1), t(lang, p) AS (VALUES ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.10 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.10 AS DOUBLE))), j AS (SELECT cnt.lang, n, p FROM cnt JOIN t USING (lang)), k AS (SELECT min(n / p) AS c FROM j), r AS (SELECT lang, CASE WHEN n / p <= c THEN CAST(1.0 AS DOUBLE) ELSE least(CAST(1.0 AS DOUBLE), c * p / n) END AS rate FROM j, k) SELECT d.doc_id, d.lang, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS sample_key FROM documents d JOIN r USING (lang) WHERE rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', CAST(floor(rate * 16777216.0) AS BIGINT)) ORDER BY 1""",
     "q46_epoch_shuffle" ->
       // same seeded md5 permutation key, same shard deal, same tiebreak
-      """WITH s AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS sort_key FROM documents) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos, sort_key FROM s ORDER BY doc_id""",
+      """WITH s AS (SELECT doc_id, CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS sort_key FROM documents) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos, sort_key FROM s ORDER BY doc_id""",
     "q47_vocab_induction" ->
       // same tokenization, same (count desc, word) vocabulary order, same
       // integer basis-point coverage — bigint division on both engines

@@ -775,6 +775,12 @@ object ExtractionJob {
     val man = defaultFormat.readManifestAt(outDir, id).getOrElse(
       throw new IllegalStateException(
         s"branch '$name' points at snapshot $id but its manifest is missing under $outDir"))
+    // intactness FIRST: if the staged files are gone (a crashed abandon),
+    // the audit must REPORT intact=false — running the distributed read
+    // over missing files would crash with a raw read error instead of
+    // the {ok:false} verdict the WAP pipeline gates on
+    if (!defaultFormat.snapshotIntact(outDir, man))
+      return AuditReport(name, id, 0L, 0L, 0L, intact = false)
     val r = defaultFormat.readCommittedAtBranch(spark, outDir, name).agg(
       count(lit(1)).as("rows"),
       (count(lit(1)) - countDistinct(col("conv_id"), col("turn_idx"))).as("dups"),

@@ -816,14 +816,29 @@ object SnapshotManifestFormat extends TableFormat {
     // between this read and the loser's cleanup.
     def manifestClobbered(): Boolean =
       new String(Files.readAllBytes(manPath), StandardCharsets.UTF_8) != manifest
+    // Recovery may only undo state it can PROVE is its own: two racing
+    // head writers (or two stagers of the same branch name) write
+    // byte-identical pointer content for the same id, so a blind
+    // restore/delete would revert the WINNER's already-acknowledged
+    // commit. The branch ref therefore carries a writer-unique token
+    // (legacy token-less refs stay parseable), and the head pointer —
+    // whose bare-id format every reader and legacy table depends on —
+    // is only rolled back when the manifest winner is provably a branch
+    // stager (its ref at this id exists and the head bytes are ours
+    // alone to have written).
     toBranch match {
       // branch commit: the manifest exists but the table head does NOT
       // move — only the branch ref points at it until publishBranch
       case Some(name) =>
         val ref = Paths.get(outDir, "snapshots", s"branch-$name")
-        atomicWrite(ref, snapshotId.toString)
+        val refContent = s"$snapshotId ${newRunToken()}"
+        atomicWrite(ref, refContent)
         if (manifestClobbered()) {
-          Files.deleteIfExists(ref) // our staged data is orphaned, not served
+          // delete the ref only if it is still OURS — a same-name stager
+          // that won the manifest race owns the current ref bytes
+          if (Files.exists(ref) &&
+              new String(Files.readAllBytes(ref), StandardCharsets.UTF_8) == refContent)
+            Files.deleteIfExists(ref) // our staged data is orphaned, not served
           throw new CommitConflictException(
             s"branch '$name' lost a concurrent-commit race for snapshot $snapshotId " +
               s"under $outDir: another writer overwrote the staged manifest")
@@ -832,12 +847,18 @@ object SnapshotManifestFormat extends TableFormat {
         val head = Paths.get(outDir, "snapshots", "_latest")
         atomicWrite(head, snapshotId.toString)
         if (manifestClobbered()) {
-          // restore the head only if it still names OUR id (a third
-          // writer may legitimately have advanced it past us)
-          val cur = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim
-          if (cur == snapshotId.toString) current match {
-            case Some(prev) => atomicWrite(head, prev.toString)
-            case None       => Files.deleteIfExists(head)
+          // the manifest winner is either another HEAD writer — whose
+          // head bytes are identical to ours, so the head is already
+          // correct for the winner and must be left alone — or a branch
+          // stager, identified by a branch ref at this id, whose staged
+          // manifest must NOT be served as the published head
+          val stagerWon = branches(outDir).values.exists(_ == snapshotId)
+          if (stagerWon) {
+            val cur = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim
+            if (cur == snapshotId.toString) current match {
+              case Some(prev) => atomicWrite(head, prev.toString)
+              case None       => Files.deleteIfExists(head)
+            }
           }
           throw new CommitConflictException(
             s"commit of snapshot $snapshotId under $outDir lost a concurrent-commit race: " +
@@ -857,9 +878,11 @@ object SnapshotManifestFormat extends TableFormat {
       if (n.startsWith("branch-") && !n.endsWith(".tmp")) {
         val content = new String(Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        require(content.matches("\\d{1,9}"),
+        // "<id>" (legacy) or "<id> <runToken>" — the token lets a stage
+        // that lost the manifest race prove the ref is its own to delete
+        require(content.matches("\\d{1,9}( [0-9a-f]{8})?"),
           s"corrupt branch ref '$n' under $outDir: expected a snapshot id, got '$content'")
-        Some(n.stripPrefix("branch-") -> content.toInt)
+        Some(n.stripPrefix("branch-") -> content.takeWhile(_.isDigit).toInt)
       } else None
     }.toMap
   }
