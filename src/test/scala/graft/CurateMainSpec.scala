@@ -105,5 +105,15 @@ class CurateMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       CurateMain.main(Array(s"$dir/documents.parquet", out,
         "--target=en:0.5,en:0.3"))
     }
+    // a typo'd flag must not silently run with defaults
+    intercept[IllegalArgumentException] {
+      CurateMain.main(Array(s"$dir/documents.parquet", out, "--epochs=3"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateMain.main(Array(s"$dir/documents.parquet", out, "--shards=abc"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateMain.main(Array(s"$dir/documents.parquet", out, "--target=en"))
+    }
   }
 }

@@ -248,4 +248,31 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExtractionJob.run(spark, changed2, cfg.copy(toBranch = Some("x.tmp"), commitRetries = 0))
     }
   }
+
+  test("branch refs carry a writer-unique token; legacy bare-id refs still parse") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-token").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 8)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCity: Austin") else t)
+    assert(ExtractionJob.run(spark, changed, cfg.copy(toBranch = Some("tok"))).nonEmpty)
+    val s1 = ExtractionJob.latestSnapshot(out).get + 1
+    val content = new String(Files.readAllBytes(
+      Paths.get(out, "snapshots", "branch-tok")), "UTF-8")
+    // "<id> <token>": the token is what lets a stage that lost the
+    // manifest race prove the ref is its OWN to delete
+    assert(content.matches(s"$s1 [0-9a-f]{8}"), s"unexpected ref format: '$content'")
+    assert(ExtractionJob.branches(out) == Map("tok" -> s1))
+    ExtractionJob.abandonBranch(out, "tok")
+    // legacy bare-id ref (pre-token tables) parses and publishes
+    Files.write(Paths.get(out, "snapshots", "branch-old"), (s1 - 1).toString.getBytes)
+    assert(ExtractionJob.branches(out) == Map("old" -> (s1 - 1)))
+    assert(ExtractionJob.publishBranch(out, "old") == s1 - 1) // already-live remnant
+    assert(ExtractionJob.branches(out).isEmpty)
+  }
 }
