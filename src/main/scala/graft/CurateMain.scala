@@ -97,10 +97,15 @@ object CurateMain {
           throw new IllegalArgumentException(s"--$name expects an integer, got: '$v'")
         }
       }.getOrElse(dflt)
-    val shards = intFlag("shards", 8)
+    // --shards default is derived from the session's parallelism AFTER the
+    // session exists (below): trainer-shard count must scale with the
+    // fleet, so a hardcoded default silently underpartitions a big cluster.
+    // Pass --shards explicitly for reproducible epoch order across fleets.
+    val shardsOpt = args.find(_.startsWith("--shards=")).map(_ => intFlag("shards", 0))
     val epoch = intFlag("epoch", 0)
     val nearDupCap = intFlag("near-dup-cap", 1000)
-    require(shards > 0 && nearDupCap > 0, "--shards and --near-dup-cap must be positive")
+    require(shardsOpt.forall(_ > 0) && nearDupCap > 0,
+      "--shards and --near-dup-cap must be positive")
     val target: Seq[(String, Double)] =
       args.find(_.startsWith("--target=")).map { a =>
         a.stripPrefix("--target=").split(",").toSeq.map { kv =>
@@ -130,6 +135,7 @@ object CurateMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val shards = shardsOpt.getOrElse(spark.sparkContext.defaultParallelism)
 
     val f = curate(spark, spark.read.parquet(input), outDir,
       target, shards, epoch, nearDupCap)

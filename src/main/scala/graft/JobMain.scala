@@ -248,6 +248,18 @@ object JobMain {
       if (preexisting.isEmpty) spark.stop()
       return
     }
+    // --limit=N bounds the metadata CLI's driver-side collect: at 10^6
+    // files an unbounded `--files` would pull the whole manifest listing
+    // into one print; the sort+limit runs DISTRIBUTED and only N rows
+    // reach the driver. Default bounds the accident, explicit --limit
+    // raises it deliberately.
+    val metaLimit: Int = args.find(_.startsWith("--limit=")).map { a =>
+      val v = a.stripPrefix("--limit=")
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"--limit=N expects an integer, got: '$v'")
+      }
+    }.getOrElse(10000)
+    val jesc = graft.spark.SnapshotManifestFormat.jesc _
     args.find(a => a == "--files" || a.startsWith("--files=")).foreach { a =>
       // $files metadata table (Iceberg files analog): current snapshot, or
       // --files=SNAP for any retained one — per-file bucket/rows/seq/bounds
@@ -258,31 +270,35 @@ object JobMain {
         }
       } else None
       val rows = graft.spark.ExtractionJob.readFilesTable(spark, outDir, snap)
-        .collect().sortBy(r => (r.getInt(1), r.getString(2)))
+        .orderBy(org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.col("path"))
+        .limit(metaLimit).collect()
       val fs = rows.map { r =>
         val bounds = (r.isNullAt(5), r.isNullAt(6)) match {
           case (false, false) =>
-            s""","min_conv":"${r.getString(5)}","max_conv":"${r.getString(6)}""""
+            s""","min_conv":"${jesc(r.getString(5))}","max_conv":"${jesc(r.getString(6))}""""
           case _ => ""
         }
-        s"""{"bucket":${r.getInt(1)},"path":"${r.getString(2)}",""" +
+        s"""{"bucket":${r.getInt(1)},"path":"${jesc(r.getString(2))}",""" +
           s""""rows":${r.getLong(3)},"seq":${r.getInt(4)}$bounds}"""
       }.mkString("[", ",", "]")
       val sid = if (rows.isEmpty) -1 else rows.head.getInt(0)
-      println(s"""{"snapshot":$sid,"files":$fs,"out":"$outDir"}""")
+      println(s"""{"snapshot":$sid,"files":$fs,"limit":$metaLimit,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }
     if (args.contains("--lineage")) {
       // per-bucket audit trail: which run produced each bucket, how long
       val rows = graft.spark.ExtractionJob.readLineageTable(spark, outDir)
-        .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+        .orderBy(org.apache.spark.sql.functions.col("snapshot_id"),
+          org.apache.spark.sql.functions.col("bucket"))
+        .limit(metaLimit).collect()
       val ls = rows.map { r =>
         s"""{"snapshot":${r.getLong(0)},"bucket":${r.getLong(1)},"rows":${r.getLong(2)},""" +
           s""""field_count_sum":${r.getLong(3)},"extract_ms":${r.getLong(4)},""" +
-          s""""committed_at":"${r.getString(5)}"}"""
+          s""""committed_at":"${jesc(r.getString(5))}"}"""
       }.mkString("[", ",", "]")
-      println(s"""{"lineage":$ls,"out":"$outDir"}""")
+      println(s"""{"lineage":$ls,"limit":$metaLimit,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }
@@ -297,9 +313,15 @@ object JobMain {
       val name = a.stripPrefix("--audit-branch=")
       require(name.nonEmpty, "--audit-branch=NAME requires a branch name")
       val r = graft.spark.ExtractionJob.auditBranch(spark, outDir, name)
+      val sc = r.schemaChanges
+        .map(s => "\"" + graft.spark.SnapshotManifestFormat.jesc(s) + "\"")
+        .mkString("[", ",", "]")
+      val bd = r.bucketRowDeltas.toSeq.sorted
+        .map { case (b, d) => s""""$b":$d""" }.mkString("{", ",", "}")
       println(s"""{"audit_branch":"$name","snapshot":${r.snapshotId},"rows":${r.rows},""" +
         s""""duplicate_keys":${r.duplicateKeys},"null_specs":${r.nullSpecs},""" +
-        s""""intact":${r.intact},"ok":${r.ok},"out":"$outDir"}""")
+        s""""intact":${r.intact},"schema_changes":$sc,"bucket_row_deltas":$bd,""" +
+        s""""ok":${r.ok},"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       // gate for shell pipelines: `--audit-branch && --publish-branch`
       // publishes only a snapshot that passed the audit. Exit-code

@@ -7,60 +7,90 @@ import org.apache.spark.sql.functions._
   * graph (the step after MinHash/LSH pair generation in a training-data
   * dedup pipeline — "keep one document per duplicate cluster").
   *
-  * Algorithm: iterative minimum-label propagation over the undirected edge
-  * set (the classic Spark/MapReduce connected-components shape, cf.
-  * Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
-  * 2014). Each iteration joins the current labels to the edges and takes
-  * the min label over {self} ∪ neighbors; convergence in O(diameter)
-  * iterations — near-dup clusters are small and dense, so the practical
-  * iteration count is 2-4.
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014,
+  * two-phase algorithm). Each round rewires every vertex's larger
+  * neighbors (large-star) and then its smaller neighbors (small-star) to
+  * the minimum of its closed neighborhood; components contract to stars
+  * rooted at their minimum vertex in O(log n) rounds — ADVERSARIAL chain
+  * graphs included (a 10k-vertex path converges in ~14 rounds, where
+  * plain min-label propagation would need 10k iterations; property-tested
+  * in DedupClusterSpec).
   *
-  * Scale shape: every iteration shuffles ONLY the pair-member vertex set
-  * (documents that appear in at least one candidate pair), never the
+  * Scale shape: every round shuffles ONLY the pair-member vertex/edge
+  * set (documents that appear in at least one candidate pair), never the
   * corpus. At 10^9 docs the near-dup graph is orders of magnitude smaller
-  * than the corpus, and the per-iteration cost is a shuffle join keyed by
-  * vertex id with map-side-combined min aggregation.
+  * than the corpus; per-round cost is two grouped min-aggregations (map-
+  * side combined) and two hash joins keyed by vertex id. Eager
+  * localCheckpoint truncates lineage each round so the plan never grows.
   */
 object DedupCluster {
+
+  /** Large-star: for every vertex u with closed-neighborhood minimum m,
+    * re-point each STRICTLY LARGER neighbor v at m. Input edges may be in
+    * any orientation; output edges are all (larger -> smaller). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val m = nbrs.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src"), least(col("nmin"), col("src")).as("m"))
+    nbrs.join(m, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: edges arrive (larger -> smaller); for every vertex u,
+    * re-point u and each of its smaller neighbors at the minimum of the
+    * closed neighborhood. Preserves the (larger -> smaller) invariant. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("src").agg(min("dst").as("m"))
+    edges.join(m, "src")
+      .select(col("dst").as("v"), col("m"))
+      .union(m.select(col("src").as("v"), col("m")))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
 
   /** (doc_id, cluster_id) for every vertex of `pairs` (columns a, b);
     * cluster_id = min doc_id of the connected component. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           a: String, b: String, maxIter: Int = 25): DataFrame = {
-    // undirected edge list, deduped (propagation is symmetric)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // canonical (larger -> smaller) edge list, deduped, self-loops dropped.
+    // EAGER localCheckpoint each round: the iteration references the
+    // previous round's edges repeatedly, so without lineage truncation the
+    // logical plan doubles every round and prior shuffles re-execute.
+    var edges = pairs
+      .select(greatest(col(a), col(b)).as("src"), least(col(a), col(b)).as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
-      .cache()
-    try {
-      // EAGER localCheckpoint each iteration: iterative label propagation
-      // references the previous labels twice per step (directly and through
-      // neighborMin), so without lineage truncation the logical plan
-      // doubles every iteration and prior shuffles re-execute each round;
-      // checkpointing materializes the labels AND cuts the plan, which also
-      // makes the returned frame independent of the edges cache below
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        // min over neighbor labels, then min with the current label
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "dst"), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min("label").as("nmin"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-            (col("nmin") < col("label")).as("moved"))
-          .localCheckpoint(true)
-        changed = next.where(col("moved")).count()
-        labels = next.select("id", "label")
-        iter += 1
-      }
-      require(changed == 0, s"connected components did not converge in $maxIter iterations")
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally { edges.unpersist(); () } // never leak the cache, even on failure
+      .localCheckpoint(true)
+    var converged = edges.isEmpty // an empty pair graph is trivially done
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixed-point check on materialized (checkpointed, distinct) sets:
+      // counts first (free on checkpointed data), one anti-diff only on tie
+      converged = edges.count() == next.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // at the fixed point every component is a star rooted at its minimum:
+    // each non-root vertex carries exactly one (vertex -> root) edge, and
+    // each root appears only on the dst side
+    val starLabels = edges
+      .select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    // a vertex appearing ONLY in self-pairs was dropped with its self-loop
+    // above but is still "a vertex of pairs": label it as its own cluster
+    pairs.select(col(a).as("doc_id")).union(pairs.select(col(b).as("doc_id")))
+      .distinct()
+      .join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -547,7 +547,7 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        (col("doc_id") % 8).cast("int").as("shard"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("running", sum("n_tokens").over(w))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
@@ -961,26 +961,34 @@ object Queries {
     * corpus element (bigint), never an interpolated float; both engines
     * compute the identical rank formula.
     *
-    * Scale shape: token counts are row-local; one exchange on lang feeds
-    * both the per-lang count and the rank window (languages partition
-    * the corpus, so the window never serializes more than one language
-    * through a task); the final pick is a filter + tiny agg. */
+    * Scale shape: TWO-PASS HISTOGRAM, never a corpus-sized window. The
+    * only corpus-sized work is `groupBy(lang, n_tokens).count()` — a
+    * map-side-partial agg whose output is bounded by the token-count
+    * value domain (≤ max doc length rows per language), not by corpus
+    * size. The cumulative sum and the percentile pick run over that tiny
+    * histogram; the value at rank r is the smallest n_tokens whose
+    * cumulative count reaches r — identical to the rank formula because
+    * the doc_id tiebreak never changes which VALUE sits at a rank. (The
+    * previous revision ranked the corpus with a per-lang row_number
+    * window — with ~5 languages that serializes 1/5 of the corpus
+    * through one task's sort at 10^12 rows; this shape replaces it.) */
   def q50LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val toks = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+    val hist = table(spark, dir, "documents")
+      .select(col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
-    val counts = toks.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    ranked.join(broadcast(counts), "lang")
-      .groupBy(col("lang"), col("n_docs"))
+      .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n_docs", sum("cnt").over(Window.partitionBy("lang")))
+    cum.groupBy(col("lang"), col("n_docs"))
       .agg(
-        max(when(col("rn") === ceil(col("n_docs") * 0.50).cast("int"), col("n_tokens")))
+        min(when(col("cum") >= ceil(col("n_docs") * 0.50).cast("long"), col("n_tokens")))
           .as("p50_tokens"),
-        max(when(col("rn") === ceil(col("n_docs") * 0.90).cast("int"), col("n_tokens")))
+        min(when(col("cum") >= ceil(col("n_docs") * 0.90).cast("long"), col("n_tokens")))
           .as("p90_tokens"),
-        max(when(col("rn") === ceil(col("n_docs") * 0.99).cast("int"), col("n_tokens")))
+        min(when(col("cum") >= ceil(col("n_docs") * 0.99).cast("long"), col("n_tokens")))
           .as("p99_tokens"))
       .select(col("lang"), col("n_docs"), col("p50_tokens"), col("p90_tokens"),
         col("p99_tokens"))
@@ -1101,7 +1109,7 @@ object Queries {
     "q39_pack_sequences" ->
       // same sharded greedy packing: q11's token formula, a running-sum
       // window per (lang, shard), start-bin + offset arithmetic.
-      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard, CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM t) SELECT doc_id, lang, shard, n_tokens, CAST((running - n_tokens) // 2048 AS BIGINT) AS pack_bin, CAST((running - n_tokens) % 2048 AS BIGINT) AS pack_offset FROM r ORDER BY doc_id""",
+      """WITH t AS (SELECT doc_id, lang, CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard, CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM t) SELECT doc_id, lang, shard, n_tokens, CAST((running - n_tokens) // 2048 AS BIGINT) AS pack_bin, CAST((running - n_tokens) % 2048 AS BIGINT) AS pack_offset FROM r ORDER BY doc_id""",
     "q37_training_mix" ->
       // full independent recomputation of the composed curation pipeline:
       // q18's language CASE, q13's token/stopword signals, keep-first

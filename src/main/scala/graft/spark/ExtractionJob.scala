@@ -754,9 +754,21 @@ object ExtractionJob {
     defaultFormat.readCommittedAtBranch(spark, outDir, name)
 
   /** Structural audit verdict for a staged branch (the "A" of
-    * write-audit-publish). `ok` gates publish in an unattended pipeline. */
+    * write-audit-publish). `ok` gates publish in an unattended pipeline.
+    *
+    * `schemaChanges` reports column adds/drops the publish would make vs
+    * the current head ("+name type" / "-name type"); type changes are
+    * refused at commit so add/drop is the whole space. `bucketRowDeltas`
+    * reports per-bucket RAW file-row deltas vs head, computed from
+    * manifest stats alone (Iceberg snapshot-summary style: zero data
+    * scans, so it stays O(manifest) at 10^6 files) — MOR equality-deletes
+    * are not netted out here; `rows` is the served post-MOR total.
+    * Neither trips `ok` by itself: schema evolution and growth are
+    * legitimate audited changes — the gate policy inspects them. */
   final case class AuditReport(branch: String, snapshotId: Int, rows: Long,
-                               duplicateKeys: Long, nullSpecs: Long, intact: Boolean) {
+                               duplicateKeys: Long, nullSpecs: Long, intact: Boolean,
+                               schemaChanges: Seq[String] = Nil,
+                               bucketRowDeltas: Map[Int, Long] = Map.empty) {
     def ok: Boolean = intact && duplicateKeys == 0 && nullSpecs == 0
   }
 
@@ -775,19 +787,44 @@ object ExtractionJob {
     val man = defaultFormat.readManifestAt(outDir, id).getOrElse(
       throw new IllegalStateException(
         s"branch '$name' points at snapshot $id but its manifest is missing under $outDir"))
+    // schema drift + row-count deltas vs the head come from MANIFESTS
+    // only (driver-side, no data scan): what a production WAP gate
+    // checks before paying for any read
+    val headMan = defaultFormat.latestSnapshot(outDir)
+      .flatMap(defaultFormat.readManifestAt(outDir, _))
+    val schemaChanges: Seq[String] =
+      (man.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL),
+        headMan.flatMap(_.schemaDdl).map(org.apache.spark.sql.types.StructType.fromDDL)) match {
+        case (Some(bs), Some(hs)) =>
+          val added = bs.fields.filterNot(f => hs.fieldNames.contains(f.name))
+            .map(f => s"+${f.name} ${f.dataType.catalogString}")
+          val dropped = hs.fields.filterNot(f => bs.fieldNames.contains(f.name))
+            .map(f => s"-${f.name} ${f.dataType.catalogString}")
+          (added ++ dropped).toSeq
+        case _ => Nil
+      }
+    def perBucketRows(m: Manifest): Map[Int, Long] =
+      m.files.groupBy(_.bucket).view.mapValues(_.map(_.rowCount).sum).toMap
+    val bRows = perBucketRows(man)
+    val hRows = headMan.map(perBucketRows).getOrElse(Map.empty)
+    val bucketRowDeltas = (bRows.keySet ++ hRows.keySet).iterator
+      .map(b => b -> (bRows.getOrElse(b, 0L) - hRows.getOrElse(b, 0L)))
+      .filter(_._2 != 0L).toMap
     // intactness FIRST: if the staged files are gone (a crashed abandon),
     // the audit must REPORT intact=false — running the distributed read
     // over missing files would crash with a raw read error instead of
     // the {ok:false} verdict the WAP pipeline gates on
     if (!defaultFormat.snapshotIntact(outDir, man))
-      return AuditReport(name, id, 0L, 0L, 0L, intact = false)
+      return AuditReport(name, id, 0L, 0L, 0L, intact = false,
+        schemaChanges = schemaChanges, bucketRowDeltas = bucketRowDeltas)
     val r = defaultFormat.readCommittedAtBranch(spark, outDir, name).agg(
       count(lit(1)).as("rows"),
       (count(lit(1)) - countDistinct(col("conv_id"), col("turn_idx"))).as("dups"),
       count(when(col("fields_json").isNull || length(col("fields_json")) === 0, lit(1)))
         .as("nulls")).collect()(0)
     AuditReport(name, id, r.getLong(0), r.getLong(1), r.getLong(2),
-      defaultFormat.snapshotIntact(outDir, man))
+      defaultFormat.snapshotIntact(outDir, man),
+      schemaChanges = schemaChanges, bucketRowDeltas = bucketRowDeltas)
   }
 
   /** `$snapshots` metadata table (see TableFormat.readSnapshotsTable). */

@@ -413,8 +413,9 @@ object SnapshotManifestFormat extends TableFormat {
 
   /** Minimal JSON string escape/unescape for conv_id bounds (ids are free
     * text upstream; the rest of the manifest's strings are self-generated
-    * paths that never need escaping). */
-  private def jesc(s: String): String = {
+    * paths that never need escaping). Shared with the CLI (`JobMain`
+    * --files/--lineage print the same values). */
+  private[graft] def jesc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)
     var i = 0
     while (i < s.length) {
@@ -805,7 +806,6 @@ object SnapshotManifestFormat extends TableFormat {
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
         s"""$operationJson$schemaJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
     val manPath = Paths.get(outDir, "snapshots", s"snap-$snapshotId.json")
-    atomicWrite(manPath, manifest)
     // Post-write overwrite check: the freeze/CAS reads above are
     // check-then-act, so two writers that both passed them can both have
     // written snap-<id>.json — last write wins the file. Re-reading it
@@ -816,6 +816,34 @@ object SnapshotManifestFormat extends TableFormat {
     // between this read and the loser's cleanup.
     def manifestClobbered(): Boolean =
       new String(Files.readAllBytes(manPath), StandardCharsets.UTF_8) != manifest
+    // _latest recheck: a concurrent publishBranch (or a racing commit that
+    // completed) moves `_latest` WITHOUT touching snap files, so the
+    // manifest-clobber check alone cannot see it — the last manifest
+    // writer reads back its own bytes and both callers would ack. Re-read
+    // the head both immediately before the manifest write (so the common
+    // publish-vs-commit interleaving fails BEFORE clobbering the
+    // just-published branch manifest) and after it (so the residual
+    // window is a loud conflict, never a silent double-ack). Only a real
+    // catalog compare-and-swap removes the window entirely.
+    def requireBaseUnmoved(context: String): Unit = {
+      val now = latestSnapshot(outDir)
+      if (now != expectedBase)
+        throw new CommitConflictException(
+          s"commit of snapshot $snapshotId under $outDir lost a concurrent race ($context): " +
+            s"table head moved from ${expectedBase.getOrElse("<none>")} to ${now.getOrElse("<none>")}")
+    }
+    // pending-branch recheck twin: a stager that completed inside our
+    // commit window left its ref (written before its manifest) without
+    // moving the head, so requireBaseUnmoved alone cannot see it — writing
+    // our manifest would clobber the stager's acked staged manifest.
+    def requireNoPendingBranch(context: String): Unit =
+      branches(outDir).find { case (_, id) => id > current.getOrElse(-1) }
+        .foreach { case (n, id) =>
+          throw new CommitConflictException(
+            s"commit of snapshot $snapshotId under $outDir lost a concurrent race ($context): " +
+              s"branch '$n' staged snapshot $id inside the commit window")
+        }
+    SnapshotManifestFormat.commitRaceHook()
     // Recovery may only undo state it can PROVE is its own: two racing
     // head writers (or two stagers of the same branch name) write
     // byte-identical pointer content for the same id, so a blind
@@ -832,18 +860,49 @@ object SnapshotManifestFormat extends TableFormat {
       case Some(name) =>
         val ref = Paths.get(outDir, "snapshots", s"branch-$name")
         val refContent = s"$snapshotId ${newRunToken()}"
-        atomicWrite(ref, refContent)
-        if (manifestClobbered()) {
-          // delete the ref only if it is still OURS — a same-name stager
-          // that won the manifest race owns the current ref bytes
+        // delete the ref only if it is still OURS — a same-name stager
+        // that won the manifest race owns the current ref bytes
+        def dropOwnRef(): Unit =
           if (Files.exists(ref) &&
               new String(Files.readAllBytes(ref), StandardCharsets.UTF_8) == refContent)
             Files.deleteIfExists(ref) // our staged data is orphaned, not served
+        // The ref is written BEFORE the staged manifest: a racing head
+        // writer that loses the manifest race decides head rollback from
+        // branches(), so the stager must be visible there no later than
+        // its manifest bytes land — ref-after-manifest left a window in
+        // which the head writer saw no stager and left the published head
+        // pointing at the stager's UNAUDITED manifest. A ref with a
+        // missing manifest is the already-handled crashed-abandon shape
+        // (publishBranch fails loudly and says to run abandonBranch;
+        // abandonBranch retires it), so crashing between the two writes
+        // is safe.
+        requireNoPendingBranch("concurrent stage before branch ref write")
+        atomicWrite(ref, refContent)
+        try requireBaseUnmoved("concurrent publish/commit before branch manifest write")
+        catch { case e: CommitConflictException => dropOwnRef(); throw e }
+        atomicWrite(manPath, manifest)
+        if (manifestClobbered()) {
+          dropOwnRef()
           throw new CommitConflictException(
             s"branch '$name' lost a concurrent-commit race for snapshot $snapshotId " +
               s"under $outDir: another writer overwrote the staged manifest")
         }
+        // a publish landing inside the residual window moved the head to
+        // this id — our manifest bytes have replaced the published
+        // snapshot's manifest, so fail LOUDLY rather than double-ack
+        try requireBaseUnmoved("concurrent publish/commit during branch manifest write")
+        catch { case e: CommitConflictException => dropOwnRef(); throw e }
       case None =>
+        requireBaseUnmoved("concurrent publish/commit before manifest write")
+        requireNoPendingBranch("concurrent stage before manifest write")
+        atomicWrite(manPath, manifest)
+        // the ADVICE-flagged TOCTOU: a publishBranch landing between the
+        // freeze check and this point set `_latest` to this id and deleted
+        // the branch ref — our manifest write just clobbered the published
+        // branch manifest, and writing the head would byte-match the
+        // publisher's write, acking BOTH callers. Refuse before touching
+        // the head.
+        requireBaseUnmoved("concurrent publish/commit after manifest write")
         val head = Paths.get(outDir, "snapshots", "_latest")
         atomicWrite(head, snapshotId.toString)
         if (manifestClobbered()) {
@@ -851,7 +910,9 @@ object SnapshotManifestFormat extends TableFormat {
           // head bytes are identical to ours, so the head is already
           // correct for the winner and must be left alone — or a branch
           // stager, identified by a branch ref at this id, whose staged
-          // manifest must NOT be served as the published head
+          // manifest must NOT be served as the published head (the stager
+          // writes its ref BEFORE its manifest, so a stager that won the
+          // manifest race is always visible here)
           val stagerWon = branches(outDir).values.exists(_ == snapshotId)
           if (stagerWon) {
             val cur = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim
@@ -1172,6 +1233,16 @@ object SnapshotManifestFormat extends TableFormat {
     * wins. One definition pins the convention `deleteDirSeq` parses. */
   private[spark] def newRunToken(): String =
     java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  /** Test-only race-injection point: invoked inside commitWave AFTER the
+    * optimistic-CAS + pending-branch freeze checks and the staged-dir
+    * promote, but BEFORE any pointer/manifest write — i.e. at the widest
+    * check-then-act window. Specs install a closure here to land a
+    * concurrent publish/stage/commit deterministically inside the window
+    * and assert the rechecks turn the interleaving into a loud
+    * CommitConflictException instead of a silent clobber. Always a no-op
+    * in production; restore in a finally. */
+  private[graft] var commitRaceHook: () => Unit = () => ()
 
   private[spark] def deleteDirSeq(name: String): Option[Int] =
     if (!name.startsWith("snap-")) None

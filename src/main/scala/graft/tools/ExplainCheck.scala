@@ -144,9 +144,14 @@ object ExplainCheck {
         p => !"Exchange[^\\n]*win".r.findFirstIn(p).isDefined),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q50_length_percentiles", graft.queries.Queries.q50LengthPercentiles(spark, dir),
-      // rank window partitioned by lang; per-lang counts broadcast
-      ("rank window partitioned by lang", _.contains("hashpartitioning(lang")),
-      ("counts broadcast to the ranked side", _.contains("BroadcastHashJoin")),
+      // two-pass histogram: the only corpus-sized shuffle is the
+      // (lang, n_tokens) count agg (map-side partial); the cumulative
+      // window runs over the value-domain-bounded histogram — there is
+      // NO corpus-sized rank window (no row_number over the corpus)
+      ("corpus shuffle is the (lang, n_tokens) histogram agg",
+        p => "hashpartitioning\\(lang#\\d+, n_tokens#".r.findFirstIn(p).isDefined),
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("no corpus-sized rank window", p => !p.contains("row_number")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text

@@ -253,6 +253,13 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli(in, out, s"--files=$snap") == files, "explicit snapshot == current")
     val lineage = cli(in, out, "--lineage")
     assert(lineage.contains("\"lineage\":[{") && lineage.contains("\"extract_ms\":"), lineage)
+    // --limit bounds the driver-side collect: only N ordered rows print
+    val limited = cli(in, out, "--files", "--limit=1")
+    assert(limited.contains("\"limit\":1"), limited)
+    assert("\\{\"bucket\":".r.findAllIn(limited).length == 1,
+      s"--limit=1 must print exactly one file row: $limited")
+    val limLineage = cli(in, out, "--lineage", "--limit=1")
+    assert("\\{\"snapshot\":".r.findAllIn(limLineage).length == 1, limLineage)
     // metadata modes refuse maintenance companions like every other mode
     intercept[IllegalArgumentException] { JobMain.main(Array(in, out, "--files", "--compact")) }
   }

@@ -195,6 +195,12 @@ class MorLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         val audit = ExtractionJob.auditBranch(spark, out, branch)
         assert(audit.ok, s"[seed=$seed $ctx] audit must be green, got $audit")
+        // same engine version: no schema drift; the staged delta ADDS the
+        // victim's re-extracted rows, so raw per-bucket deltas are positive
+        assert(audit.schemaChanges.isEmpty,
+          s"[seed=$seed $ctx] unexpected schema drift: ${audit.schemaChanges}")
+        assert(audit.bucketRowDeltas.nonEmpty && audit.bucketRowDeltas.values.forall(_ > 0),
+          s"[seed=$seed $ctx] delta rows must show as positive bucket deltas, got $audit")
         if (rnd.nextBoolean()) {
           ExtractionJob.publishBranch(out, branch)
           model = staged

@@ -79,4 +79,41 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain == (1L to 8L).map(_ -> 1L).toMap, gotChain.toString)
   }
+
+  test("connected components: adversarial 10k-vertex path converges within the round budget (large-star/small-star)") {
+    val ss = spark
+    import ss.implicits._
+    // a seeded PERMUTED path: diameter 9,999 with the min vertex at a
+    // random interior position — min-label propagation would need one
+    // iteration per hop; the two-phase star contraction must finish in
+    // O(log n) rounds (maxIter default 25)
+    val n = 10000
+    val rnd = new scala.util.Random(42)
+    val perm = rnd.shuffle((0L until n.toLong).toVector)
+    val pairs = (1 until n).map(i => (perm(i - 1), perm(i))).toDF("a", "b")
+    val got = graft.functions.DedupCluster.connectedComponents(spark, pairs, "a", "b")
+    assert(got.count() == n.toLong, "every vertex labeled")
+    assert(got.where(col("cluster_id") =!= 0L).count() == 0,
+      "single component rooted at the minimum vertex")
+
+    // seeded random forest: labels must equal a driver-side union-find
+    val m = 2000
+    val edges = Vector.tabulate(m) { i =>
+      val a = rnd.nextInt(3000).toLong; val b = rnd.nextInt(3000).toLong; (a, b)
+    }
+    val uf = new Array[Long](3000); for (i <- uf.indices) uf(i) = i.toLong
+    def find(x: Long): Long = { var r = x; while (uf(r.toInt) != r) r = uf(r.toInt); r }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { val (lo, hi) = (math.min(rx, ry), math.max(rx, ry)); uf(hi.toInt) = lo }
+    }
+    // path-compress to the true min root
+    val want = edges.flatMap { case (x, y) => Seq(x, y) }.distinct
+      .map(v => v -> find(v)).toMap
+    val gotRnd = graft.functions.DedupCluster
+      .connectedComponents(spark, edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRnd == want,
+      s"random-graph mismatch: ${gotRnd.toSet.diff(want.toSet).take(5)}")
+  }
 }

@@ -275,4 +275,169 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractionJob.publishBranch(out, "old") == s1 - 1) // already-live remnant
     assert(ExtractionJob.branches(out).isEmpty)
   }
+
+  /** Deterministic interleaving harness for the commit races: the hook
+    * fires inside commitWave at the widest check-then-act window (after the
+    * CAS + freeze checks, before any pointer/manifest write) and must
+    * disarm itself first, because the commits it injects re-enter
+    * commitWave. */
+  private def withRace[A](inject: () => Unit)(body: => A): A = {
+    val fmt = SnapshotManifestFormat
+    fmt.commitRaceHook = () => { fmt.commitRaceHook = () => (); inject() }
+    try body finally fmt.commitRaceHook = () => ()
+  }
+
+  test("a publish landing inside a head commit's window is a loud conflict, never a silent clobber of the published manifest") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-race-pub").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 10)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    val branchEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCity: Austin") else t)
+    val headEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCity: Boston") else t)
+
+    // the head writer passes its CAS + freeze reads, then a full WAP cycle
+    // (stage + publish) lands inside its window: without the _latest
+    // recheck the head writer would overwrite the just-published branch
+    // manifest with its own bytes and BOTH callers would ack (the head
+    // pointer writes are byte-identical, so the clobber check can't see it)
+    withRace(() => {
+      assert(ExtractionJob.run(spark, branchEdit,
+        cfg.copy(toBranch = Some("hotfix"))).nonEmpty)
+      assert(ExtractionJob.publishBranch(out, "hotfix") == s0 + 1)
+    }) {
+      intercept[CommitConflictException] {
+        ExtractionJob.run(spark, headEdit, cfg.copy(commitRetries = 0))
+      }
+    }
+    // the published audit data is served intact; the loser changed nothing
+    assert(ExtractionJob.latestSnapshot(out).contains(s0 + 1))
+    assert(ExtractionJob.branches(out).isEmpty)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, branchEdit).toDF()),
+      "the published branch content must survive the losing head commit")
+    // with retries allowed the loser re-plans against the published state
+    assert(ExtractionJob.run(spark, headEdit, cfg).nonEmpty)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, headEdit).toDF()))
+  }
+
+  test("a branch staged inside a head commit's window wins: the head commit refuses instead of clobbering the staged manifest") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-race-stage").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 10)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    val branchEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nState: NY") else t)
+    val headEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nState: CA") else t)
+
+    // a stager completes (ref + manifest, acked) inside the head writer's
+    // window; the stager never moves _latest, so only the pending-branch
+    // RE-check can save its acked manifest from the head writer's bytes
+    withRace(() =>
+      assert(ExtractionJob.run(spark, branchEdit,
+        cfg.copy(toBranch = Some("hold"))).nonEmpty)
+    ) {
+      intercept[CommitConflictException] {
+        ExtractionJob.run(spark, headEdit, cfg.copy(commitRetries = 0))
+      }
+    }
+    // head unmoved, the stager's branch is pending with an INTACT manifest
+    assert(ExtractionJob.latestSnapshot(out).contains(s0))
+    assert(ExtractionJob.branches(out) == Map("hold" -> (s0 + 1)))
+    val audit = ExtractionJob.auditBranch(spark, out, "hold")
+    assert(audit.ok, s"staged branch must audit green after the race, got $audit")
+    assert(ExtractionJob.publishBranch(out, "hold") == s0 + 1)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, branchEdit).toDF()))
+  }
+
+  test("a branch staged inside another stage's window: the second stager refuses before writing its ref") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-race-2stage").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 10)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val victim = turns.select("conv_id").as[String].head()
+    val editA = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nZip: 10001") else t)
+    val editB = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nZip: 94103") else t)
+
+    withRace(() =>
+      assert(ExtractionJob.run(spark, editA,
+        cfg.copy(toBranch = Some("first"))).nonEmpty)
+    ) {
+      intercept[CommitConflictException] {
+        ExtractionJob.run(spark, editB,
+          cfg.copy(toBranch = Some("second"), commitRetries = 0))
+      }
+    }
+    // exactly ONE pending branch — the winner's; the loser left no ref
+    assert(ExtractionJob.branches(out) == Map("first" -> (s0 + 1)))
+    assert(ExtractionJob.auditBranch(spark, out, "first").ok)
+    ExtractionJob.abandonBranch(out, "first")
+    assert(ExtractionJob.branches(out).isEmpty)
+  }
+
+  test("audit reports per-bucket row deltas from manifest stats and schema drift vs head") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-auditx").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 15)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val victim = turns.select("conv_id").as[String].head()
+    val victimTurns = turns.filter(_.conv_id == victim).count()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nFax: 555-0101") else t)
+    assert(ExtractionJob.run(spark, changed, cfg.copy(toBranch = Some("delta"))).nonEmpty)
+    val a = ExtractionJob.auditBranch(spark, out, "delta")
+    assert(a.ok, s"expected green audit, got $a")
+    // same engine version: no drift; the delta adds exactly the victim's
+    // re-extracted turns, all in the victim's single hash bucket
+    assert(a.schemaChanges.isEmpty, s"unexpected drift: ${a.schemaChanges}")
+    assert(a.bucketRowDeltas.size == 1 && a.bucketRowDeltas.values.head == victimTurns,
+      s"expected one bucket +$victimTurns raw rows, got ${a.bucketRowDeltas}")
+    ExtractionJob.abandonBranch(out, "delta")
+
+    // low-level table whose branch ADDS a column: drift is reported as
+    // "+name type" without tripping `ok` (evolution is a legitimate
+    // audited change — the gate policy decides)
+    val fmt = SnapshotManifestFormat
+    val out2 = Files.createTempDirectory("graft-wap-auditevo").toString
+    val base = Seq((0, "c0", 0, "{\"a\":1}", "m0"), (1, "c1", 0, "{\"b\":2}", "m1"))
+      .toDF("bucket", "conv_id", "turn_idx", "fields_json", "main_text")
+    base.write.partitionBy("bucket").parquet(s"$out2/staging-0")
+    val files0 = fmt.listStagedFiles(spark, s"$out2/staging-0").toVector
+    fmt.commitWave(out2, s"$out2/staging-0", 0, Set(0, 1), files0, Vector.empty,
+      Map.empty, bucketCount = Some(2))
+    val evo = Seq((1, "c9", 0, "{\"c\":3}", "m9", 0.7))
+      .toDF("bucket", "conv_id", "turn_idx", "fields_json", "main_text", "quality")
+    evo.write.partitionBy("bucket").parquet(s"$out2/staging-1")
+    val files1 = fmt.listStagedFiles(spark, s"$out2/staging-1").toVector.map(_.copy(seq = 1))
+    fmt.commitWave(out2, s"$out2/staging-1", 1, Set(0, 1), files0 ++ files1,
+      Vector.empty, Map.empty, additive = true, bucketCount = Some(2),
+      operation = "delta", toBranch = Some("evo"))
+    val e = ExtractionJob.auditBranch(spark, out2, "evo")
+    assert(e.schemaChanges == Seq("+quality double"), s"got ${e.schemaChanges}")
+    assert(e.bucketRowDeltas == Map(1 -> 1L), s"got ${e.bucketRowDeltas}")
+    assert(e.ok && e.rows == 3, s"drift alone must not trip ok, got $e")
+  }
 }
