@@ -107,6 +107,70 @@ object Bench {
       if (ok) runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
       else okMap(name) = false
     }
+    // Whole-suite drift detection (BENCH_r05 lesson: the round artifact
+    // showed +10-30% min-of-3 drift on queries whose code hadn't changed —
+    // a contended measurement window, only visible by comparing artifacts
+    // after the fact). Compare this run's per-query minimums against the
+    // most recent prior artifact in BENCH/ at the SAME cpus/sf: if the
+    // MEDIAN drift exceeds 10%, the window is suspect — take one more full
+    // interleaved pass (keep per-query min over all samples) and report
+    // the residual drift + flag in the artifact so it self-annotates.
+    val benchDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "BENCH"))
+    val qValRe = """"([a-z0-9_]+)":(-?\d+\.\d+)""".r
+    def priorMins(): Map[String, Double] = {
+      if (!java.nio.file.Files.isDirectory(benchDir)) return Map.empty
+      val s = java.nio.file.Files.list(benchDir)
+      val prior =
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("bench_") && n.endsWith(s"_c$cpus.json")
+          }.sortBy(_.getFileName.toString).lastOption
+        finally s.close()
+      prior.map { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // restrict to the "queries" object so query_runs arrays don't match
+        val qobj = txt.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i  => txt.substring(i, txt.indexOf("}", i) + 1)
+        }
+        qValRe.findAllMatchIn(qobj)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0) // negative = failed in the prior run
+          .toMap
+      }.getOrElse(Map.empty)
+    }
+    def medianDrift(prior: Map[String, Double]): Option[Double] = {
+      val ds = names.filter(n => okMap(n) && prior.contains(n))
+        .map(n => runs(n).min / prior(n) - 1.0).sorted
+      if (ds.size < 5) None // too few common queries to call a window
+      else Some(ds(ds.size / 2))
+    }
+    val prior = priorMins()
+    val driftBefore = medianDrift(prior)
+    if (driftBefore.exists(_ > 0.10)) {
+      System.err.println(f"[bench] median drift ${driftBefore.get * 100}%.1f%% vs prior " +
+        "artifact — contended window suspected; taking one more interleaved pass")
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED in drift re-pass: ${e.getMessage}"); false
+          }
+        if (ok) runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+        else okMap(name) = false
+      }
+    }
+    val driftAfter = medianDrift(prior)
+    val driftJson = driftAfter match {
+      case Some(d) =>
+        f""","median_drift_vs_prior":$d%.3f,"drift_flag":${d > 0.10}"""
+      case None => ""
+    }
     // failed queries are reported with negative elapsed plus a failed list so
     // a throwing query can never masquerade as a fast healthy run; the
     // headline total sums ONLY healthy queries (plus extraction) so it stays
@@ -121,8 +185,20 @@ object Bench {
     val resampled = (noisy ++ (if (extractResampled) Seq("extract") else Seq.empty))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = names.filter(okMap).map(runs(_).min).sum + extractSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_runs":$qruns,"failed":$failed,"resampled":$resampled,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_runs":$qruns,"failed":$failed,"resampled":$resampled$driftJson,"sf":"$sfDir","cpus":$cpus,"extract_turns":$nTurns,"extract_sec":$extractSec%.3f,"extract_runs_sec":[${runSecs.map(r => f"$r%.3f").mkString(",")}],"turns_per_sec":$turnsPerSec%.1f}"""
+    println(line)
+    // durability: the driver captures stdout's tail, which truncated the
+    // round-5 artifact to q26+ — every invocation also writes its full
+    // JSON to BENCH/ so no artifact can lose data
+    try {
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.write(
+        benchDir.resolve(f"bench_${System.currentTimeMillis() / 1000}%012d_c$cpus.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

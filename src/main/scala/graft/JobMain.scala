@@ -52,7 +52,13 @@ import org.apache.spark.sql.SparkSession
   * `--audit-branch=N && --publish-branch=N` is the WAP pipeline.
   * --branches lists branch refs. --files[=SNAP] prints the $files
   * metadata table (per-file bucket/rows/seq/conv bounds) of the current
-  * or a retained snapshot; --lineage prints the per-bucket audit trail.
+  * or a retained snapshot; --lineage prints the per-bucket audit trail;
+  * both honor --limit=N (default 10000) so the driver-side print stays
+  * bounded on huge manifests.
+  * --curate-increment=WORKDIR runs one incremental curation cycle over
+  * the table's change feed (quality gate + exact keep-first dedup
+  * against persisted distributed state under WORKDIR; see
+  * graft.spark.StreamingCurate) and prints the cycle stats.
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
@@ -152,7 +158,7 @@ object JobMain {
     // scripting "roll back AND pin" must not get a half-applied operation)
     val modeFlags =
       Seq("--get-conv=", "--rollback=", "--tag=", "--drop-tag=", "--appends-since=",
-        "--audit-branch=", "--publish-branch=", "--abandon-branch=")
+        "--audit-branch=", "--publish-branch=", "--abandon-branch=", "--curate-increment=")
         .flatMap(p => args.find(_.startsWith(p))) ++
         Seq("--tags", "--history", "--branches", "--lineage").filter(args.contains) ++
         args.find(a => a == "--files" || a.startsWith("--files="))
@@ -306,6 +312,24 @@ object JobMain {
       val bs = graft.spark.ExtractionJob.branches(outDir).toSeq.sorted
         .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
       println(s"""{"branches":$bs,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(_.startsWith("--curate-increment=")).foreach { a =>
+      // one incremental curation cycle over the table's change feed
+      // (state + curated corpus maintained under WORKDIR; see
+      // graft.spark.StreamingCurate)
+      val work = a.stripPrefix("--curate-increment=")
+      require(work.nonEmpty, "--curate-increment=WORKDIR requires a directory")
+      graft.spark.StreamingCurate.cycle(spark, outDir, work) match {
+        case Some(s) =>
+          println(s"""{"curate_increment":{"from":${s.from},"to":${s.to},""" +
+            s""""upserts":${s.upserts},"deleted_convs":${s.deletedConvs},""" +
+            s""""affected_hash_buckets":${s.affectedHashBuckets},""" +
+            s""""curated_rows":${s.curatedRows}},"out":"$outDir"}""")
+        case None =>
+          println(s"""{"curate_increment":null,"note":"no new snapshot","out":"$outDir"}""")
+      }
       if (preexisting.isEmpty) spark.stop()
       return
     }

@@ -262,6 +262,13 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("\\{\"snapshot\":".r.findAllIn(limLineage).length == 1, limLineage)
     // metadata modes refuse maintenance companions like every other mode
     intercept[IllegalArgumentException] { JobMain.main(Array(in, out, "--files", "--compact")) }
+
+    // --curate-increment: first cycle bootstraps, second is a no-op
+    val work = Files.createTempDirectory("graft-jobmain-curate").toString
+    val c1 = cli(in, out, s"--curate-increment=$work")
+    assert(c1.contains("\"curate_increment\":{") && c1.contains("\"curated_rows\":"), c1)
+    val c2 = cli(in, out, s"--curate-increment=$work")
+    assert(c2.contains("\"curate_increment\":null"), c2)
   }
 
   test("JobMain WAP cycle from the CLI: --to-branch stages, --audit-branch gates, --publish-branch serves; --rewrite-sorted splits files") {
