@@ -995,6 +995,88 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** As-of join (q51): each purchase event enriched with the same user's
+    * latest PRIOR click (strictly earlier in (ts, event_id) order) and the
+    * elapsed gap — the canonical time-series enrichment operator. Spark
+    * has no ASOF JOIN; the scalable formulation is a TAGGED UNION + one
+    * per-user ordered window with a running last(ignoreNulls), never a
+    * range self-join.
+    *
+    * Scale shape: ONE shuffle (hash on user_id — 10^8+ distinct keys at
+    * corpus scale, so no low-cardinality window trap), in-partition sort,
+    * O(1) running-frame state per row. The range-join alternative
+    * (purchases × clicks with an inequality) explodes quadratically on
+    * active users; this is linear and is how production as-of joins are
+    * planned (cf. Flink temporal join / kdb aj). */
+  def q51AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = table(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    // strictly-prior frame: rows before the current one in (ts, id) order
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("click_ts_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Banded range join (q52): per error event, how many clicks the same
+    * user made in the preceding 10 minutes. The naive inequality join is
+    * a range join (quadratic per user); the scalable rewrite BUCKETIZES
+    * time into 10-minute bands so every match lives in the probe's band
+    * or the one before it: explode each error into 2 band probes,
+    * equi-join on (user_id, band), then apply the exact residual range
+    * filter. Cost: one equi-shuffle each side, 2x probe fanout, zero
+    * quadratic blowup — the standard banding rewrite Spark's optimizer
+    * does not do for you. */
+  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 600L * 1000000L // 10 minutes in microseconds
+    val ev = table(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      .withColumn("band", expr(s"c_us DIV ${winUs}L"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("e_us"))
+    val probes = errors.select(col("event_id"), col("user_id"), col("e_us"),
+      explode(array(expr(s"e_us DIV ${winUs}L"), expr(s"e_us DIV ${winUs}L - 1L"))).as("band"))
+    val counts = probes.join(clicks, Seq("user_id", "band"))
+      .where(col("c_us") >= col("e_us") - winUs && col("c_us") < col("e_us"))
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (q53): a user's events split into sessions
+    * at >30-minute silences; session_idx is the per-user running session
+    * ordinal — the standard two-window cumulative-flag formulation.
+    *
+    * Scale shape: both windows share ONE per-user exchange + sort
+    * (user_id is high-cardinality, so partitions stay small); lag and the
+    * running sum are O(1) frame state. This is the batch twin of the
+    * streaming session window (flatMapGroupsWithState) — same semantics,
+    * replayable over history. */
+  def q53Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -1045,7 +1127,10 @@ object Queries {
     "q47_vocab_induction" -> q47VocabInduction _,
     "q48_df_boilerplate" -> q48DfBoilerplate _,
     "q49_window_dup" -> q49WindowDup _,
-    "q50_length_percentiles" -> q50LengthPercentiles _
+    "q50_length_percentiles" -> q50LengthPercentiles _,
+    "q51_asof_join" -> q51AsofJoin _,
+    "q52_range_join" -> q52RangeJoin _,
+    "q53_sessionize" -> q53Sessionize _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -1091,6 +1176,20 @@ object Queries {
       // same sliding windows, duplicate set recomputed by window TEXT
       // (q44's identity caveat), same integer basis points
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 10), v AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 9), i -> array_to_string(list_slice(w, i, i + 9), ' '))) AS win FROM d), dup AS (SELECT win FROM v GROUP BY win HAVING count(*) > 1), p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM v GROUP BY 1), q AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM v WHERE win IN (SELECT win FROM dup) GROUP BY 1) SELECT p.doc_id, p.n_windows, CAST(coalesce(q.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, CAST(coalesce(q.n_dup_windows, 0) * 10000 // p.n_windows AS BIGINT) AS dup_bp FROM p LEFT JOIN q USING (doc_id) ORDER BY 1""",
+    "q51_asof_join" ->
+      // same tagged-union window formulation: strictly-prior frame in
+      // (ts, event_id) order, IGNORE NULLS running last; microsecond
+      // epochs are bigint in both engines
+      """WITH t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events WHERE event_type IN ('click','purchase')), w AS (SELECT *, last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, last_value(CASE WHEN event_type='click' THEN ts_us END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts_us FROM t) SELECT event_id, user_id, click_id, ts_us - click_ts_us AS gap_us FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q52_range_join" ->
+      // the oracle runs the NAIVE inequality join (exact semantics the
+      // banding rewrite must preserve); left join + count(non-null)
+      // keeps zero-click errors
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type='click'), e AS (SELECT event_id, user_id, epoch_us(ts) AS e_us FROM events WHERE event_type='error') SELECT e.event_id, CAST(count(c.c_us) AS BIGINT) AS n_clicks_10m FROM e LEFT JOIN c ON e.user_id = c.user_id AND c.c_us >= e.e_us - 600000000 AND c.c_us < e.e_us GROUP BY 1 ORDER BY 1""",
+    "q53_sessionize" ->
+      // same lag + cumulative-flag windows, same 30-minute gap, same
+      // (ts, event_id) tiebreak
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM t), s AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l) SELECT event_id, user_id, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM s ORDER BY event_id""",
     "q50_length_percentiles" ->
       // identical rank formula; quantile literals cast to DOUBLE so both
       // engines evaluate the same IEEE-754 ceil(q*n)

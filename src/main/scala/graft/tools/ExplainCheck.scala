@@ -153,6 +153,30 @@ object ExplainCheck {
       ("partial count agg before shuffle", _.contains("partial_count")),
       ("no corpus-sized rank window", p => !p.contains("row_number")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q51_asof_join", graft.queries.Queries.q51AsofJoin(spark, dir),
+      // as-of via tagged union + ONE per-user window: a single hash
+      // exchange, no range/nested-loop join anywhere
+      ("single hash exchange (per-user window)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
+      ("running-last window present", _.contains("Window")),
+      ("no nested-loop/cartesian join",
+        p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q52_range_join", graft.queries.Queries.q52RangeJoin(spark, dir),
+      // banding rewrite: the range predicate is a residual FILTER on an
+      // equi-join, never a nested-loop/cartesian range join
+      ("band probes exploded (Generate)", _.contains("Generate explode")),
+      ("no nested-loop/cartesian join",
+        p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q53_sessionize", graft.queries.Queries.q53Sessionize(spark, dir),
+      // lag + running sum share one per-user exchange and sort
+      ("single hash exchange (per-user windows)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
+      ("windows share one sort",
+        p => "Sort \\[user_id".r.findAllIn(p).length <= 1),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
