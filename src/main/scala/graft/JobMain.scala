@@ -62,6 +62,11 @@ import org.apache.spark.sql.SparkSession
   * --set-prop=KEY=VALUE (repeatable) commits sticky table properties after
   * the run (ALTER TABLE SET TBLPROPERTIES analog); an empty VALUE retires
   * the key — the removal path for a decommissioned sink's marker.
+  * --binpack=MIN_ROWS coalesces every bucket's data files smaller than
+  * MIN_ROWS into one sorted run per bucket without touching healthy
+  * files (rewrite_data_files binpack-strategy analog — the routine
+  * small-file maintenance between full compactions; MOR deletes are
+  * applied to the rewritten rows and carried for the rest).
   * --rewrite-sorted=ROWS_PER_FILE rewrites every bucket as sorted files
   * split at the target row count (rewrite_data_files with a sort
   * strategy): per-file conv_id bounds become disjoint slices of each
@@ -131,6 +136,16 @@ object JobMain {
         require(n >= 1, s"--rewrite-sorted=ROWS_PER_FILE must be positive, got $n")
         n
       }
+    val binpackMin: Option[Long] =
+      args.find(_.startsWith("--binpack=")).map { a =>
+        val n =
+          try a.stripPrefix("--binpack=").toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--binpack=MIN_ROWS requires an integer, got: $a")
+          }
+        require(n >= 1, s"--binpack=MIN_ROWS must be positive, got $n")
+        n
+      }
     val setProps: Map[String, String] =
       args.filter(_.startsWith("--set-prop=")).map { a =>
         val kv = a.stripPrefix("--set-prop=")
@@ -147,7 +162,7 @@ object JobMain {
     // a pending branch freezes the table head, so head-committing
     // maintenance cannot ride the same invocation — it runs post-publish
     require(toBranch.isEmpty || (!doCompact && rebucketTo.isEmpty && setProps.isEmpty &&
-        rewriteSortedTarget.isEmpty &&
+        rewriteSortedTarget.isEmpty && binpackMin.isEmpty &&
         !args.exists(_.startsWith("--stream-ingest=")) &&
         !args.exists(_.startsWith("--replicate="))),
       "--to-branch does not compose with head-committing flags " +
@@ -171,7 +186,7 @@ object JobMain {
         "returns before any run is staged — run them as separate invocations")
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
-          rebucketTo.isEmpty && rewriteSortedTarget.isEmpty &&
+          rebucketTo.isEmpty && rewriteSortedTarget.isEmpty && binpackMin.isEmpty &&
           !args.exists(_.startsWith("--stream-ingest=")) &&
           !args.exists(_.startsWith("--replicate=")),
         s"${modeFlags.head} does not compose with maintenance or ingest flags " +
@@ -407,7 +422,7 @@ object JobMain {
           "the source bucket layout — rebucket the SOURCE and re-baseline instead")
       val rows = graft.spark.TableReplication.replicateAvailableNow(spark, input, outDir, ckpt)
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo, rewriteSortedTarget)
+        rebucketTo, rewriteSortedTarget, binpackMin)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"replicate":true,"snapshot":$snap,"rows_applied":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -422,7 +437,7 @@ object JobMain {
       // they do with a batch run — a scheduled ingest+retention invocation
       // must not silently drop its retention half
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo, rewriteSortedTarget)
+        rebucketTo, rewriteSortedTarget, binpackMin)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -433,7 +448,7 @@ object JobMain {
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
         fingerprintInputs = fingerprint, convGrained = convGrained, toBranch = toBranch))
     val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-      rebucketTo, rewriteSortedTarget)
+      rebucketTo, rewriteSortedTarget, binpackMin)
     // truthful only: a no-op run (input unchanged, nothing dirty) stages no
     // ref — report null so an unattended WAP pipeline skips the audit step
     // instead of crashing on a branch that was never created
@@ -453,7 +468,8 @@ object JobMain {
                              expireRetain: Option[Int], orphanAge: Option[Long],
                              setProps: Map[String, String],
                              rebucketTo: Option[Int] = None,
-                             rewriteSorted: Option[Long] = None): String = {
+                             rewriteSorted: Option[Long] = None,
+                             binpackMin: Option[Long] = None): String = {
     // rebucket FIRST: the replacing rewrite applies pending deletes itself,
     // so a combined --rebucket --compact invocation compacts a clean table
     val rebucketed = rebucketTo.map { n =>
@@ -466,6 +482,10 @@ object JobMain {
     }
     val compacted =
       if (doCompact) graft.spark.ExtractionJob.compact(spark, outDir) else Set.empty[Int]
+    // binpack after compact: compaction already coalesces delete-affected
+    // buckets, so binpack only pays for the residual small-file debt
+    val binpacked = binpackMin.map(n =>
+      graft.spark.ExtractionJob.binpack(spark, outDir, n)).getOrElse(Set.empty[Int])
     val (expired, gcFiles) = expireRetain match {
       case Some(n) => graft.spark.ExtractionJob.expireSnapshots(outDir, n)
       case None => (0, 0)
@@ -476,6 +496,7 @@ object JobMain {
     }
     if (setProps.nonEmpty) graft.spark.SnapshotManifestFormat.setTableProps(outDir, setProps)
     s""""rebucketed_to":${rebucketed.getOrElse(0)},"compacted_buckets":${compacted.size},""" +
+      s""""binpacked_buckets":${binpacked.size},""" +
       s""""sort_rewritten_target":${sortRewritten.getOrElse(0)},""" +
       s""""expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,""" +
       s""""props_set":${setProps.size},"""

@@ -607,6 +607,11 @@ object ExtractionJob {
   def compact(spark: SparkSession, outDir: String): Set[Int] =
     defaultFormat.compact(spark, outDir)
 
+  /** Small-file coalescing maintenance (see
+    * SnapshotManifestFormat.binpackDataFiles). */
+  def binpack(spark: SparkSession, outDir: String, minRows: Long = 1000L): Set[Int] =
+    SnapshotManifestFormat.binpackDataFiles(spark, outDir, minRows)
+
   /** Partition evolution (Iceberg's spec change, realized the only way a
     * hash-modulus layout can be: a full rewrite): re-hash every committed
     * row under a NEW bucket modulus and commit the result as one replacing

@@ -1398,6 +1398,60 @@ object SnapshotManifestFormat extends TableFormat {
     affected
   }
 
+  /** Small-file coalescing (Iceberg `rewrite_data_files` binpack
+    * strategy): every bucket whose manifest lists 2+ data files under
+    * `minRows` gets those files rewritten as one sorted run, WITHOUT
+    * touching the bucket's healthy files — the routine maintenance op a
+    * delta-heavy table needs between full compactions (a 10^12-turn
+    * table taking 10^4 conv-grained corrections/day accretes one small
+    * file per bucket per commit; full compact() rewrites the whole
+    * bucket to fix that, binpack rewrites only the debt).
+    *
+    * MOR correctness: the rewrite reads the COMMITTED view of exactly
+    * the small files (equality deletes applied in that read), and the
+    * replacement files carry the NEW commit seq — so a pending delete
+    * can never resurrect a row (deletes kill seq < delseq only; the
+    * rewritten rows already survived the delete application). Pending
+    * delete dirs are carried forward untouched: they still gate the
+    * bucket's unrewritten files. The promote is ADDITIVE (new files move
+    * into the existing bucket dirs; coalesced files stay on disk for
+    * retained-history time travel until expireSnapshots GCs them), and
+    * the commit is a `replace` operation so incremental (CDC) readers
+    * refuse to interpret the rewrite as new data.
+    *
+    * Returns the affected bucket set (empty = nothing to do). */
+  def binpackDataFiles(spark: SparkSession, outDir: String,
+                       minRows: Long = 1000L): Set[Int] = {
+    import org.apache.spark.sql.functions.col
+    val man = readManifest(outDir).getOrElse(return Set.empty)
+    if (!man.hasFilesList) return Set.empty // legacy: no per-file stats to pack by
+    val byBucket = man.files.filter(_.rowCount < minRows)
+      .groupBy(_.bucket).filter(_._2.size >= 2)
+    if (byBucket.isEmpty) return Set.empty
+    val toRewrite = byBucket.values.flatten.toVector
+    val rewritten = toRewrite.map(_.path).toSet
+    val seq = man.snapshotId + 1
+    val runToken = newRunToken()
+    val staging = s"$outDir/staging-binpack-$seq-$runToken"
+    // committed view of ONLY the small files: deletes applied, nothing else read
+    readAt(spark, outDir, man.copy(files = toRewrite))
+      .repartition(byBucket.size, col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(staging)
+    val newFiles = listStagedFiles(spark, staging).map(_.copy(seq = seq))
+    val kept = man.files.filterNot(f => rewritten.contains(f.path))
+    val now = java.time.Instant.now().toString
+    val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>
+      LineageRow(seq, b.toLong, fs.map(_.rowCount).sum, 0L, 0L, now)
+    }.toVector
+    commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
+      man.inputFps, additive = true, convFpsDir = man.convFpsDir,
+      deleteDirs = man.deleteDirs, fpMode = man.fpMode,
+      bucketCount = man.bucketCount, operation = "replace")
+    byBucket.keySet
+  }
+
   override def expireSnapshots(outDir: String, retainLast: Int): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the latest snapshot")
     val latest = latestSnapshot(outDir).getOrElse(return (0, 0))

@@ -101,6 +101,24 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val line3 = buf3.toString.linesIterator.find(_.startsWith("{\"committed_buckets")).get
     assert(line3.contains("\"orphans_removed\":1"), line3)
     assert(!Files.exists(stale.getParent))
+
+    // --binpack from the CLI: accrete two tiny deltas on the same conv
+    // (two small files in its bucket), then pack them into one run
+    val in3 = s"$base/turns3"; val in4 = s"$base/turns4"
+    turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix2") else t)
+      .write.parquet(in3)
+    turns.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nfix3") else t)
+      .write.parquet(in4)
+    JobMain.main(Array(in3, out, "4", "2", "--conv-grained"))
+    JobMain.main(Array(in4, out, "4", "2", "--conv-grained"))
+    val buf4 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf4)) {
+      JobMain.main(Array(in4, out, "4", "2", "--conv-grained", "--binpack=1000"))
+    }
+    val line4 = buf4.toString.linesIterator.find(_.startsWith("{\"committed_buckets")).get
+    val packed = "\"binpacked_buckets\":(\\d+)".r.findFirstMatchIn(line4).get.group(1).toInt
+    assert(packed >= 1, line4) // at least the victim's bucket held 2+ small files
+    assert(graft.spark.ExtractionJob.readCommitted(spark, out).count() == turns.count())
   }
 
   test("JobMain --tag/--tags/--drop-tag/--rollback drive refs and rollback from the CLI") {
