@@ -402,7 +402,9 @@ object ExtractionJob {
       .observe(obs, fieldSumMetrics.head, fieldSumMetrics.tail: _*)
       .repartition(waveBuckets.size, col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .options(SnapshotManifestFormat.convBloomOptions)
+      .partitionBy("bucket").parquet(staging)
 
     val extractMs = (System.nanoTime() - t0) / 1000000
     val now = java.time.Instant.now().toString
@@ -658,6 +660,7 @@ object ExtractionJob {
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
+      .options(SnapshotManifestFormat.convBloomOptions)
       .partitionBy("bucket").parquet(staging)
     val newFiles = format.listStagedFiles(spark, staging).toVector.map(_.copy(seq = seq))
     val now = java.time.Instant.now().toString
@@ -686,7 +689,9 @@ object ExtractionJob {
       .withColumn("bucket", bucketOf(newBuckets))
       .repartition(newBuckets, col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .options(SnapshotManifestFormat.convBloomOptions)
+      .partitionBy("bucket").parquet(staging)
     val newFiles = format.listStagedFiles(spark, staging).toVector.map(_.copy(seq = seq))
     val now = java.time.Instant.now().toString
     val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>

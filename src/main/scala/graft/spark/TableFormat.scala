@@ -1226,6 +1226,22 @@ object SnapshotManifestFormat extends TableFormat {
     * writer-unique so concurrent writers computing the same next snapshot
     * id can never overwrite each other's files before the optimistic
     * commit check settles who wins. */
+  /** Parquet bloom-filter options for the conv_id column, applied by
+    * every data-file writer (base waves, deltas, compaction, binpack,
+    * sorted rewrite, rebucket, replication): keyed reads push
+    * `conv_id = 'x'` / small-IN predicates down to parquet, where the
+    * bloom filter skips row GROUPS inside files whose min/max conv
+    * bounds overlap the probe — the intra-file complement of the
+    * manifest-level pruning in pruneFilesForConvs. Sized for ~20k
+    * distinct conversations per row group (≈25 KB of bloom bits at the
+    * default 1% fpp; parquet caps oversized blooms at
+    * parquet.bloom.filter.max.bytes). Point lookups on a 10^12-turn
+    * table are the whole reason the table is conv-bucketed — this makes
+    * the last mile (inside a multi-GB bucket file) skip too. */
+  private[graft] val convBloomOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#conv_id" -> "true",
+    "parquet.bloom.filter.expected.ndv#conv_id" -> "20000")
+
   /** Token for writer-unique PRE-COMMIT artifact names (staging dirs,
     * delete dirs `snap-<seq>-<token>`, conv-fp sidecars `fp-<seq>-<token>`):
     * concurrent writers computing the same next snapshot id must never
@@ -1365,6 +1381,7 @@ object SnapshotManifestFormat extends TableFormat {
         .repartition(affected.size, col("bucket"))
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .options(convBloomOptions)
         .partitionBy("bucket").parquet(staging)
       val newFiles = listStagedFiles(spark, staging).map(_.copy(seq = seq))
       val kept = man.files.filterNot(f => affected.contains(f.bucket))
@@ -1438,6 +1455,7 @@ object SnapshotManifestFormat extends TableFormat {
       .repartition(byBucket.size, col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .options(convBloomOptions)
       .partitionBy("bucket").parquet(staging)
     val newFiles = listStagedFiles(spark, staging).map(_.copy(seq = seq))
     val kept = man.files.filterNot(f => rewritten.contains(f.path))

@@ -110,7 +110,9 @@ object TableReplication {
       cached.where(col("_change_type") === "insert").drop("_change_type")
         .repartition(col("bucket"))
         .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+        .write.mode(SaveMode.Overwrite)
+        .options(SnapshotManifestFormat.convBloomOptions)
+        .partitionBy("bucket").parquet(staging)
       val files0 = format.listStagedFiles(spark, staging)
       if (files0.isEmpty && nDel == 0L) {
         dropDir(staging)
