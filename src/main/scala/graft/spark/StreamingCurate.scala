@@ -129,18 +129,69 @@ object StreamingCurate {
 
   /** One curation cycle: consume the change feed from the last curated
     * snapshot to the table head, update state + curated corpus. Returns
-    * None when the table has no new snapshot. */
+    * None when the table has no new snapshot.
+    *
+    * REPLACE commits (compaction, binpack, sorted rewrite, rebucket) are
+    * content-preserving in this format, but they PHYSICALLY rewrite the
+    * affected files — pre-replace snapshots may no longer be readable,
+    * so a backlog cannot be consumed across one. The cycle therefore:
+    *  - advances the checkpoint over LEADING replace commits with zero
+    *    data work (the common curate→maintain→delta cadence), and
+    *  - REBUILDS (fresh bootstrap from the head snapshot) when a replace
+    *    landed on top of unconsumed deltas — the only sound recovery,
+    *    and always correct because from-scratch IS the target semantics.
+    * Operationally: cycle at least as often as you compact, or pay a
+    * rebuild. */
   def cycle(spark: SparkSession, tableDir: String, workDir: String,
             hashBuckets: Int = 64): Option[CycleStats] = {
     val head = ExtractionJob.latestSnapshot(tableDir).getOrElse(return None)
     val last = lastCuratedSnapshot(workDir)
     if (head == last) return None
     require(last < head, s"curation checkpoint $last is ahead of table head $head under $tableDir")
+    if (last >= 0) {
+      // segment the range at replace commits; each segment is a batch
+      val ops = (last + 1 to head).map { k =>
+        k -> SnapshotManifestFormat.readManifestAt(tableDir, k)
+          .getOrElse(throw new IllegalStateException(
+            s"snapshot $k expired before curation consumed it — cycle faster than retention, " +
+              "or rebuild the curation state from scratch"))
+          .operation.getOrElse("append")
+      }
+      if (ops.exists(_._2 == "replace")) {
+        // leading replaces: content unchanged, checkpoint advances free
+        var from = last
+        while (ops.exists { case (k, op) => k == from + 1 && op == "replace" })
+          { writeMarker(workDir, from + 1); from += 1 }
+        if (ops.exists { case (k, op) => k > from && op == "replace" }) {
+          // a replace buried unconsumed deltas — pre-replace files are
+          // physically gone, so rebuild from the head snapshot
+          deleteRecursively(Paths.get(workDir, "state"))
+          deleteRecursively(Paths.get(workDir, "curated"))
+          val s = cycleBatch(spark, tableDir, workDir, hashBuckets, -1, head)
+          return Some(s.copy(from = last))
+        }
+        if (from == head) {
+          val dir = Paths.get(workDir, "curated")
+          val curatedRows =
+            if (hasPartitions(dir)) spark.read.parquet(dir.toString).count() else 0L
+          return Some(CycleStats(last, head, 0L, 0L, 0, curatedRows))
+        }
+        return Some(cycleBatch(spark, tableDir, workDir, hashBuckets, from, head)
+          .copy(from = last))
+      }
+    }
+    Some(cycleBatch(spark, tableDir, workDir, hashBuckets, last, head))
+  }
+
+  /** One contiguous incremental batch over (last, head] (last < 0 =
+    * bootstrap from the full committed snapshot). */
+  private def cycleBatch(spark: SparkSession, tableDir: String, workDir: String,
+                         hashBuckets: Int, last: Int, head: Int): CycleStats = {
     val bootstrap = last < 0
 
     val keyCols = Seq("h", "conv_id", "turn_idx", "hb")
     val posts =
-      if (bootstrap) ExtractionJob.readCommitted(spark, tableDir)
+      if (bootstrap) ExtractionJob.readCommittedAsOf(spark, tableDir, head) // pinned
       else ExtractionJob.readAppendsBetween(spark, tableDir, last, head)
     // changed upsert keys: conv-grained, batch-bounded
     val delConvs: Seq[String] =
@@ -208,8 +259,8 @@ object StreamingCurate {
       if (hasPartitions(curatedDir))
         spark.read.parquet(curatedDir.toString).count()
       else 0L
-    Some(CycleStats(last, head, newGated.count(), delConvs.size.toLong,
-      affHb.size, curatedRows))
+    CycleStats(last, head, newGated.count(), delConvs.size.toLong,
+      affHb.size, curatedRows)
   }
 
   /** The full curated corpus as currently materialized. */

@@ -112,5 +112,77 @@ class StreamingCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamingCurate.cycle(spark, out, work2).nonEmpty)
     assert(key(StreamingCurate.readCurated(spark, work2)) ==
       key(StreamingCurate.readCurated(spark, work)))
+
+    // 5) maintenance interleaved in the backlog: delta, COMPACT (a
+    // replace commit that physically rewrites pre-replace files), another
+    // delta — the cycle detects the buried deltas, REBUILDS from the head
+    // snapshot, and still matches from-scratch
+    val v5 = v4.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nStep: 5") else t)
+    assert(ExtractionJob.run(spark, v5.toDS(), cfg).nonEmpty)
+    assert(ExtractionJob.compact(spark, out).nonEmpty)
+    val v6 = v5.map(t => if (t.conv_id == victim) t.copy(text = t.text + "\nStep: 6") else t)
+    assert(ExtractionJob.run(spark, v6.toDS(), cfg).nonEmpty)
+    val s6 = StreamingCurate.cycle(spark, out, work).get
+    assert(s6.to - s6.from >= 3, s"cycle must span delta+replace+delta, got $s6")
+    assertMatchesFromScratch(out, work, "maintenance-interleaved backlog")
+
+    // 6) a backlog ENDING at a replace commit: checkpoint advances with
+    // zero data work, corpus unchanged
+    ExtractionJob.compact(spark, out) // may or may not find debt
+    val headNow = ExtractionJob.latestSnapshot(out).get
+    if (headNow > StreamingCurate.lastCuratedSnapshot(work)) {
+      val s7 = StreamingCurate.cycle(spark, out, work).get
+      assert(s7.upserts == 0L && s7.deletedConvs == 0L,
+        s"a replace-only backlog must do zero data work, got $s7")
+      assertMatchesFromScratch(out, work, "replace-terminated backlog")
+    }
+  }
+
+  test("seeded randomized mutate/cycle sequences keep incremental == from-scratch") {
+    val ss = spark
+    import ss.implicits._
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val out = Files.createTempDirectory(s"graft-scurate-rnd$seed-t").toString
+      val work = Files.createTempDirectory(s"graft-scurate-rnd$seed-w").toString
+      val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+        autoCompactDeletes = 0)
+      var cur: Seq[Turn] = Transcripts.generate(spark, 8).collect().toSeq
+      assert(ExtractionJob.run(spark, cur.toDS(), cfg).nonEmpty)
+      val convs = cur.map(_.conv_id).distinct
+      var mutation = 0
+      (1 to 8).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // mutate a random conversation
+            val v = convs(rnd.nextInt(convs.size))
+            mutation += 1
+            cur = cur.map(t =>
+              if (t.conv_id == v) t.copy(text = t.text + s"\nRnd $mutation") else t)
+            assert(ExtractionJob.run(spark, cur.toDS(), cfg).nonEmpty)
+          case 1 => // maintenance (replace commit) — content preserved
+            ExtractionJob.compact(spark, out)
+          case 2 => // curate whatever backlog accumulated
+            StreamingCurate.cycle(spark, out, work)
+            val got = StreamingCurate.readCurated(spark, work)
+              .select("h", "conv_id", "turn_idx").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+            val want = StreamingCurate.curateFromScratch(
+              ExtractionJob.readCommitted(spark, out))
+              .select("h", "conv_id", "turn_idx").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+            assert(got == want, s"[seed=$seed step=$step] incremental != from-scratch")
+        }
+      }
+      // final settle: one last cycle must reconcile everything
+      StreamingCurate.cycle(spark, out, work)
+      val got = StreamingCurate.readCurated(spark, work)
+        .select("h", "conv_id", "turn_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val want = StreamingCurate.curateFromScratch(
+        ExtractionJob.readCommitted(spark, out))
+        .select("h", "conv_id", "turn_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == want, s"[seed=$seed final] incremental != from-scratch")
+    }
   }
 }
