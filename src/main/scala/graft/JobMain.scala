@@ -54,7 +54,10 @@ import org.apache.spark.sql.SparkSession
   * metadata table (per-file bucket/rows/seq/conv bounds) of the current
   * or a retained snapshot; --lineage prints the per-bucket audit trail;
   * both honor --limit=N (default 10000) so the driver-side print stays
-  * bounded on huge manifests.
+  * bounded on huge manifests. --partitions[=SMALL_ROWS] prints the
+  * $partitions per-bucket health table (files, rows, small-file debt,
+  * pending delete rows) — the maintenance planner's compact/binpack
+  * targeting input.
   * --curate-increment=WORKDIR runs one incremental curation cycle over
   * the table's change feed (quality gate + exact keep-first dedup
   * against persisted distributed state under WORKDIR; see
@@ -176,7 +179,8 @@ object JobMain {
         "--audit-branch=", "--publish-branch=", "--abandon-branch=", "--curate-increment=")
         .flatMap(p => args.find(_.startsWith(p))) ++
         Seq("--tags", "--history", "--branches", "--lineage").filter(args.contains) ++
-        args.find(a => a == "--files" || a.startsWith("--files="))
+        args.find(a => a == "--files" || a.startsWith("--files=")) ++
+        args.find(a => a == "--partitions" || a.startsWith("--partitions="))
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     // a mode flag early-returns before the extraction run, so a combined
@@ -320,6 +324,28 @@ object JobMain {
           s""""committed_at":"${jesc(r.getString(5))}"}"""
       }.mkString("[", ",", "]")
       println(s"""{"lineage":$ls,"limit":$metaLimit,"out":"$outDir"}""")
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
+    args.find(a => a == "--partitions" || a.startsWith("--partitions=")).foreach { a =>
+      // $partitions metadata table: per-bucket file/row health + delete
+      // debt — the maintenance planner's input (--partitions=SMALL_ROWS
+      // overrides the small-file threshold, default 1000)
+      val thr = if (a.contains("=")) {
+        val v = a.stripPrefix("--partitions=")
+        try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--partitions=SMALL_ROWS expects an integer, got: '$v'")
+        }
+      } else 1000L
+      val rows = graft.spark.ExtractionJob.readPartitionsTable(spark, outDir, thr)
+        .orderBy(org.apache.spark.sql.functions.col("bucket"))
+        .limit(metaLimit).collect()
+      val ps = rows.map { r =>
+        s"""{"bucket":${r.getInt(0)},"files":${r.getInt(1)},"rows":${r.getLong(2)},""" +
+          s""""small_files":${r.getInt(3)},"min_file_rows":${r.getLong(4)},""" +
+          s""""max_file_rows":${r.getLong(5)},"delete_rows":${r.getLong(6)}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"partitions":$ps,"small_threshold":$thr,"limit":$metaLimit,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return
     }

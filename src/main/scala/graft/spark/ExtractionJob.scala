@@ -849,6 +849,12 @@ object ExtractionJob {
   /** Lineage metadata table (see TableFormat.readLineageTable). */
   def readLineageTable(spark: SparkSession, outDir: String): DataFrame =
     defaultFormat.readLineageTable(spark, outDir)
+
+  /** `$partitions` metadata table (see
+    * SnapshotManifestFormat.readPartitionsTable). */
+  def readPartitionsTable(spark: SparkSession, outDir: String,
+                          smallRowThreshold: Long = 1000L): DataFrame =
+    SnapshotManifestFormat.readPartitionsTable(spark, outDir, smallRowThreshold)
 }
 
 final case class TurnWithBucket(

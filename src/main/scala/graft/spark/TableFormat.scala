@@ -322,6 +322,41 @@ trait TableFormat {
     rows.toDF()
   }
 
+  /** Metadata table (`$partitions` analog): per-bucket file/row health of
+    * the CURRENT snapshot — file counts, rows, small-file debt below
+    * `smallRowThreshold`, and pending equality-delete rows. Everything
+    * but the delete count comes from the manifest (driver-side,
+    * O(manifest)); the delete count is one narrow scan of the tracked
+    * delete dirs (delete files are tiny by construction). This is the
+    * input a maintenance planner reads to target --compact/--binpack. */
+  def readPartitionsTable(spark: SparkSession, outDir: String,
+                          smallRowThreshold: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val man = readManifest(outDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $outDir"))
+    val delByBucket: Map[Int, Long] = {
+      // manifest-tracked delete dirs only (legacy filesystem-scan tables
+      // report no delete debt here — their reads fail loudly elsewhere)
+      val dirs = man.deleteDirs
+        .map(d => java.nio.file.Paths.get(outDir, "deletes", d))
+        .filter(java.nio.file.Files.isDirectory(_))
+      if (dirs.isEmpty) Map.empty
+      else spark.read.parquet(dirs.map(_.toString): _*)
+        .groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val rows = man.files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+      PartitionMetaRow(b, fs.size, fs.map(_.rowCount).sum,
+        fs.count(_.rowCount < smallRowThreshold),
+        fs.map(_.rowCount).min, fs.map(_.rowCount).max,
+        delByBucket.getOrElse(b, 0L))
+    }
+    // buckets with only delete debt and no files still surface
+    val fileless = delByBucket.keySet -- man.files.map(_.bucket).toSet
+    (rows ++ fileless.toSeq.sorted.map(b =>
+      PartitionMetaRow(b, 0, 0L, 0, 0L, 0L, delByBucket(b)))).toDF()
+  }
+
   /** Metadata table: the per-bucket lineage rows of every retained
     * snapshot (input row counts, field sums, extraction wall time) — the
     * audit trail for "which run produced this bucket and how long did it
@@ -374,6 +409,12 @@ final case class SnapshotMetaRow(snapshot_id: Int, operation: String,
 final case class FileMetaRow(snapshot_id: Int, bucket: Int, path: String,
                              row_count: Long, seq: Int,
                              min_conv: Option[String], max_conv: Option[String])
+
+/** One row of the `$partitions` metadata table: the per-bucket health
+  * summary a maintenance planner reads to decide compact/binpack targets. */
+final case class PartitionMetaRow(bucket: Int, file_count: Int, row_count: Long,
+                                  small_files: Int, min_file_rows: Long,
+                                  max_file_rows: Long, delete_rows: Long)
 
 /** What removeOrphanFiles deleted, by orphan class. */
 final case class OrphanSweep(stagingDirs: Int, dataFiles: Int,

@@ -281,6 +281,16 @@ class JobMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metadata modes refuse maintenance companions like every other mode
     intercept[IllegalArgumentException] { JobMain.main(Array(in, out, "--files", "--compact")) }
 
+    // --partitions: per-bucket health summary for maintenance planning
+    val parts = cli(in, out, "--partitions")
+    assert(parts.contains("\"partitions\":[{") && parts.contains("\"small_files\":"), parts)
+    val partsHi = cli(in, out, "--partitions=999999")
+    assert(partsHi.contains("\"small_threshold\":999999"), partsHi)
+    // with an absurd threshold every file counts as small
+    assert(!"\"files\":(\\d+)".r.findAllMatchIn(partsHi)
+      .zip("\"small_files\":(\\d+)".r.findAllMatchIn(partsHi))
+      .exists { case (f, s) => f.group(1) != s.group(1) }, partsHi)
+
     // --curate-increment: first cycle bootstraps, second is a no-op
     val work = Files.createTempDirectory("graft-jobmain-curate").toString
     val c1 = cli(in, out, s"--curate-increment=$work")
