@@ -121,12 +121,21 @@ object Bench {
     def priorMins(): Map[String, Double] = {
       if (!java.nio.file.Files.isDirectory(benchDir)) return Map.empty
       val s = java.nio.file.Files.list(benchDir)
+      // newest prior artifact at the SAME core count AND scale factor —
+      // an ad-hoc tiny-sf run must never become the drift baseline for
+      // the real suite (it would read as ~+900% drift and force the
+      // re-pass / flag on a healthy run)
       val prior =
         try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
           .filter { p =>
             val n = p.getFileName.toString
             n.startsWith("bench_") && n.endsWith(s"_c$cpus.json")
-          }.sortBy(_.getFileName.toString).lastOption
+          }.sortBy(_.getFileName.toString).reverse
+          .find { p =>
+            val txt = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            txt.contains(s""""sf":"$sfDir"""")
+          }
         finally s.close()
       prior.map { p =>
         val txt = new String(java.nio.file.Files.readAllBytes(p),

@@ -280,9 +280,11 @@ object JobMain {
     // raises it deliberately.
     val metaLimit: Int = args.find(_.startsWith("--limit=")).map { a =>
       val v = a.stripPrefix("--limit=")
-      try v.toInt catch { case _: NumberFormatException =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"--limit=N expects an integer, got: '$v'")
       }
+      require(n >= 1, s"--limit=N must be positive, got $n")
+      n
     }.getOrElse(10000)
     val jesc = graft.spark.SnapshotManifestFormat.jesc _
     args.find(a => a == "--files" || a.startsWith("--files=")).foreach { a =>

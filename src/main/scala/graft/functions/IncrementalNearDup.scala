@@ -68,13 +68,6 @@ object IncrementalNearDup {
     Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
   }
 
-  private def hasPartitions(dir: Path): Boolean =
-    Files.isDirectory(dir) && {
-      val s = Files.list(dir)
-      try s.toArray.exists(_.asInstanceOf[Path].getFileName.toString.startsWith("bp="))
-      finally s.close()
-    }
-
   private def hasData(dir: Path): Boolean =
     Files.isDirectory(dir) && {
       val s = Files.list(dir)
@@ -83,17 +76,10 @@ object IncrementalNearDup {
     }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+    graft.spark.StateDirs.deleteRecursively(p)
 
   private def readBandParts(spark: SparkSession, dir: Path, bps: Seq[Int]): DataFrame =
-    if (!hasPartitions(dir)) emptyBands(spark)
-    else spark.read.parquet(dir.toString)
-      .where(col("bp").isin(bps.map(Integer.valueOf): _*))
+    graft.spark.StateDirs.readPartitioned(spark, dir, "bp", bps, emptyBands(spark))
       .select("doc_id", "band", "bp")
 
   private def readWhole(spark: SparkSession, dir: Path, emptyLike: => DataFrame): DataFrame =
@@ -101,11 +87,8 @@ object IncrementalNearDup {
 
   /** Replace exactly the `bps` partitions of the band index with `rows`
     * (caller has materialized them — they were read from these dirs). */
-  private def replaceBandParts(dir: Path, bps: Seq[Int], rows: DataFrame): Unit = {
-    bps.foreach(b => deleteRecursively(dir.resolve(s"bp=$b")))
-    if (!rows.isEmpty)
-      rows.write.mode(SaveMode.Append).partitionBy("bp").parquet(dir.toString)
-  }
+  private def replaceBandParts(dir: Path, bps: Seq[Int], rows: DataFrame): Unit =
+    graft.spark.StateDirs.replacePartitions(dir, "bp", bps, rows)
 
   /** Atomically-enough replace of a small whole-table state dir: write to
     * a sibling then swap (the state is single-writer by contract). */
@@ -155,7 +138,10 @@ object IncrementalNearDup {
       val keptIdx =
         if (remIds.isEmpty) idxAff
         else idxAff.where(!col("doc_id").isin(remIds: _*))
-      val newIdx = keptIdx.unionByName(addB).localCheckpoint(true)
+      // distinct = re-apply idempotence: replaying a batch whose index
+      // write landed but whose pair/cluster writes did not must not
+      // duplicate the added docs' band rows
+      val newIdx = keptIdx.unionByName(addB).distinct().localCheckpoint(true)
       replaceBandParts(bandsDir, affBp, newIdx)
 
       // ---- 2. candidates: probe the UPDATED index with the added bands

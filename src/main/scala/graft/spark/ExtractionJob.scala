@@ -116,10 +116,17 @@ object ExtractionJob {
                             bucketCount: Option[Int] = None,
                             // what the commit did (Iceberg snapshot-summary
                             // operation analog): "append" (new buckets),
-                            // "delta" (conv-grained MOR delta), "replace"
-                            // (compaction / full-bucket recompute — rewrites
-                            // content, so incremental reads across it are
-                            // refused). None on legacy manifests.
+                            // "delta" (conv-grained MOR delta), "rewrite"
+                            // (content-PRESERVING maintenance: compaction,
+                            // binpack, sorted rewrite, rebucket — served rows
+                            // unchanged, files rewritten), "replace"
+                            // (content-CHANGING rewrite: full-bucket
+                            // recompute, rollback). Incremental reads refuse
+                            // across both rewrite and replace; consumers that
+                            // only care about CONTENT (e.g. incremental
+                            // curation) may skip a leading "rewrite" but must
+                            // rebuild on "replace". None on legacy manifests
+                            // (treated as "replace" — the conservative side).
                             operation: Option[String] = None,
                             // STICKY table properties (Iceberg
                             // table-properties / Delta txn-map analog):
@@ -670,7 +677,7 @@ object ExtractionJob {
     format.commitWave(outDir, staging, seq, man.buckets, newFiles, lineage,
       man.inputFps, additive = false, convFpsDir = man.convFpsDir,
       deleteDirs = Seq.empty, // applied by the rewrite
-      fpMode = man.fpMode, bucketCount = man.bucketCount, operation = "replace")
+      fpMode = man.fpMode, bucketCount = man.bucketCount, operation = "rewrite")
     seq
   }
 
@@ -711,7 +718,7 @@ object ExtractionJob {
       lineage, fps, additive = false, convFpsDir = newConvFpsDir,
       deleteDirs = Seq.empty, // applied by the rewrite
       fpMode = if (newConvFpsDir.isDefined) Some("conv") else None,
-      bucketCount = Some(newBuckets), operation = "replace")
+      bucketCount = Some(newBuckets), operation = "rewrite")
     // bucket dirs outside the new modulus range are no longer promoted over;
     // their files stay for older manifests and are GC'd by expireSnapshots
     seq

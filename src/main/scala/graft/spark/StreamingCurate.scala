@@ -83,29 +83,14 @@ object StreamingCurate {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+  // partitioned-state plumbing shared with IncrementalNearDup (StateDirs)
+  private def deleteRecursively(p: Path): Unit = StateDirs.deleteRecursively(p)
 
-  /** True when the dir holds at least one hb= partition (an empty
-    * partitionBy write leaves only _SUCCESS, which parquet cannot infer
-    * a schema from). */
-  private def hasPartitions(dir: Path): Boolean =
-    Files.isDirectory(dir) && {
-      val s = Files.list(dir)
-      try s.toArray.exists(_.asInstanceOf[Path].getFileName.toString.startsWith("hb="))
-      finally s.close()
-    }
+  private def hasPartitions(dir: Path): Boolean = StateDirs.hasPartitions(dir, "hb")
 
   private def readPartitioned(spark: SparkSession, dir: Path, hbs: Seq[Int],
                               emptyLike: => DataFrame): DataFrame =
-    if (!hasPartitions(dir)) emptyLike
-    else spark.read.parquet(dir.toString)
-      .where(col("hb").isin(hbs.map(Integer.valueOf): _*))
+    StateDirs.readPartitioned(spark, dir, "hb", hbs, emptyLike)
 
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -118,28 +103,24 @@ object StreamingCurate {
       .toDF("h", "conv_id", "turn_idx", "fields_json", "main_text", "hb")
   }
 
-  /** Rewrite exactly the `hbs` partitions of `dir` with `rows` (already
-    * materialized by the caller — the rows were READ from those same
-    * dirs). Replaces emptied partitions too. */
-  private def replacePartitions(dir: Path, hbs: Seq[Int], rows: DataFrame): Unit = {
-    hbs.foreach(b => deleteRecursively(dir.resolve(s"hb=$b")))
-    if (!rows.isEmpty)
-      rows.write.mode(SaveMode.Append).partitionBy("hb").parquet(dir.toString)
-  }
+  private def replacePartitions(dir: Path, hbs: Seq[Int], rows: DataFrame): Unit =
+    StateDirs.replacePartitions(dir, "hb", hbs, rows)
 
   /** One curation cycle: consume the change feed from the last curated
     * snapshot to the table head, update state + curated corpus. Returns
     * None when the table has no new snapshot.
     *
-    * REPLACE commits (compaction, binpack, sorted rewrite, rebucket) are
-    * content-preserving in this format, but they PHYSICALLY rewrite the
-    * affected files — pre-replace snapshots may no longer be readable,
-    * so a backlog cannot be consumed across one. The cycle therefore:
-    *  - advances the checkpoint over LEADING replace commits with zero
-    *    data work (the common curate→maintain→delta cadence), and
-    *  - REBUILDS (fresh bootstrap from the head snapshot) when a replace
-    *    landed on top of unconsumed deltas — the only sound recovery,
-    *    and always correct because from-scratch IS the target semantics.
+    * "rewrite" commits (compaction, binpack, sorted rewrite, rebucket)
+    * preserve served content but PHYSICALLY rewrite the affected files —
+    * pre-rewrite snapshots may no longer be readable, so a backlog
+    * cannot be consumed across one; "replace" commits (full-bucket
+    * recompute, rollback) CHANGE content outright. The cycle therefore:
+    *  - advances the checkpoint over LEADING "rewrite" commits with zero
+    *    data work (the common curate→maintain→delta cadence),
+    *  - REBUILDS (fresh bootstrap from the head snapshot) when any
+    *    "replace" appears, or when a rewrite landed on top of unconsumed
+    *    deltas — the only sound recovery, and always correct because
+    *    from-scratch IS the target semantics.
     * Operationally: cycle at least as often as you compact, or pay a
     * rebuild. */
   def cycle(spark: SparkSession, tableDir: String, workDir: String,
@@ -157,25 +138,28 @@ object StreamingCurate {
               "or rebuild the curation state from scratch"))
           .operation.getOrElse("append")
       }
-      if (ops.exists(_._2 == "replace")) {
-        // leading replaces: content unchanged, checkpoint advances free
+      if (ops.exists(o => o._2 == "replace" || o._2 == "rewrite")) {
+        // leading content-PRESERVING rewrites (compaction/binpack/sorted
+        // rewrite/rebucket): served rows unchanged, checkpoint advances
+        // free. A "replace" (full-bucket recompute, rollback) CHANGES
+        // content and can never be skipped.
         var from = last
-        while (ops.exists { case (k, op) => k == from + 1 && op == "replace" })
+        while (ops.exists { case (k, op) => k == from + 1 && op == "rewrite" })
           { writeMarker(workDir, from + 1); from += 1 }
-        if (ops.exists { case (k, op) => k > from && op == "replace" }) {
-          // a replace buried unconsumed deltas — pre-replace files are
-          // physically gone, so rebuild from the head snapshot
+        if (ops.exists { case (k, op) =>
+              k > from && (op == "replace" || op == "rewrite") }) {
+          // a replace/rewrite buried unconsumed deltas (or content itself
+          // changed) — pre-rewrite files are physically gone, so rebuild
+          // from the head snapshot (always correct: from-scratch IS the
+          // target semantics)
           deleteRecursively(Paths.get(workDir, "state"))
           deleteRecursively(Paths.get(workDir, "curated"))
           val s = cycleBatch(spark, tableDir, workDir, hashBuckets, -1, head)
           return Some(s.copy(from = last))
         }
-        if (from == head) {
-          val dir = Paths.get(workDir, "curated")
-          val curatedRows =
-            if (hasPartitions(dir)) spark.read.parquet(dir.toString).count() else 0L
-          return Some(CycleStats(last, head, 0L, 0L, 0, curatedRows))
-        }
+        if (from == head)
+          return Some(CycleStats(last, head, 0L, 0L, 0,
+            readCount(workDir).getOrElse(0L)))
         return Some(cycleBatch(spark, tableDir, workDir, hashBuckets, from, head)
           .copy(from = last))
       }
@@ -224,7 +208,11 @@ object StreamingCurate {
       val keptState =
         if (delConvs.isEmpty) stateAff
         else stateAff.where(!col("conv_id").isin(delConvs: _*))
-      val newState = keptState.unionByName(newGated).localCheckpoint(true)
+      // distinct = crash idempotence: a cycle that died between this
+      // write and the marker re-runs the same batch, and its newGated
+      // rows are already in the partitions it reads back — without the
+      // dedup the state would hold duplicates forever
+      val newState = keptState.unionByName(newGated).distinct().localCheckpoint(true)
       replacePartitions(stateDir, affHb, newState)
 
       // ---- curated: recompute keepers for exactly the affected hashes
@@ -251,16 +239,50 @@ object StreamingCurate {
           col("fields_json"), col("main_text"), col("hb"))
       val newCurated = curatedAff.join(affHashes, Seq("h"), "left_anti")
         .unionByName(fetched).localCheckpoint(true)
+      // running corpus count: prev - (affected partitions' old rows) +
+      // (their new rows) — batch-bounded counts, never a full curated
+      // scan (O(corpus files) per cycle at the design point). The old
+      // count MUST be taken before the partitions are replaced. Crash
+      // caveat (reporting stat only — corpus content is governed by the
+      // idempotent partition writes): dying between the partition write
+      // and the count write makes the re-run see delta 0 for the batch,
+      // so the count lags by that one batch's delta; it stays internally
+      // consistent afterwards and any rebuild resets it exactly.
+      val oldAffRows = curatedAff.count()
+      // one-time migration for a pre-count-file workdir: the full scan
+      // runs at most once per workdir lifetime, then the running count
+      // takes over
+      val prev =
+        if (bootstrap) 0L
+        else readCount(workDir).getOrElse(fullCuratedCount(spark, curatedDir))
       replacePartitions(curatedDir, affHb, newCurated)
-    }
+      writeCount(workDir, prev - oldAffRows + newCurated.count())
+    } else if (bootstrap) writeCount(workDir, 0L)
+    else if (readCount(workDir).isEmpty)
+      writeCount(workDir, fullCuratedCount(spark, curatedDir))
 
     writeMarker(workDir, head)
-    val curatedRows =
-      if (hasPartitions(curatedDir))
-        spark.read.parquet(curatedDir.toString).count()
-      else 0L
     CycleStats(last, head, newGated.count(), delConvs.size.toLong,
-      affHb.size, curatedRows)
+      affHb.size, readCount(workDir).getOrElse(0L))
+  }
+
+  private def fullCuratedCount(spark: SparkSession, curatedDir: Path): Long =
+    if (hasPartitions(curatedDir)) spark.read.parquet(curatedDir.toString).count()
+    else 0L
+
+  private def countPath(work: String): Path = Paths.get(work, "_curated_rows")
+
+  private def readCount(work: String): Option[Long] =
+    if (Files.exists(countPath(work)))
+      Some(new String(Files.readAllBytes(countPath(work)), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  private def writeCount(work: String, n: Long): Unit = {
+    val tmp = Paths.get(work, "_curated_rows.tmp")
+    Files.write(tmp, n.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, countPath(work),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The full curated corpus as currently materialized. */

@@ -100,9 +100,11 @@ trait TableFormat {
     * changed twice in the range surfaces only its latest post-image. At
     * 10^12-turn scale this is how downstream consumers keep up with the
     * table — each cycle processes the delta, never a full re-scan.
-    * Refuses across a "replace" commit (compaction or full-bucket
-    * recompute rewrites content, so added-rows semantics are undefined)
-    * and reports expired history distinctly from corruption. */
+    * Refuses across both "rewrite" (compaction/binpack/rebucket — files
+    * physically rewritten) and "replace" (full-bucket recompute /
+    * rollback — content changed) commits, since added-rows semantics are
+    * undefined across either, and reports expired history distinctly
+    * from corruption. */
   def readAppendsBetween(spark: SparkSession, outDir: String,
                          fromSnapshot: Int, toSnapshot: Int): DataFrame
 
@@ -221,8 +223,9 @@ trait TableFormat {
     * snapshot's content forward as a NEW snapshot (Iceberg rollback
     * analog) — history is never rewritten in place, so time travel to the
     * rolled-back-over snapshots keeps working until they expire. The
-    * commit's operation is "replace": incremental (CDC) reads across it
-    * are refused, exactly as across a compaction. Streaming-sink markers
+    * commit's operation is "replace" (content CHANGES — stronger than a
+    * maintenance "rewrite"): incremental (CDC) reads across it are
+    * refused, and incremental curation rebuilds. Streaming-sink markers
     * are NOT rolled back (batches whose data was rolled away stay marked
     * committed — resuming a sink over a rolled-back table needs a fresh
     * checkpoint, the standard lakehouse caveat). Returns the new snapshot
@@ -1253,10 +1256,11 @@ object SnapshotManifestFormat extends TableFormat {
       val man = readManifestAt(outDir, k).getOrElse(throw new IllegalStateException(
         s"snapshot $k has been expired (snapshot history GC'd); incremental read over " +
           s"($from, $to] is unavailable"))
-      if (man.operation.contains("replace"))
+      if (man.operation.exists(op => op == "replace" || op == "rewrite"))
         throw new IllegalStateException(
-          s"snapshot $k is a replacing commit (compaction / bucket recompute): incremental " +
-            "reads across it are unavailable — fall back to a full snapshot read")
+          s"snapshot $k is a replacing commit (maintenance rewrite / bucket recompute / " +
+            "rollback): incremental reads across it are unavailable — fall back to a " +
+            "full snapshot read")
       man
     }
   }
@@ -1412,7 +1416,7 @@ object SnapshotManifestFormat extends TableFormat {
       commitWave(outDir, s"$outDir/staging-compact-$seq-$runToken", seq, man.buckets, man.files,
         Vector.empty, man.inputFps, additive = true, convFpsDir = man.convFpsDir,
         deleteDirs = Seq.empty, fpMode = man.fpMode, bucketCount = man.bucketCount,
-        operation = "replace")
+        operation = "rewrite")
     } else {
       // the committed view already applies the deletes — rewrite it as
       // clean sorted files, one dir per bucket
@@ -1437,7 +1441,7 @@ object SnapshotManifestFormat extends TableFormat {
       commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
         man.inputFps, additive = false, convFpsDir = man.convFpsDir,
         deleteDirs = Seq.empty, // every tracked delete is applied by the rewrite
-        fpMode = man.fpMode, bucketCount = man.bucketCount, operation = "replace")
+        fpMode = man.fpMode, bucketCount = man.bucketCount, operation = "rewrite")
     }
     // The applied deletes are dead for the NEW manifest, but older retained
     // manifests still reference them — deleting those would turn time travel
@@ -1474,8 +1478,9 @@ object SnapshotManifestFormat extends TableFormat {
     * bucket's unrewritten files. The promote is ADDITIVE (new files move
     * into the existing bucket dirs; coalesced files stay on disk for
     * retained-history time travel until expireSnapshots GCs them), and
-    * the commit is a `replace` operation so incremental (CDC) readers
-    * refuse to interpret the rewrite as new data.
+    * the commit is a `rewrite` operation so incremental (CDC) readers
+    * refuse to interpret the rewrite as new data while content-level
+    * consumers (incremental curation) can skip it for free.
     *
     * Returns the affected bucket set (empty = nothing to do). */
   def binpackDataFiles(spark: SparkSession, outDir: String,
@@ -1507,7 +1512,7 @@ object SnapshotManifestFormat extends TableFormat {
     commitWave(outDir, staging, seq, man.buckets, kept ++ newFiles, lineage,
       man.inputFps, additive = true, convFpsDir = man.convFpsDir,
       deleteDirs = man.deleteDirs, fpMode = man.fpMode,
-      bucketCount = man.bucketCount, operation = "replace")
+      bucketCount = man.bucketCount, operation = "rewrite")
     byBucket.keySet
   }
 

@@ -80,7 +80,7 @@ class BinpackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manAfter.files.size < manBefore.files.size, "file count must shrink")
     // deletes carried forward for the unrewritten files
     assert(manAfter.deleteDirs == manBefore.deleteDirs)
-    assert(manAfter.operation.contains("replace"),
+    assert(manAfter.operation.contains("rewrite"),
       "binpack is a rewrite: CDC readers must refuse across it")
 
     // retained history still time travels (old small files stay on disk

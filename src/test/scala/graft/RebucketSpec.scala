@@ -53,7 +53,7 @@ class RebucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     val man = fmt.readManifest(out).get
     assert(man.snapshotId == snap)
     assert(man.bucketCount.contains(8))
-    assert(man.operation.contains("replace"))
+    assert(man.operation.contains("rewrite"))
     assert(man.deleteDirs.isEmpty, "the rewrite applies pending deletes")
     assert(rows(ExtractionJob.readCommitted(spark, out)) == want,
       "rebucket must not change served content")

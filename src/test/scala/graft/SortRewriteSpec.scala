@@ -57,7 +57,7 @@ class SortRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val snap = ExtractionJob.rewriteSorted(spark, out, targetRowsPerFile = 60)
     val man = ExtractionJob.readManifest(out).get
-    assert(man.snapshotId == snap && man.operation.contains("replace"))
+    assert(man.snapshotId == snap && man.operation.contains("rewrite"))
     assert(man.deleteDirs.isEmpty, "the rewrite must have applied the deletes")
     assert(rows(ExtractionJob.readCommitted(spark, out)) == want)
 

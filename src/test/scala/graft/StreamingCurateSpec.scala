@@ -138,6 +138,36 @@ class StreamingCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a content-changing replace commit (bucket recompute) forces a rebuild, never a checkpoint skip") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-scurate-replace-t").toString
+    val work = Files.createTempDirectory("graft-scurate-replace-w").toString
+    // bucket-grained fingerprint resume: an upstream correction recomputes
+    // the whole bucket and commits operation="replace" with CHANGED rows —
+    // the one replace kind the checkpoint must never skip over
+    val cfgB = ExtractionJob.Config(out, buckets = 2, waves = 1,
+      fingerprintInputs = true)
+    val turns = Transcripts.generate(spark, 8)
+    assert(ExtractionJob.run(spark, turns, cfgB).nonEmpty)
+    assert(StreamingCurate.cycle(spark, out, work).nonEmpty)
+    assertMatchesFromScratch(out, work, "bucket-grained bootstrap")
+
+    val victim = turns.select("conv_id").as[String].head()
+    val changed = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCounty: Travis") else t)
+    assert(ExtractionJob.run(spark, changed, cfgB).nonEmpty)
+    assert(ExtractionJob.readManifest(out).get.operation.contains("replace"),
+      "setup must produce a content-changing replace commit")
+    assert(StreamingCurate.cycle(spark, out, work).nonEmpty)
+    // without the rebuild the checkpoint would skip the replace and the
+    // curated corpus would keep the pre-correction text forever
+    assertMatchesFromScratch(out, work, "content-changing replace rebuild")
+    assert(StreamingCurate.readCurated(spark, work)
+      .where(org.apache.spark.sql.functions.col("conv_id") === victim)
+      .count() > 0, "the corrected conversation must be re-curated")
+  }
+
   test("seeded randomized mutate/cycle sequences keep incremental == from-scratch") {
     val ss = spark
     import ss.implicits._

@@ -207,7 +207,7 @@ class TagRollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
       mans.map(_.operation.getOrElse("append")))
     val ops = snaps.map(_.getString(1)).toSeq
     assert(ops.head == "append" && ops.contains("props") && ops.contains("delta"), ops.toString)
-    assert(snaps.last.getString(1) == "replace") // the compaction
+    assert(snaps.last.getString(1) == "rewrite") // the compaction
     assert(snaps.count(_.getBoolean(7)) == 1 && snaps.last.getBoolean(7))
     assert(snaps.find(_.getInt(0) == s0).get.getSeq[String](8) == Seq("base"))
     assert(snaps.forall(r => r.getString(2).nonEmpty), "committed_at must be populated")
