@@ -400,7 +400,8 @@ object JobMain {
     args.find(_.startsWith("--publish-branch=")).foreach { a =>
       val name = a.stripPrefix("--publish-branch=")
       require(name.nonEmpty, "--publish-branch=NAME requires a branch name")
-      val snap = graft.spark.ExtractionJob.publishBranch(outDir, name)
+      // the Spark overload: cherry-picks when the head moved since the stage
+      val snap = graft.spark.ExtractionJob.publishBranch(spark, outDir, name)
       println(s"""{"published_branch":"$name","snapshot":$snap,"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
       return

@@ -69,9 +69,11 @@ object ExtractionJob {
       // Write-audit-publish (Iceberg WAP analog): stage this run's
       // conv-grained delta on an unpublished branch ref instead of
       // advancing the table head. Readers see nothing until
-      // publishBranch; auditBranch runs the structural gate; the table
-      // is frozen against other commits while the branch is pending
-      // (publish or abandon releases it). Requires convGrained and a
+      // publishBranch; auditBranch runs the structural gate. Any number
+      // of branches may pend concurrently and the table stays fully
+      // writable while they do — publish cherry-picks onto the
+      // then-current head, refusing when intervening commits touched the
+      // same buckets (abandon and re-stage). Requires convGrained and a
       // fully committed table — full waves are replacing promotes, which
       // cannot be staged un-published.
       toBranch: Option[String] = None
@@ -575,9 +577,10 @@ object ExtractionJob {
       }
       // auto-compaction policy: bound the accumulated MOR delete debt
       // (counted over the MANIFEST-tracked delete dirs — orphans don't
-      // count). Skipped in branch mode: compaction is a replacing commit
-      // to the table head, which the pending branch freezes — it runs on
-      // the first post-publish maintenance pass instead.
+      // count). Skipped in branch mode: a rewrite landing while our own
+      // branch pends would make that branch unpublishable (cherry-pick
+      // refuses across rewrites) — it runs on the first post-publish
+      // maintenance pass instead.
       if (config.autoCompactDeletes > 0 && deleteDirs.nonEmpty && config.toBranch.isEmpty) {
         // same loud policy as the read path: a MANIFEST-tracked delete dir
         // missing on disk is an integrity error, not something to skip over
@@ -757,9 +760,18 @@ object ExtractionJob {
   /** Branch refs: name -> staged snapshot id (see TableFormat.branches). */
   def branches(outDir: String): Map[String, Int] = defaultFormat.branches(outDir)
 
-  /** WAP publish: make the branch's staged snapshot the table head. */
+  /** WAP publish: make the branch's staged snapshot the table head.
+    * Metadata-only; refuses when the head moved since the stage (use the
+    * SparkSession overload for the cherry-pick merge). */
   def publishBranch(outDir: String, name: String): Int =
     defaultFormat.publishBranch(outDir, name)
+
+  /** WAP publish with cherry-pick: when commits landed while the branch
+    * pended, the staged delta is re-bound onto the current head after
+    * bucket-disjointness conflict validation (see
+    * TableFormat.publishBranch(spark, ...)). */
+  def publishBranch(spark: SparkSession, outDir: String, name: String): Int =
+    defaultFormat.publishBranch(spark, outDir, name)
 
   /** WAP abandon: drop the staged snapshot and GC what only it references. */
   def abandonBranch(outDir: String, name: String): Unit =
@@ -801,9 +813,10 @@ object ExtractionJob {
   def auditBranch(spark: SparkSession, outDir: String, name: String): AuditReport = {
     val id = defaultFormat.branches(outDir).getOrElse(name,
       throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
-    val man = defaultFormat.readManifestAt(outDir, id).getOrElse(
+    val man = SnapshotManifestFormat.stagedManifest(outDir, name).getOrElse(
       throw new IllegalStateException(
-        s"branch '$name' points at snapshot $id but its manifest is missing under $outDir"))
+        s"branch '$name' points at snapshot $id but its staged manifest is missing under " +
+          s"$outDir — a crashed publish/abandon; re-run abandonBranch to retire the ref"))
     // schema drift + row-count deltas vs the head come from MANIFESTS
     // only (driver-side, no data scan): what a production WAP gate
     // checks before paying for any read

@@ -71,10 +71,11 @@ trait TableFormat {
                  // the table head — readers see nothing until
                  // publishBranch. Branch commits must be ADDITIVE (a
                  // replacing promote would rewrite published bucket dirs
-                 // before the audit), and while a branch is pending the
-                 // table is frozen against every other commit (the branch
-                 // holds the next snapshot id); publish or abandon
-                 // releases it.
+                 // before the audit). The staged manifest lives at a
+                 // branch-scoped path, so pending branches freeze NOTHING:
+                 // head commits, maintenance, and other branches proceed
+                 // concurrently, and publish cherry-picks onto the
+                 // then-current head with conflict validation.
                  toBranch: Option[String] = None): Unit
 
   /** Snapshot-isolated read: exactly the files of the latest committed
@@ -154,18 +155,34 @@ trait TableFormat {
     * unaffected. */
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep
 
-  /** Branch refs on the table: name -> staged snapshot id. A ref whose id
-    * is beyond the table head is PENDING (unpublished, freezes other
-    * commits); a ref at or below the head is a publish-crash remnant that
-    * the next publishBranch call retires. */
+  /** Branch refs on the table: name -> staged snapshot id (the id the
+    * stage was computed against + 1; the id it PUBLISHES at may be higher
+    * when the head has moved since). A ref whose staged manifest is gone
+    * and whose id is at or below the head is a publish-crash remnant that
+    * the next publishBranch/abandonBranch call retires. Any number of
+    * branches may pend concurrently, and the table stays fully writable
+    * while they do (the Iceberg branch model). */
   def branches(outDir: String): Map[String, Int]
 
-  /** Atomically make branch `name`'s staged snapshot the table head (the
-    * WAP "publish" step) and retire the ref. Refuses if the staged
+  /** Make branch `name`'s staged snapshot the table head (the WAP
+    * "publish" step) and retire the ref. With an unmoved head this is a
+    * metadata-only fast-forward; when commits landed since the stage it
+    * REFUSES (the cherry-pick merge needs a SparkSession — use the
+    * `publishBranch(spark, ...)` overload). Refuses if the staged
     * snapshot's files have gone missing (a crashed abandon). Idempotent
-    * across a publish crash: a ref left pointing at an already-published
-    * snapshot is simply cleaned up. Returns the published snapshot id. */
+    * across a publish crash. Returns the published snapshot id. */
   def publishBranch(outDir: String, name: String): Int
+
+  /** Publish with cherry-pick support: when the head moved since the
+    * stage, the staged delta is re-bound onto the current head (head + 1)
+    * after validating that every intervening commit is content-additive
+    * (no rewrite/replace) and touches buckets DISJOINT from the branch's —
+    * the partition-granular conflict detection of Iceberg's
+    * cherrypick_snapshot. On conflict, throws CommitConflictException:
+    * abandon and re-stage against the new head. The sidecar/delete-dir
+    * merge is a batch-bounded Spark job, never a table rewrite. */
+  def publishBranch(spark: SparkSession, outDir: String, name: String): Int =
+    publishBranch(outDir, name)
 
   /** Drop branch `name` without publishing: delete the staged snapshot's
     * manifest, lineage, and every data file / delete dir / conv-fp sidecar
@@ -512,7 +529,63 @@ object SnapshotManifestFormat extends TableFormat {
   override def readManifestAt(outDir: String, k: Int): Option[Manifest] = {
     val p = Paths.get(outDir, "snapshots", s"snap-$k.json")
     if (!Files.exists(p)) return None
-    val manifest = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    Some(parseManifest(k, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  /** A pending branch's staged manifest, written at the branch-scoped path
+    * `snapshots/snap-branch-<name>.json` — NEVER `snap-<id>.json`, so a
+    * staged branch cannot collide with any other commit's manifest file
+    * and the table needs no freeze while branches are pending. Its
+    * embedded snapshot_id is the id the stage was computed against + 1
+    * (the base is snapshotId - 1); publish re-binds it to the then-current
+    * head + 1 (cherry-pick) when the head has moved. Tables written before
+    * branch-scoped staging keep their legacy `snap-<id>.json` staged
+    * manifests; readers fall back to that path. */
+  private[spark] def readBranchManifest(outDir: String, name: String): Option[Manifest] = {
+    val p = branchManifestPath(outDir, name)
+    if (!Files.exists(p)) return None
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val id = "\"snapshot_id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"corrupt branch manifest for '$name' under $outDir: no snapshot_id"))
+    Some(parseManifest(id, txt))
+  }
+
+  private[spark] def branchManifestPath(outDir: String, name: String): Path =
+    Paths.get(outDir, "snapshots", s"snap-branch-$name.json")
+
+  private[spark] def branchLineagePath(outDir: String, name: String): Path =
+    Paths.get(outDir, "lineage", s"lineage-branch-$name.json")
+
+  /** The staged manifest of branch `name` under EITHER layout: the
+    * branch-scoped path, or (legacy tables) `snap-<refId>.json` when the
+    * ref id is beyond the head (a published id is a live snapshot, not a
+    * staged one). */
+  private[spark] def stagedManifest(outDir: String, name: String): Option[Manifest] =
+    readBranchManifest(outDir, name).orElse {
+      branches(outDir).get(name).filter(_ > latestSnapshot(outDir).getOrElse(-1))
+        .flatMap(readManifestAt(outDir, _))
+    }
+
+  /** Pending branches: name -> staged manifest. A branch is pending when
+    * its staged manifest still exists (new layout) or its ref id is beyond
+    * the head (legacy layout); a ref with neither is a crashed
+    * publish/abandon remnant, resolved by abandonBranch. */
+  private[spark] def pendingBranchManifests(outDir: String): Map[String, Manifest] =
+    branches(outDir).keys.flatMap(n => stagedManifest(outDir, n).map(n -> _)).toMap
+
+  /** LEGACY pending branches only (staged at `snap-<id>.json` by an older
+    * library version): these still freeze the table, because any other
+    * commit of that id would clobber the staged manifest file. New-layout
+    * branches stage at branch-scoped paths and freeze nothing. */
+  private def legacyPendingBranches(outDir: String): Map[String, Int] = {
+    val cur = latestSnapshot(outDir).getOrElse(-1)
+    branches(outDir).filter { case (n, id) =>
+      id > cur && !Files.exists(branchManifestPath(outDir, n))
+    }
+  }
+
+  private def parseManifest(k: Int, manifest: String): Manifest = {
     val m = "\"committed_buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
       .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
     val buckets = m.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
@@ -526,7 +599,7 @@ object SnapshotManifestFormat extends TableFormat {
     val convFps = convFpsDirRe.findFirstMatchIn(manifest).map(_.group(1))
     val delDirs = deleteDirsRe.findFirstMatchIn(manifest).map(_.group(1)).toVector
       .flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-    Some(Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
+    Manifest(k, buckets, files, hasFilesList = manifest.contains("\"files\""),
       inputFps = fps, convFpsDir = convFps, deleteDirs = delDirs,
       hasDeleteDirsList = manifest.contains("\"delete_dirs\""),
       fpMode = fpModeRe.findFirstMatchIn(manifest).map(_.group(1)),
@@ -542,7 +615,7 @@ object SnapshotManifestFormat extends TableFormat {
       // sequence, and the bare key is refused at write time — lastOption
       // additionally covers tables written before that guard existed
       committedAt = committedAtRe.findAllMatchIn(manifest).toSeq.lastOption.map(_.group(1)),
-      schemaDdl = schemaRe.findFirstMatchIn(manifest).map(m => junesc(m.group(1)))))
+      schemaDdl = schemaRe.findFirstMatchIn(manifest).map(m => junesc(m.group(1))))
   }
 
   /** Committed = listed in the manifest AND every listed data file for the
@@ -577,12 +650,16 @@ object SnapshotManifestFormat extends TableFormat {
     try s.iterator().asScala.toVector finally s.close()
   }
 
-  /** Recursive delete, deepest-first, with the Files.walk stream closed. */
+  /** Recursive delete, deepest-first, with the Files.walk stream closed.
+    * Quiet when the root is already gone: every caller is a GC/retirement
+    * path documented as re-runnable after a crash, so a prior (completed)
+    * attempt having removed the tree is success, not an error. */
   private[spark] def deleteRecursively(root: Path): Unit = {
+    if (!Files.exists(root)) return
     val s = Files.walk(root)
     val paths = try s.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.toVector finally s.close()
-    paths.foreach(Files.delete)
+    paths.foreach(Files.deleteIfExists)
   }
 
   /** Row counts come from each parquet file's FOOTER metadata — a
@@ -708,33 +785,33 @@ object SnapshotManifestFormat extends TableFormat {
       throw new CommitConflictException(
         s"commit of snapshot $snapshotId computed against ${expectedBase.getOrElse("<none>")} " +
           s"but table is at ${current.getOrElse("<none>")} under $outDir — another writer committed first")
-    // Write-audit-publish freeze: a PENDING branch ref (id beyond the
-    // head) owns the next snapshot id — its manifest file is
-    // snap-<id>.json, which any other commit of that id would silently
-    // overwrite, orphaning the staged audit data. So while a branch is
-    // pending, EVERY other commit (main, compaction, rollback, a second
-    // branch) refuses; publish or abandon releases the table.
-    val pendingBranches =
-      branches(outDir).filter { case (_, id) => id > current.getOrElse(-1) }
-    toBranch match {
-      case Some(name) =>
-        require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
-          s"invalid branch name: '$name'") // .tmp is atomicWrite's staging suffix
-        require(additive,
-          s"branch commit '$name' must be additive (merge-on-read): a replacing " +
-            "promote would rewrite published bucket dirs before the audit")
-        if (pendingBranches.nonEmpty) {
-          val (n, id) = pendingBranches.head
-          throw new CommitConflictException(
-            s"cannot stage branch '$name' at snapshot $snapshotId under $outDir: " +
-              s"unpublished branch '$n' already holds snapshot $id — publish or abandon it first")
-        }
-      case None =>
-        pendingBranches.headOption.foreach { case (n, id) =>
-          throw new CommitConflictException(
-            s"cannot commit snapshot $snapshotId under $outDir: unpublished branch '$n' " +
-              s"holds snapshot $id — publish or abandon it first")
-        }
+    // Branch staging is branch-scoped: a staged manifest lives at
+    // snap-branch-<name>.json (+ lineage-branch-<name>.json), which no
+    // other commit ever writes — so a pending branch freezes NOTHING.
+    // Head commits, maintenance, and any number of OTHER branches proceed
+    // while branches pend; publishBranch cherry-picks the staged delta
+    // onto the then-current head with conflict validation (the Iceberg
+    // WAP/branch shape). Only two refusals remain:
+    //  - a LEGACY pending branch (staged at snap-<id>.json by an older
+    //    library version) still freezes the table — any other commit of
+    //    that id would clobber its staged manifest file;
+    //  - re-staging a name that is already pending (publish or abandon
+    //    it first — a branch holds exactly one staged snapshot).
+    legacyPendingBranches(outDir).headOption.foreach { case (n, id) =>
+      throw new CommitConflictException(
+        s"cannot commit snapshot $snapshotId under $outDir: legacy-layout branch '$n' " +
+          s"holds staged snapshot $id at snap-$id.json — publish or abandon it first")
+    }
+    toBranch.foreach { name =>
+      require(name.matches("[A-Za-z0-9._-]+") && !name.endsWith(".tmp"),
+        s"invalid branch name: '$name'") // .tmp is atomicWrite's staging suffix
+      require(additive,
+        s"branch commit '$name' must be additive (merge-on-read): a replacing " +
+          "promote would rewrite published bucket dirs before the audit")
+      if (stagedManifest(outDir, name).isDefined)
+        throw new CommitConflictException(
+          s"cannot stage branch '$name' at snapshot $snapshotId under $outDir: " +
+            "the branch already holds a staged snapshot — publish or abandon it first")
     }
     val prevMan = readManifest(outDir)
     // sticky table properties: every commit carries the previous manifest's
@@ -820,7 +897,11 @@ object SnapshotManifestFormat extends TableFormat {
       s"""{"snapshot_id":${r.snapshot_id},"bucket":${r.bucket},"row_count":${r.row_count},""" +
         s""""field_count_sum":${r.field_count_sum},"extract_ms":${r.extract_ms},"committed_at":"${r.committed_at}"}"""
     }.mkString("[\n", ",\n", "\n]")
-    atomicWrite(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json"), lineageJson)
+    // branch stages write lineage at the branch-scoped path too — a head
+    // commit may legitimately land at this same id while the branch pends,
+    // and publish re-stamps the rows to the published id anyway
+    atomicWrite(toBranch.map(branchLineagePath(outDir, _))
+      .getOrElse(Paths.get(outDir, "lineage", s"lineage-$snapshotId.json")), lineageJson)
     val filesJson = files.sortBy(f => (f.bucket, f.path)).map { f =>
       val bounds = (f.minConv, f.maxConv) match {
         case (Some(lo), Some(hi)) =>
@@ -849,7 +930,8 @@ object SnapshotManifestFormat extends TableFormat {
     val manifest =
       s"""{"snapshot_id":$snapshotId,"committed_buckets":[${buckets.toSeq.sorted.mkString(",")}],""" +
         s"""$operationJson$schemaJson$propsJson$bucketCountJson$deleteDirsJson$fpModeJson$convFpsJson$fpsJson"files":$filesJson,"committed_at":"${java.time.Instant.now()}"}"""
-    val manPath = Paths.get(outDir, "snapshots", s"snap-$snapshotId.json")
+    val manPath = toBranch.map(branchManifestPath(outDir, _))
+      .getOrElse(Paths.get(outDir, "snapshots", s"snap-$snapshotId.json"))
     // Post-write overwrite check: the freeze/CAS reads above are
     // check-then-act, so two writers that both passed them can both have
     // written snap-<id>.json — last write wins the file. Re-reading it
@@ -876,88 +958,72 @@ object SnapshotManifestFormat extends TableFormat {
           s"commit of snapshot $snapshotId under $outDir lost a concurrent race ($context): " +
             s"table head moved from ${expectedBase.getOrElse("<none>")} to ${now.getOrElse("<none>")}")
     }
-    // pending-branch recheck twin: a stager that completed inside our
-    // commit window left its ref (written before its manifest) without
-    // moving the head, so requireBaseUnmoved alone cannot see it — writing
-    // our manifest would clobber the stager's acked staged manifest.
-    def requireNoPendingBranch(context: String): Unit =
-      branches(outDir).find { case (_, id) => id > current.getOrElse(-1) }
-        .foreach { case (n, id) =>
-          throw new CommitConflictException(
-            s"commit of snapshot $snapshotId under $outDir lost a concurrent race ($context): " +
-              s"branch '$n' staged snapshot $id inside the commit window")
-        }
     SnapshotManifestFormat.commitRaceHook()
     // Recovery may only undo state it can PROVE is its own: two racing
-    // head writers (or two stagers of the same branch name) write
-    // byte-identical pointer content for the same id, so a blind
-    // restore/delete would revert the WINNER's already-acknowledged
-    // commit. The branch ref therefore carries a writer-unique token
-    // (legacy token-less refs stay parseable), and the head pointer —
-    // whose bare-id format every reader and legacy table depends on —
-    // is only rolled back when the manifest winner is provably a branch
-    // stager (its ref at this id exists and the head bytes are ours
-    // alone to have written).
+    // head writers write byte-identical pointer content for the same id,
+    // so a blind restore/delete would revert the WINNER's already-
+    // acknowledged commit. The branch ref therefore carries a
+    // writer-unique token (legacy token-less refs stay parseable); the
+    // head pointer — whose bare-id format every reader and legacy table
+    // depends on — is only rolled back when the manifest winner is
+    // provably a LEGACY branch stager (new-layout stagers write
+    // branch-scoped files and can never win a head manifest race).
     toBranch match {
-      // branch commit: the manifest exists but the table head does NOT
-      // move — only the branch ref points at it until publishBranch
+      // branch commit: manifest + lineage live at branch-scoped paths,
+      // the table head does NOT move, and nothing is frozen — only the
+      // branch ref points at the staged snapshot until publishBranch.
+      // The sole race left is TWO STAGERS OF THE SAME NAME (or a
+      // concurrent publish/abandon of this name): ref-first ordering +
+      // post-write re-reads turn every such interleaving into a loud
+      // CommitConflictException.
       case Some(name) =>
         val ref = Paths.get(outDir, "snapshots", s"branch-$name")
         val refContent = s"$snapshotId ${newRunToken()}"
         // delete the ref only if it is still OURS — a same-name stager
-        // that won the manifest race owns the current ref bytes
+        // that won the race owns the current ref bytes
         def dropOwnRef(): Unit =
           if (Files.exists(ref) &&
               new String(Files.readAllBytes(ref), StandardCharsets.UTF_8) == refContent)
             Files.deleteIfExists(ref) // our staged data is orphaned, not served
-        // The ref is written BEFORE the staged manifest: a racing head
-        // writer that loses the manifest race decides head rollback from
-        // branches(), so the stager must be visible there no later than
-        // its manifest bytes land — ref-after-manifest left a window in
-        // which the head writer saw no stager and left the published head
-        // pointing at the stager's UNAUDITED manifest. A ref with a
-        // missing manifest is the already-handled crashed-abandon shape
-        // (publishBranch fails loudly and says to run abandonBranch;
-        // abandonBranch retires it), so crashing between the two writes
-        // is safe.
-        requireNoPendingBranch("concurrent stage before branch ref write")
+        def refIsOurs(): Boolean =
+          Files.exists(ref) &&
+            new String(Files.readAllBytes(ref), StandardCharsets.UTF_8) == refContent
+        // Ref BEFORE manifest: a ref with a missing branch manifest is the
+        // crashed-abandon/crashed-publish remnant shape (abandonBranch
+        // retires it; publishBranch reports it), so crashing between the
+        // two writes is safe, and a same-name racer becomes visible to
+        // the pending check no later than its manifest bytes land.
         atomicWrite(ref, refContent)
-        try requireBaseUnmoved("concurrent publish/commit before branch manifest write")
-        catch { case e: CommitConflictException => dropOwnRef(); throw e }
         atomicWrite(manPath, manifest)
-        if (manifestClobbered()) {
+        if (manifestClobbered() || !refIsOurs()) {
           dropOwnRef()
           throw new CommitConflictException(
-            s"branch '$name' lost a concurrent-commit race for snapshot $snapshotId " +
-              s"under $outDir: another writer overwrote the staged manifest")
+            s"branch '$name' lost a concurrent same-name race for snapshot $snapshotId " +
+              s"under $outDir: another writer overwrote the staged manifest or ref")
         }
-        // a publish landing inside the residual window moved the head to
-        // this id — our manifest bytes have replaced the published
-        // snapshot's manifest, so fail LOUDLY rather than double-ack
-        try requireBaseUnmoved("concurrent publish/commit during branch manifest write")
-        catch { case e: CommitConflictException => dropOwnRef(); throw e }
       case None =>
         requireBaseUnmoved("concurrent publish/commit before manifest write")
-        requireNoPendingBranch("concurrent stage before manifest write")
         atomicWrite(manPath, manifest)
-        // the ADVICE-flagged TOCTOU: a publishBranch landing between the
-        // freeze check and this point set `_latest` to this id and deleted
-        // the branch ref — our manifest write just clobbered the published
-        // branch manifest, and writing the head would byte-match the
-        // publisher's write, acking BOTH callers. Refuse before touching
-        // the head.
+        // a concurrent publishBranch targets this same snapshot id (a
+        // publish IS a head commit): if one landed between the CAS and
+        // this point, our manifest write just clobbered the published
+        // manifest and writing the head would byte-match the publisher's
+        // write, acking BOTH callers. Refuse before touching the head.
         requireBaseUnmoved("concurrent publish/commit after manifest write")
         val head = Paths.get(outDir, "snapshots", "_latest")
         atomicWrite(head, snapshotId.toString)
         if (manifestClobbered()) {
           // the manifest winner is either another HEAD writer — whose
           // head bytes are identical to ours, so the head is already
-          // correct for the winner and must be left alone — or a branch
-          // stager, identified by a branch ref at this id, whose staged
-          // manifest must NOT be served as the published head (the stager
-          // writes its ref BEFORE its manifest, so a stager that won the
-          // manifest race is always visible here)
-          val stagerWon = branches(outDir).values.exists(_ == snapshotId)
+          // correct for the winner and must be left alone — or a LEGACY
+          // branch stager (writes snap-<id>.json directly), whose staged
+          // manifest must NOT be served as the published head. New-layout
+          // stagers write branch-scoped manifest files: a ref at this id
+          // with a branch-scoped manifest is a concurrent stage that
+          // touched different files, never the manifest winner.
+          val stagerWon = branches(outDir).exists { case (n, id) =>
+            id == snapshotId && !Files.exists(branchManifestPath(outDir, n))
+          }
           if (stagerWon) {
             val cur = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim
             if (cur == snapshotId.toString) current match {
@@ -967,7 +1033,7 @@ object SnapshotManifestFormat extends TableFormat {
           }
           throw new CommitConflictException(
             s"commit of snapshot $snapshotId under $outDir lost a concurrent-commit race: " +
-              "another writer overwrote the manifest after the freeze check")
+              "another writer overwrote the manifest after the optimistic check")
         }
     }
   }
@@ -992,67 +1058,323 @@ object SnapshotManifestFormat extends TableFormat {
     }.toMap
   }
 
-  override def publishBranch(outDir: String, name: String): Int = {
+  override def publishBranch(outDir: String, name: String): Int =
+    publishBranchImpl(None, outDir, name)
+
+  override def publishBranch(spark: SparkSession, outDir: String, name: String): Int =
+    publishBranchImpl(Some(spark), outDir, name)
+
+  private def publishBranchImpl(sparkOpt: Option[SparkSession], outDir: String,
+                                name: String, retries: Int = 2): Int = {
     val ref = Paths.get(outDir, "snapshots", s"branch-$name")
-    val id = branches(outDir).getOrElse(name,
+    val refId = branches(outDir).getOrElse(name,
       throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
-    val cur = latestSnapshot(outDir).getOrElse(-1)
-    if (id <= cur) { // publish crashed between the head swap and the ref
-      Files.deleteIfExists(ref) // delete: the snapshot is already live
-      return id
+    readBranchManifest(outDir, name) match {
+      case Some(man) =>
+        // a publish losing its optimistic race (another head commit or
+        // another branch's publish landed first) re-reads the moved head
+        // and re-validates — the same re-plan loop every head writer runs
+        var attempt = 0
+        while (true) {
+          try return publishStaged(sparkOpt, outDir, name, man)
+          catch {
+            case e: CommitConflictException =>
+              attempt += 1
+              if (attempt > retries) throw e
+          }
+        }
+        -1 // unreachable
+      case None =>
+        // legacy layout (staged at snap-<id>.json by an older library
+        // version), or a crashed publish/abandon remnant (ref only)
+        val cur = latestSnapshot(outDir).getOrElse(-1)
+        if (refId <= cur) { // publish crashed between the head swap and the ref
+          Files.deleteIfExists(ref) // delete: the snapshot is already live
+          return refId
+        }
+        require(refId == cur + 1,
+          s"branch '$name' head $refId is not the table's next snapshot (head is $cur) under $outDir")
+        val man = readManifestAt(outDir, refId).getOrElse(throw new IllegalStateException(
+          s"branch '$name' points at snapshot $refId but its manifest is missing under $outDir — " +
+            "a crashed abandon; re-run abandonBranch to finish retiring it"))
+        require(snapshotIntact(outDir, man),
+          s"cannot publish branch '$name': snapshot $refId references files missing under $outDir")
+        atomicWrite(Paths.get(outDir, "snapshots", "_latest"), refId.toString)
+        Files.deleteIfExists(ref)
+        refId
     }
-    // the pending-branch commit freeze makes this invariant; check anyway
-    // so a hand-damaged table fails loudly instead of skipping history
-    require(id == cur + 1,
-      s"branch '$name' head $id is not the table's next snapshot (head is $cur) under $outDir")
-    val man = readManifestAt(outDir, id).getOrElse(throw new IllegalStateException(
-      s"branch '$name' points at snapshot $id but its manifest is missing under $outDir — " +
-        "a crashed abandon; re-run abandonBranch to finish retiring it"))
-    require(snapshotIntact(outDir, man),
-      s"cannot publish branch '$name': snapshot $id references files missing under $outDir")
-    atomicWrite(Paths.get(outDir, "snapshots", "_latest"), id.toString)
-    Files.deleteIfExists(ref)
-    id
+  }
+
+  /** One publish attempt of a branch-scoped stage. Base unmoved =
+    * fast-forward; base moved = cherry-pick merge. Both commit through
+    * [[commitWave]], so every optimistic-concurrency recheck (CAS,
+    * manifest-clobber detection, legacy freeze) guards a publish exactly
+    * like any other head commit. */
+  private def publishStaged(sparkOpt: Option[SparkSession], outDir: String,
+                            name: String, man: Manifest): Int = {
+    val base = man.snapshotId - 1
+    val cur = latestSnapshot(outDir).getOrElse(-1)
+    require(cur >= base,
+      s"table head $cur is behind branch '$name' base $base under $outDir")
+    val baseMan = readManifestAt(outDir, base).getOrElse(throw new IllegalStateException(
+      s"base snapshot $base of branch '$name' has been expired while the branch pended — " +
+        "abandon and re-stage"))
+    val deltaFiles = man.files.filter(_.seq == man.snapshotId)
+    val branchNewDels = man.deleteDirs.filterNot(baseMan.deleteDirs.toSet)
+    // Crash-resume idempotence: a publish that committed but crashed
+    // before retiring the branch artifacts is detected by its delta files
+    // (writer-unique part names) already living in the head manifest —
+    // or, for a data-less stage, by its writer-unique sidecar dir already
+    // referenced by retained history. Finish the retirement and report
+    // the id it published at.
+    val headMan = readManifestAt(outDir, cur)
+    if (deltaFiles.nonEmpty && headMan.exists { h =>
+          val live = h.files.map(_.path).toSet
+          deltaFiles.forall(f => live.contains(f.path))
+        }) {
+      val seq = headMan.get.files.find(_.path == deltaFiles.head.path).get.seq
+      retireBranchArtifacts(outDir, name,
+        if (seq == man.snapshotId) Nil else branchNewDels)
+      return seq
+    }
+    if (deltaFiles.isEmpty && man.convFpsDir.exists(d =>
+          allManifests(outDir).exists(_.convFpsDir.contains(d)))) {
+      val pub = allManifests(outDir).find(_.convFpsDir == man.convFpsDir).get.snapshotId
+      retireBranchArtifacts(outDir, name,
+        if (pub == man.snapshotId) Nil else branchNewDels)
+      return pub
+    }
+    // props the branch changed vs its base; keys it retired become
+    // tombstones so the overlay in commitWave retires them at the head too
+    val propsDelta = man.props.filter { case (k, v) => !baseMan.props.get(k).contains(v) } ++
+      (baseMan.props.keySet -- man.props.keySet).map(_ -> "").toMap
+    if (cur == base) {
+      require(snapshotIntact(outDir, man),
+        s"cannot publish branch '$name': staged snapshot references files missing under " +
+          s"$outDir — a crashed abandon; re-run abandonBranch to finish retiring it")
+      // fast-forward: the staged ids already are the next snapshot's
+      commitWave(outDir, s"$outDir/staging-publish-none", man.snapshotId, man.buckets,
+        man.files, readBranchLineage(outDir, name), man.inputFps, additive = true,
+        convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode,
+        bucketCount = man.bucketCount, operation = man.operation.getOrElse("delta"),
+        props = propsDelta, schemaDdl = man.schemaDdl)
+      retireBranchArtifacts(outDir, name, Nil)
+      man.snapshotId
+    } else {
+      // ---- cherry-pick: re-bind the staged delta onto the moved head ----
+      val spark = sparkOpt.getOrElse(throw new IllegalStateException(
+        s"head moved from $base to $cur while branch '$name' pended: publishing needs a " +
+          "cherry-pick merge (a batch-bounded Spark job) — call publishBranch(spark, outDir, name)"))
+      import org.apache.spark.sql.functions.col
+      // every intervening commit must be content-additive: a rewrite/
+      // replace physically rewrote (or semantically changed) files the
+      // staged manifest still references
+      val interv = ((base + 1) to cur).map { k =>
+        k -> readManifestAt(outDir, k).getOrElse(throw new IllegalStateException(
+          s"snapshot $k expired while branch '$name' pended — abandon and re-stage"))
+      }
+      interv.foreach { case (k, m) =>
+        val op = m.operation.getOrElse("append")
+        if (op == "rewrite" || op == "replace")
+          throw new CommitConflictException(
+            s"cannot cherry-pick branch '$name': snapshot $k is a $op commit (files the " +
+              "branch references were rewritten) — abandon and re-stage")
+      }
+      // intactness AFTER the op validation: a rewrite/replace is exactly
+      // what makes staged references go missing, and the conflict message
+      // explains the recovery better than a raw missing-file error
+      require(snapshotIntact(outDir, man),
+        s"cannot publish branch '$name': staged snapshot references files missing under " +
+          s"$outDir — a crashed abandon; re-run abandonBranch to finish retiring it")
+      val hMan = interv.last._2
+      if (man.bucketCount != hMan.bucketCount || man.fpMode != hMan.fpMode)
+        throw new CommitConflictException(
+          s"cannot cherry-pick branch '$name': bucket modulus or fingerprint mode diverged " +
+            "from the head — abandon and re-stage")
+      // schema: at most ONE side may have evolved it since the base
+      val mergedSchema: Option[String] = (man.schemaDdl, hMan.schemaDdl, baseMan.schemaDdl) match {
+        case (s, h, _) if s == h => s
+        case (s, h, b) if h == b => s // only the branch evolved the schema
+        case (s, h, b) if s == b => h // only the head evolved it
+        case _ =>
+          throw new CommitConflictException(
+            s"cannot cherry-pick branch '$name': schema evolved on both the branch and " +
+              "the head since the base — abandon and re-stage")
+      }
+      if (deltaFiles.isEmpty && branchNewDels.isEmpty)
+        throw new CommitConflictException(
+          s"cannot cherry-pick branch '$name': the stage carries no data or delete files " +
+            "(fingerprint-only re-baseline), so its sidecar is stale against the moved " +
+            "head — abandon and re-stage")
+      // partition-granular conflict detection (Iceberg cherrypick
+      // semantics): the branch's touched buckets must be disjoint from
+      // every bucket the intervening commits touched — inside a touched
+      // bucket the audit's verdict no longer describes the head
+      def delDirBuckets(dirs: Seq[String]): Set[Int] =
+        if (dirs.isEmpty) Set.empty
+        else spark.read.parquet(dirs.map(d => s"$outDir/deletes/$d"): _*)
+          .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val branchBuckets = deltaFiles.map(_.bucket).toSet ++ delDirBuckets(branchNewDels)
+      val intervBuckets =
+        hMan.files.filter(f => f.seq > base && f.seq <= cur).map(_.bucket).toSet ++
+          delDirBuckets(hMan.deleteDirs.filter(d =>
+            deleteDirSeq(d).exists(s => s > base && s <= cur)))
+      val overlap = branchBuckets.intersect(intervBuckets)
+      if (overlap.nonEmpty)
+        throw new CommitConflictException(
+          s"cannot cherry-pick branch '$name': commits since its base touched the same " +
+            s"buckets (${overlap.toSeq.sorted.take(8).mkString(",")}" +
+            s"${if (overlap.size > 8) ",…" else ""}) — abandon and re-stage")
+      val n = cur + 1
+      val tok = newRunToken()
+      // Re-stamp the branch's delete dirs to the published seq by COPY:
+      // the dir NAME carries the CDC attribution seq (rangeDeleteDirs);
+      // the ROWS keep their staged seq, which stays correct under bucket
+      // disjointness — they must kill base files (seq <= base < staged)
+      // and spare the branch's own re-stamped files (seq n > staged).
+      // The originals stay referenced by the branch manifest until
+      // retirement, so a crash anywhere below leaves a retryable pending
+      // branch plus sweepable orphans, never a broken table.
+      val restampedDels = branchNewDels.zipWithIndex.map { case (d, i) =>
+        val nd = s"snap-$n-$tok-$i"
+        val dst = Paths.get(outDir, "deletes", nd)
+        if (Files.exists(dst)) deleteRecursively(dst) // replay of this attempt
+        copyTree(Paths.get(outDir, "deletes", d), dst)
+        nd
+      }
+      // sidecar merge: branch buckets take the branch's fingerprints,
+      // every other bucket the head's — exact because conv->bucket is
+      // functional, so disjoint buckets mean disjoint conversations
+      val mergedFpDir: Option[String] = (man.convFpsDir, hMan.convFpsDir) match {
+        case (Some(bd), Some(hd)) =>
+          val nd = s"fp-$n-$tok"
+          val bvals = branchBuckets.toSeq.map(Integer.valueOf)
+          spark.read.parquet(s"$outDir/conv_fps/$bd")
+            .where(col("bucket").isin(bvals: _*))
+            .unionByName(spark.read.parquet(s"$outDir/conv_fps/$hd")
+              .where(!col("bucket").isin(bvals: _*)))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/conv_fps/$nd")
+          Some(nd)
+        case (None, None) => None
+        case _ =>
+          throw new CommitConflictException(
+            s"cannot cherry-pick branch '$name': conv-fingerprint sidecar presence diverged " +
+              "between the branch and the head — abandon and re-stage")
+      }
+      // bucket fingerprints: branch buckets take the branch's values
+      // (including buckets whose fingerprint the branch RETIRED)
+      val droppedFps = (baseMan.inputFps.keySet -- man.inputFps.keySet).filter(branchBuckets)
+      val mergedFps = (hMan.inputFps -- droppedFps) ++
+        man.inputFps.view.filterKeys(branchBuckets).toMap
+      val mergedFiles = hMan.files ++ deltaFiles.map(_.copy(seq = n))
+      val mergedLineage = readBranchLineage(outDir, name).map(_.copy(snapshot_id = n))
+      commitWave(outDir, s"$outDir/staging-publish-none", n, hMan.buckets ++ man.buckets,
+        mergedFiles, mergedLineage, mergedFps, additive = true,
+        convFpsDir = mergedFpDir, deleteDirs = hMan.deleteDirs ++ restampedDels,
+        fpMode = man.fpMode, bucketCount = man.bucketCount,
+        operation = man.operation.getOrElse("delta"),
+        props = propsDelta, schemaDdl = mergedSchema)
+      retireBranchArtifacts(outDir, name, branchNewDels)
+      n
+    }
+  }
+
+  /** Retire a published branch's artifacts: the listed ORIGINAL delete
+    * dirs (referenced only by the branch manifest after a cherry-pick
+    * re-stamped them), then lineage, manifest, and the ref LAST — so a
+    * crash at any point re-runs to completion via publish's idempotence
+    * detection. */
+  private def retireBranchArtifacts(outDir: String, name: String,
+                                    staleDeleteDirs: Seq[String]): Unit = {
+    staleDeleteDirs.foreach(d => deleteRecursively(Paths.get(outDir, "deletes", d)))
+    Files.deleteIfExists(branchLineagePath(outDir, name))
+    Files.deleteIfExists(branchManifestPath(outDir, name))
+    Files.deleteIfExists(Paths.get(outDir, "snapshots", s"branch-$name"))
+    ()
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s.close()
   }
 
   override def abandonBranch(outDir: String, name: String): Unit = {
     val ref = Paths.get(outDir, "snapshots", s"branch-$name")
     val id = branches(outDir).getOrElse(name,
       throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
-    val cur = latestSnapshot(outDir).getOrElse(-1)
-    if (id > cur) {
-      // GC exactly what ONLY the branch references. Branch commits are
-      // additive (head's files + new ones), so diffing against the head
-      // would usually suffice — but older RETAINED manifests can also
-      // reference files the head no longer lists (post-compact history),
-      // so the reference set is every on-disk manifest except the
-      // branch's own, the same rule expireSnapshots GC uses. Everything
-      // is deleteIfExists / recursive-quiet and the ref goes LAST, so a
-      // crash mid-abandon re-runs to completion.
-      readManifestAt(outDir, id).foreach { man =>
-        val others = allManifests(outDir).filter(_.snapshotId != id)
-        val refFiles = others.flatMap(_.files.map(_.path)).toSet
-        man.files.filterNot(f => refFiles.contains(f.path))
-          .foreach(f => Files.deleteIfExists(Paths.get(outDir, "data", f.path)))
-        val refDels = others.flatMap(_.deleteDirs).toSet
-        man.deleteDirs.filterNot(refDels.contains)
-          .foreach(d => deleteRecursively(Paths.get(outDir, "deletes", d)))
-        val refFps = others.flatMap(_.convFpsDir).toSet
-        for (fp <- man.convFpsDir if !refFps.contains(fp))
-          deleteRecursively(Paths.get(outDir, "conv_fps", fp))
-        Files.deleteIfExists(Paths.get(outDir, "lineage", s"lineage-$id.json"))
-        Files.deleteIfExists(Paths.get(outDir, "snapshots", s"snap-$id.json"))
-      }
-    } // id <= cur: publish-crash remnant — the snapshot is live, only drop the ref
+    // GC exactly what ONLY the branch references. Branch commits are
+    // additive (head's files + new ones), so diffing against the head
+    // would usually suffice — but older RETAINED manifests can also
+    // reference files the head no longer lists (post-compact history),
+    // and OTHER pending branches may share nothing but must be checked,
+    // so the reference set is every retained manifest plus every other
+    // branch's staged manifest, the same rule expireSnapshots GC uses.
+    // Everything is deleteIfExists / recursive-quiet and the ref goes
+    // LAST, so a crash mid-abandon re-runs to completion.
+    def gcOnlyBranchReferenced(man: Manifest, others: Vector[Manifest]): Unit = {
+      val refFiles = others.flatMap(_.files.map(_.path)).toSet
+      man.files.filterNot(f => refFiles.contains(f.path))
+        .foreach(f => Files.deleteIfExists(Paths.get(outDir, "data", f.path)))
+      val refDels = others.flatMap(_.deleteDirs).toSet
+      man.deleteDirs.filterNot(refDels.contains)
+        .foreach(d => deleteRecursively(Paths.get(outDir, "deletes", d)))
+      val refFps = others.flatMap(_.convFpsDir).toSet
+      for (fp <- man.convFpsDir if !refFps.contains(fp))
+        deleteRecursively(Paths.get(outDir, "conv_fps", fp))
+    }
+    readBranchManifest(outDir, name) match {
+      case Some(man) =>
+        gcOnlyBranchReferenced(man,
+          allManifests(outDir) ++ (pendingBranchManifests(outDir) - name).values)
+        Files.deleteIfExists(branchLineagePath(outDir, name))
+        Files.deleteIfExists(branchManifestPath(outDir, name))
+      case None =>
+        val cur = latestSnapshot(outDir).getOrElse(-1)
+        if (id > cur) {
+          // legacy layout: staged at snap-<id>.json by an older version
+          readManifestAt(outDir, id).foreach { man =>
+            gcOnlyBranchReferenced(man,
+              allManifests(outDir).filter(_.snapshotId != id) ++
+                (pendingBranchManifests(outDir) - name).values)
+            Files.deleteIfExists(Paths.get(outDir, "lineage", s"lineage-$id.json"))
+            Files.deleteIfExists(Paths.get(outDir, "snapshots", s"snap-$id.json"))
+          }
+        } // id <= cur: publish-crash remnant — the snapshot is live, only drop the ref
+    }
     Files.deleteIfExists(ref)
     ()
   }
 
   override def readCommittedAtBranch(spark: SparkSession, outDir: String,
-                                     name: String): DataFrame = {
-    val id = branches(outDir).getOrElse(name,
-      throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
-    readCommittedAsOf(spark, outDir, id)
+                                     name: String): DataFrame =
+    readBranchManifest(outDir, name) match {
+      case Some(man) =>
+        if (!snapshotIntact(outDir, man))
+          throw new IllegalStateException(
+            s"branch '$name' staged snapshot references files missing under $outDir")
+        readAt(spark, outDir, man)
+      case None => // legacy layout
+        val id = branches(outDir).getOrElse(name,
+          throw new IllegalArgumentException(s"no branch '$name' on table $outDir"))
+        readCommittedAsOf(spark, outDir, id)
+    }
+
+  /** Staged lineage rows of a pending branch (branch-scoped file). */
+  private def readBranchLineage(outDir: String, name: String): Vector[LineageRow] = {
+    val p = branchLineagePath(outDir, name)
+    if (!Files.exists(p)) return Vector.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    lineageRowRe.findAllMatchIn(json).map(m =>
+      LineageRow(m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6))).toVector
   }
 
   /** Delete-file directories visible at a snapshot: exactly the manifest's
@@ -1522,7 +1844,7 @@ object SnapshotManifestFormat extends TableFormat {
     val snapDir = Paths.get(outDir, "snapshots")
     val existing = listDir(snapDir).flatMap { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("snap-") && n.endsWith(".json"))
+      if (n.matches("snap-\\d+\\.json")) // snap-branch-<name>.json is a staged branch, not history
         Some(n.stripPrefix("snap-").stripSuffix(".json").toInt)
       else None
     }.sorted
@@ -1533,7 +1855,11 @@ object SnapshotManifestFormat extends TableFormat {
     val retained = existing.filter(k => k > latest - retainLast || taggedIds.contains(k))
     val expired = existing.filterNot(retained.contains)
     if (expired.isEmpty) return (0, 0)
-    val retainedMans = retained.flatMap(k => readManifestAt(outDir, k))
+    // pending branches pin their staged artifacts exactly like retained
+    // history: an expiry running while a branch awaits its audit must
+    // never GC the files the audit (or the eventual publish) will serve
+    val retainedMans = retained.flatMap(k => readManifestAt(outDir, k)) ++
+      pendingBranchManifests(outDir).values
     // legacy manifests carry no file list — references can't be proven, so
     // refuse to GC rather than delete live data
     require(retainedMans.forall(_.hasFilesList),
@@ -1625,7 +1951,9 @@ object SnapshotManifestFormat extends TableFormat {
 
   override def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val mans = allManifests(outDir)
+    // pending branches' staged files/dirs/sidecars are referenced, not
+    // orphaned — include their manifests in every reference set
+    val mans = allManifests(outDir) ++ pendingBranchManifests(outDir).values
     def oldEnough(p: Path): Boolean =
       try {
         (if (Files.isDirectory(p)) newestMtime(p)

@@ -186,13 +186,15 @@ class MorLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
           else t)
         assert(ExtractionJob.run(spark, toDs(staged),
           cfg.copy(toBranch = Some(branch))).nonEmpty, s"[seed=$seed $ctx] stage")
-        // invisible until publish (model unchanged), and the pending
-        // branch freezes every other commit
+        // invisible until publish (model unchanged); the table stays
+        // fully writable while the branch pends — a tag (props) commit
+        // lands and advances the head, making the eventual publish a
+        // cherry-pick (a props commit touches no buckets, so it can
+        // never conflict)
         checkServed(s"$ctx wap-staged")
-        intercept[graft.spark.CommitConflictException] {
-          ExtractionJob.tagSnapshot(out, s"frozen$op",
-            ExtractionJob.latestSnapshot(out).get)
-        }
+        ExtractionJob.tagSnapshot(out, s"pin$op",
+          ExtractionJob.latestSnapshot(out).get)
+        checkServed(s"$ctx wap-staged-tagged")
         val audit = ExtractionJob.auditBranch(spark, out, branch)
         assert(audit.ok, s"[seed=$seed $ctx] audit must be green, got $audit")
         // same engine version: no schema drift; the staged delta ADDS the
@@ -202,7 +204,8 @@ class MorLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(audit.bucketRowDeltas.nonEmpty && audit.bucketRowDeltas.values.forall(_ > 0),
           s"[seed=$seed $ctx] delta rows must show as positive bucket deltas, got $audit")
         if (rnd.nextBoolean()) {
-          ExtractionJob.publishBranch(out, branch)
+          // Spark overload: the tag moved the head, so this cherry-picks
+          ExtractionJob.publishBranch(spark, out, branch)
           model = staged
           record(); checkServed(s"$ctx wap-published")
         } else {

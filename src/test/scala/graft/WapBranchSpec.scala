@@ -9,9 +9,11 @@ import java.nio.file.{Files, Paths}
 /** Write-audit-publish branches (Iceberg WAP analog): an incremental
   * re-extraction is staged on an unpublished branch ref, audited against
   * structural invariants, and only then atomically published — or
-  * abandoned without a trace. While a branch is pending the table head is
-  * frozen (the branch holds the next snapshot id), so no concurrent commit
-  * can orphan the staged audit data. */
+  * abandoned without a trace. Staged manifests live at branch-scoped
+  * paths, so any number of branches pend concurrently and the table stays
+  * fully writable while they do; publish fast-forwards onto an unmoved
+  * head or CHERRY-PICKS onto a moved one, refusing (abandon + re-stage)
+  * when intervening commits touched the same buckets or rewrote files. */
 class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -44,7 +46,7 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("WAP end-to-end: staged branch is invisible, freezes the head, audits green, publishes atomically") {
+  test("WAP end-to-end: staged branch is invisible, audits green, publishes atomically") {
     val ss = spark
     import ss.implicits._
     val out = Files.createTempDirectory("graft-wap").toString
@@ -72,18 +74,12 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(ExtractionJob.readCommittedAtBranch(spark, out, "audit")) == want)
     assert(want != baseline, "the mutation must change extraction output")
 
-    // pending branch freezes EVERY other commit: a tag (prop commit), a
-    // second branch, and a plain head run all refuse with a conflict
-    intercept[CommitConflictException] {
-      ExtractionJob.tagSnapshot(out, "pin", s0)
-    }
+    // a branch holds exactly one staged snapshot: re-staging the SAME
+    // name refuses (publish or abandon first); other commits are NOT
+    // frozen — concurrency is exercised in the dedicated tests below
     intercept[CommitConflictException] {
       ExtractionJob.run(spark, turns.map(t => t.copy(text = t.text + "\nx")),
-        cfg.copy(toBranch = Some("second"), commitRetries = 0))
-    }
-    intercept[CommitConflictException] {
-      ExtractionJob.run(spark,
-        turns.map(t => t.copy(text = t.text + "\ny")), cfg.copy(commitRetries = 0))
+        cfg.copy(toBranch = Some("audit"), commitRetries = 0))
     }
 
     // audit gate green
@@ -328,7 +324,7 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(ExtractionJob.extract(spark, headEdit).toDF()))
   }
 
-  test("a branch staged inside a head commit's window wins: the head commit refuses instead of clobbering the staged manifest") {
+  test("a branch staged inside a head commit's window: BOTH land (branch-scoped staging), publish cherry-picks over the head commit") {
     val ss = spark
     import ss.implicits._
     val out = Files.createTempDirectory("graft-wap-race-stage").toString
@@ -337,34 +333,53 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val turns = Transcripts.generate(spark, 10)
     assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
     val s0 = ExtractionJob.latestSnapshot(out).get
-    val victim = turns.select("conv_id").as[String].head()
+    // distinct-bucket victims so the cherry-pick is conflict-free
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val vA = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
+    val vB = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 1).get
     val branchEdit = turns.map(t =>
-      if (t.conv_id == victim) t.copy(text = t.text + "\nState: NY") else t)
+      if (t.conv_id == vA) t.copy(text = t.text + "\nState: NY") else t)
     val headEdit = turns.map(t =>
-      if (t.conv_id == victim) t.copy(text = t.text + "\nState: CA") else t)
+      if (t.conv_id == vB) t.copy(text = t.text + "\nState: CA") else t)
 
-    // a stager completes (ref + manifest, acked) inside the head writer's
-    // window; the stager never moves _latest, so only the pending-branch
-    // RE-check can save its acked manifest from the head writer's bytes
+    // a stager completes (ref + branch-scoped manifest, acked) inside the
+    // head writer's window: under branch-scoped staging they touch
+    // disjoint files, so the head commit proceeds — no freeze, no clobber
     withRace(() =>
       assert(ExtractionJob.run(spark, branchEdit,
         cfg.copy(toBranch = Some("hold"))).nonEmpty)
     ) {
-      intercept[CommitConflictException] {
-        ExtractionJob.run(spark, headEdit, cfg.copy(commitRetries = 0))
-      }
+      assert(ExtractionJob.run(spark, headEdit, cfg.copy(commitRetries = 0)).nonEmpty)
     }
-    // head unmoved, the stager's branch is pending with an INTACT manifest
-    assert(ExtractionJob.latestSnapshot(out).contains(s0))
+    // head advanced to the head commit; the branch pends with an intact
+    // staged manifest computed against the OLD base
+    assert(ExtractionJob.latestSnapshot(out).contains(s0 + 1))
     assert(ExtractionJob.branches(out) == Map("hold" -> (s0 + 1)))
     val audit = ExtractionJob.auditBranch(spark, out, "hold")
     assert(audit.ok, s"staged branch must audit green after the race, got $audit")
-    assert(ExtractionJob.publishBranch(out, "hold") == s0 + 1)
+    // metadata-only publish refuses (head moved); the Spark overload
+    // cherry-picks the staged delta onto the moved head
+    val moved = intercept[IllegalStateException] {
+      ExtractionJob.publishBranch(out, "hold")
+    }
+    assert(moved.getMessage.contains("cherry-pick"), moved.getMessage)
+    assert(ExtractionJob.publishBranch(spark, out, "hold") == s0 + 2)
+    assert(ExtractionJob.branches(out).isEmpty)
+    // the final table carries BOTH edits
+    val both = turns.map { t =>
+      if (t.conv_id == vA) t.copy(text = t.text + "\nState: NY")
+      else if (t.conv_id == vB) t.copy(text = t.text + "\nState: CA") else t
+    }
     assert(rows(ExtractionJob.readCommitted(spark, out)) ==
-      rows(ExtractionJob.extract(spark, branchEdit).toDF()))
+      rows(ExtractionJob.extract(spark, both).toDF()))
+    // CDC attributes the cherry-picked delta to ITS published snapshot
+    assert(ExtractionJob.readAppendsBetween(spark, out, s0 + 1, s0 + 2)
+      .select("conv_id").distinct().as[String].collect().toSet == Set(vA))
+    assert(ExtractionJob.readDeleteKeysBetween(spark, out, s0 + 1, s0 + 2)
+      .select("conv_id").distinct().as[String].collect().toSet == Set(vA))
   }
 
-  test("a branch staged inside another stage's window: the second stager refuses before writing its ref") {
+  test("two branches staged concurrently: both pend, publish in either order (fast-forward then cherry-pick)") {
     val ss = spark
     import ss.implicits._
     val out = Files.createTempDirectory("graft-wap-race-2stage").toString
@@ -373,26 +388,138 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val turns = Transcripts.generate(spark, 10)
     assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
     val s0 = ExtractionJob.latestSnapshot(out).get
-    val victim = turns.select("conv_id").as[String].head()
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val vA = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
+    val vB = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 1).get
     val editA = turns.map(t =>
-      if (t.conv_id == victim) t.copy(text = t.text + "\nZip: 10001") else t)
+      if (t.conv_id == vA) t.copy(text = t.text + "\nZip: 10001") else t)
     val editB = turns.map(t =>
-      if (t.conv_id == victim) t.copy(text = t.text + "\nZip: 94103") else t)
+      if (t.conv_id == vB) t.copy(text = t.text + "\nZip: 94103") else t)
 
+    // the second stage lands inside the first stage's widest window:
+    // branch-scoped staging means neither can clobber the other
     withRace(() =>
       assert(ExtractionJob.run(spark, editA,
         cfg.copy(toBranch = Some("first"))).nonEmpty)
     ) {
-      intercept[CommitConflictException] {
-        ExtractionJob.run(spark, editB,
-          cfg.copy(toBranch = Some("second"), commitRetries = 0))
-      }
+      assert(ExtractionJob.run(spark, editB,
+        cfg.copy(toBranch = Some("second"), commitRetries = 0)).nonEmpty)
     }
-    // exactly ONE pending branch — the winner's; the loser left no ref
-    assert(ExtractionJob.branches(out) == Map("first" -> (s0 + 1)))
+    // BOTH branches pend, each audited independently against the head
+    assert(ExtractionJob.branches(out) ==
+      Map("first" -> (s0 + 1), "second" -> (s0 + 1)))
     assert(ExtractionJob.auditBranch(spark, out, "first").ok)
-    ExtractionJob.abandonBranch(out, "first")
+    assert(ExtractionJob.auditBranch(spark, out, "second").ok)
+    // publish "second" first (fast-forward: head unmoved), then "first"
+    // (cherry-pick: "second"'s publish moved the head, disjoint buckets)
+    assert(ExtractionJob.publishBranch(out, "second") == s0 + 1)
+    assert(ExtractionJob.publishBranch(spark, out, "first") == s0 + 2)
     assert(ExtractionJob.branches(out).isEmpty)
+    val both = turns.map { t =>
+      if (t.conv_id == vA) t.copy(text = t.text + "\nZip: 10001")
+      else if (t.conv_id == vB) t.copy(text = t.text + "\nZip: 94103") else t
+    }
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, both).toDF()))
+  }
+
+  test("cherry-pick conflict detection: same-bucket interference and maintenance rewrites refuse; abandon recovers") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-cpconflict").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 10)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val victim = turns.select("conv_id").as[String].head()
+    val branchEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCity: Austin") else t)
+    val headEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nCity: Boston") else t)
+
+    // SAME conversation re-extracted on the head while the branch pends:
+    // the branch's audit no longer describes that bucket — refuse
+    assert(ExtractionJob.run(spark, branchEdit,
+      cfg.copy(toBranch = Some("stale"))).nonEmpty)
+    assert(ExtractionJob.run(spark, headEdit, cfg).nonEmpty)
+    val clash = intercept[CommitConflictException] {
+      ExtractionJob.publishBranch(spark, out, "stale")
+    }
+    assert(clash.getMessage.contains("same") && clash.getMessage.contains("bucket"),
+      clash.getMessage)
+    // the head's content is untouched by the refused publish
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, headEdit).toDF()))
+    ExtractionJob.abandonBranch(out, "stale")
+    assert(ExtractionJob.branches(out).isEmpty)
+
+    // a maintenance rewrite (compaction) landing while a branch pends
+    // physically rewrites files the staged manifest references — refuse
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val vA = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
+    val editA = turns.map(t =>
+      if (t.conv_id == vA) t.copy(text = t.text + "\nFloor: 2") else t)
+    assert(ExtractionJob.run(spark, editA,
+      cfg.copy(toBranch = Some("preRewrite"))).nonEmpty)
+    ExtractionJob.rewriteSorted(spark, out, targetRowsPerFile = 1000)
+    val rw = intercept[CommitConflictException] {
+      ExtractionJob.publishBranch(spark, out, "preRewrite")
+    }
+    assert(rw.getMessage.contains("rewrite"), rw.getMessage)
+    ExtractionJob.abandonBranch(out, "preRewrite")
+    assert(ExtractionJob.branches(out).isEmpty)
+  }
+
+  test("publish crash-resume: a publish that committed but died before retiring the branch artifacts finishes idempotently") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-pubcrash").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 10)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val vA = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
+    val vB = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 1).get
+    val branchEdit = turns.map(t =>
+      if (t.conv_id == vA) t.copy(text = t.text + "\nSuite: 4B") else t)
+    val headEdit = turns.map(t =>
+      if (t.conv_id == vB) t.copy(text = t.text + "\nSuite: 9C") else t)
+    assert(ExtractionJob.run(spark, branchEdit,
+      cfg.copy(toBranch = Some("crashy"))).nonEmpty)
+    assert(ExtractionJob.run(spark, headEdit, cfg).nonEmpty) // head moves
+
+    // snapshot the branch artifacts, publish (cherry-pick), then restore
+    // them — exactly the on-disk state of a publish that committed its
+    // merged snapshot but crashed before retirement
+    val fmt = SnapshotManifestFormat
+    val manPath = Paths.get(out, "snapshots", "snap-branch-crashy.json")
+    val refPath = Paths.get(out, "snapshots", "branch-crashy")
+    val linPath = Paths.get(out, "lineage", "lineage-branch-crashy.json")
+    val manBytes = Files.readAllBytes(manPath)
+    val refBytes = Files.readAllBytes(refPath)
+    val linBytes = Files.readAllBytes(linPath)
+    val published = ExtractionJob.publishBranch(spark, out, "crashy")
+    assert(published == s0 + 2)
+    Files.write(manPath, manBytes)
+    Files.write(refPath, refBytes)
+    Files.write(linPath, linBytes)
+
+    // the resumed publish detects the already-published delta, finishes
+    // the retirement, and reports the SAME snapshot id — no double-apply
+    val resumed = ExtractionJob.publishBranch(spark, out, "crashy")
+    assert(resumed == published, s"expected idempotent resume at $published, got $resumed")
+    assert(ExtractionJob.branches(out).isEmpty)
+    assert(!Files.exists(manPath) && !Files.exists(linPath))
+    assert(ExtractionJob.latestSnapshot(out).contains(s0 + 2),
+      "resume must not commit a second snapshot")
+    val both = turns.map { t =>
+      if (t.conv_id == vA) t.copy(text = t.text + "\nSuite: 4B")
+      else if (t.conv_id == vB) t.copy(text = t.text + "\nSuite: 9C") else t
+    }
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, both).toDF()))
   }
 
   test("audit reports per-bucket row deltas from manifest stats and schema drift vs head") {
