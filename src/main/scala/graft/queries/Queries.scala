@@ -1077,6 +1077,130 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Bigram LM training counts (q54): the count tables an n-gram language
+    * model (or a Kneser–Ney smoother) trains from — top-k adjacent word
+    * pairs by frequency, each carrying the KN *continuation count* (how
+    * many distinct LEFT contexts the right word appears after, computed
+    * over bigram TYPES, not tokens).
+    *
+    * Scale shape: one corpus-sized shuffle — the (w1, w2) count agg,
+    * map-side partial, output bounded by distinct-bigram count, never by
+    * corpus size. Continuation counts derive from that already-deduped
+    * bigram table (a second counts-only agg), top-k is TakeOrdered, and
+    * the final enrichment joins the k-row top set (broadcast) against the
+    * continuation counts — no window ever sees the corpus. */
+  def q54BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val k = 300
+    val grams = table(spark, dir, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val counts = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    // KN continuation count: distinct left contexts per right word — a
+    // plain count over bigram TYPES because `counts` is already deduped
+    val cont = counts.groupBy("w2").agg(count(lit(1)).as("n_left"))
+    val top = counts.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(k)
+    cont.join(broadcast(top), Seq("w2"))
+      .select(col("w1"), col("w2"), col("cnt"), col("n_left"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+  }
+
+  /** Fixed-point quality-classifier scoring (q55): a linear document
+    * quality model (stopword density, terminal punctuation, uppercase and
+    * digit noise) evaluated in integer milli-units — the deployable twin
+    * of a fastText-style quality filter, with bit-identical scores on any
+    * engine because every term is bigint arithmetic (no floats anywhere).
+    *
+    * Scale shape: perfectly row-local — every feature and the score come
+    * from the scan projection; zero shuffles, full codegen. This is the
+    * shape a 100 TB scoring pass must have: any formulation that shuffles
+    * is wrong. */
+  def q55QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    def countOf(pattern: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    table(spark, dir, "documents")
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"CAST(size(filter(w, x -> x IN ($stopList))) AS BIGINT)").as("n_stop"),
+        countOf("[.!?]").as("n_term"),
+        countOf("[A-Z]").as("n_upper"),
+        countOf("[0-9]").as("n_digit"))
+      // integer milli-units end-to-end: DIV (not /) keeps both engines on
+      // exact bigint division; weights are the model's fixed point
+      .withColumn("score_milli", expr(
+        "CAST((n_stop * 5000 + n_term * 2000) DIV n_words " +
+          "- (n_upper * 1000 + n_digit * 2000) DIV n_chars AS BIGINT)"))
+      .withColumn("band",
+        when(col("score_milli") >= 1500, "high")
+          .when(col("score_milli") >= 500, "mid").otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source corpus dashboard (q56): the CCNet-style per-domain report
+    * — document count, token volume, mean length, language spread, and
+    * how many of the source's documents are exact duplicates of ANYTHING
+    * corpus-wide (cross-source duplication is the interesting signal: a
+    * mirror site shows up here before any quality metric moves).
+    *
+    * Scale shape: text dies in the scan projection (md5 + token count);
+    * the duplicate-hash set is a counts-only agg and membership a semi
+    * join on the hash — shuffles carry (hash, source, lang, n_tokens)
+    * rows, never text; output is one row per source. */
+  def q56SourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val dupHashes = d.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("h")
+    val dupPerSource = d.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).cast("long").as("n_langs"))
+      .join(dupPerSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("CAST(total_tokens DIV n_docs AS BIGINT)").as("mean_tokens"),
+        col("n_langs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .orderBy("source")
+  }
+
+  /** Deterministic train/val/test split report (q57): every document is
+    * assigned a split by its md5 hex prefix (val < 0d ≈ 5%, test < 1a ≈
+    * 5%, train otherwise — the q38 hash-threshold idiom), and the report
+    * is the per-(split, lang) row count, token volume, and doc_id
+    * checksum. Hash-based splits are the only splits that stay stable
+    * when the corpus is re-partitioned, re-ordered, or incrementally
+    * extended — row_number-based splits are not reproducible at scale.
+    *
+    * Scale shape: split assignment is row-local; the only shuffle is the
+    * final counts-only agg (map-side partial, ≤ |splits|·|langs| rows
+    * out). */
+  def q57TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("k"))
+      .withColumn("split",
+        when(col("k") < "0d", "val").when(col("k") < "1a", "test").otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("split", "lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -1130,7 +1254,11 @@ object Queries {
     "q50_length_percentiles" -> q50LengthPercentiles _,
     "q51_asof_join" -> q51AsofJoin _,
     "q52_range_join" -> q52RangeJoin _,
-    "q53_sessionize" -> q53Sessionize _
+    "q53_sessionize" -> q53Sessionize _,
+    "q54_bigram_lm" -> q54BigramLm _,
+    "q55_quality_score" -> q55QualityScore _,
+    "q56_source_stats" -> q56SourceStats _,
+    "q57_train_split" -> q57TrainSplit _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -1305,6 +1433,21 @@ object Queries {
       // decode + frame sampling + resize) come from the dumped output
       """WITH m AS (SELECT doc_id, audio_checksum, video_checksum, thumb_checksum FROM read_parquet('__OUT__/q35_audio_video/*.parquet')) SELECT d.doc_id, CAST(8000 + (d.doc_id % 4) * 4000 AS INTEGER) AS sample_rate, CAST(1600 + (d.doc_id % 7) * 800 AS INTEGER) AS n_samples, CAST(((1600 + (d.doc_id % 7) * 800) * 1000) // (8000 + (d.doc_id % 4) * 4000) AS INTEGER) AS duration_ms, CAST(8 + (d.doc_id % 5) * 4 AS INTEGER) AS n_frames, CAST((8 + (d.doc_id % 5) * 4 + 2) // 3 AS INTEGER) AS sampled_frames, m.audio_checksum, m.video_checksum, m.thumb_checksum FROM documents d JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q16_ann_cosine" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank"""
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id ASC) AS rank FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q54_bigram_lm" ->
+      // same adjacent-pair tokenization, same (cnt desc, w1, w2) total
+      // order for the top-k cut, continuation counts over bigram TYPES
+      """WITH d AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2), g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true) FROM d), c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2), n AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM c GROUP BY 1), t AS (SELECT * FROM c ORDER BY cnt DESC, w1, w2 LIMIT 300) SELECT t.w1, t.w2, t.cnt, n.n_left FROM t JOIN n USING (w2) ORDER BY cnt DESC, w1, w2""",
+    "q55_quality_score" ->
+      // identical integer milli-unit formula: bigint // division in both
+      // engines, regex character classes Java and RE2 agree on
+      """WITH f AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT) AS n_stop, CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_term, CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit FROM documents WHERE length(text) >= 1) SELECT doc_id, n_words, n_chars, n_stop, n_term, n_upper, n_digit, CAST((n_stop * 5000 + n_term * 2000) // n_words - (n_upper * 1000 + n_digit * 2000) // n_chars AS BIGINT) AS score_milli, CASE WHEN (n_stop * 5000 + n_term * 2000) // n_words - (n_upper * 1000 + n_digit * 2000) // n_chars >= 1500 THEN 'high' WHEN (n_stop * 5000 + n_term * 2000) // n_words - (n_upper * 1000 + n_digit * 2000) // n_chars >= 500 THEN 'mid' ELSE 'low' END AS band FROM f ORDER BY doc_id""",
+    "q56_source_stats" ->
+      // same md5-of-text duplicate identity (lowercase hex both engines),
+      // same bigint mean division
+      """WITH d AS (SELECT doc_id, source, lang, md5(text) AS h, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), dup AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1), ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs FROM d WHERE h IN (SELECT h FROM dup) GROUP BY 1), s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM d GROUP BY 1) SELECT s.source, s.n_docs, s.total_tokens, CAST(s.total_tokens // s.n_docs AS BIGINT) AS mean_tokens, s.n_langs, CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs FROM s LEFT JOIN ds USING (source) ORDER BY source""",
+    "q57_train_split" ->
+      // same md5-hex-prefix thresholds over the decimal doc_id string
+      """WITH a AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS k FROM documents), s AS (SELECT *, CASE WHEN k < '0d' THEN 'val' WHEN k < '1a' THEN 'test' ELSE 'train' END AS split FROM a) SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

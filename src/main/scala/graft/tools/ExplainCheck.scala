@@ -177,6 +177,34 @@ object ExplainCheck {
       ("windows share one sort",
         p => "Sort \\[user_id".r.findAllIn(p).length <= 1),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q54_bigram_lm", graft.queries.Queries.q54BigramLm(spark, dir),
+      // corpus shuffle is the bigram count agg (map-side partial);
+      // top-k is TakeOrdered; the k-row top set broadcasts into the
+      // continuation-count join
+      ("partial count agg before shuffle", _.contains("partial_count")),
+      ("top-k is TakeOrdered, not a global sort", _.contains("TakeOrderedAndProject")),
+      ("k-row top set broadcasts", _.contains("BroadcastHashJoin")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q55_quality_score", graft.queries.Queries.q55QualityScore(spark, dir),
+      // scoring is row-local: no exchange anywhere except the output sort
+      ("no hash exchange (row-local scoring)",
+        p => !p.contains("Exchange hashpartitioning")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q56_source_stats", graft.queries.Queries.q56SourceStats(spark, dir),
+      // text dies in the scan projection (md5 + token count); dup
+      // membership is a semi join; aggs are map-side partial
+      ("partial agg before shuffle", _.contains("partial_")),
+      ("dup membership is a semi join", _.contains("LeftSemi")),
+      ("text never shuffles",
+        p => !"Exchange[^\\n]*text#".r.findFirstIn(p).isDefined),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q57_train_split", graft.queries.Queries.q57TrainSplit(spark, dir),
+      // split assignment is row-local; the only shuffle is the final
+      // counts-only agg
+      ("partial agg before shuffle", _.contains("partial_")),
+      ("single hash exchange (final agg only)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
