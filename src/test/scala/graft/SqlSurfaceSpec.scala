@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import graft.spark.{ExtractionJob, Transcripts}
+import java.nio.file.Files
+
+/** The SQL table-valued-function surface (`graft_table` & co., injected
+  * via SparkSessionExtensions): SQL reads must be plan-identical to the
+  * DataFrame reads they delegate to — same rows, same integrity checks,
+  * and the same parquet-scan pushdown (a `WHERE conv_id = 'x'` from SQL
+  * lands in PushedFilters exactly like the programmatic route). */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var out: String = _
+  private var s0: Int = -1
+
+  override def beforeAll(): Unit = {
+    // extensions only apply at session CREATION — make sure no prior
+    // suite's session gets silently reused (builder configs are ignored
+    // on reuse; see the repo's test-session gotchas)
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-surface")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    out = Files.createTempDirectory("graft-sql-surface").toString
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 20)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    s0 = ExtractionJob.latestSnapshot(out).get
+    // move the head once so time travel has something to travel past
+    val victim = turns.select("conv_id").collect().map(_.getString(0)).min
+    val ss = spark; import ss.implicits._
+    val edited = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nRoom: 12") else t)
+    assert(ExtractionJob.run(spark, edited, cfg).nonEmpty)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("graft_table matches readCommitted row-for-row; scalar functions coexist") {
+    val viaSql = sql(s"SELECT conv_id, turn_idx, main_text FROM graft_table('$out')")
+      .collect().map(_.toString).sorted
+    val viaApi = ExtractionJob.readCommitted(spark, out)
+      .select("conv_id", "turn_idx", "main_text").collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaApi.toSeq)
+    // scalar extension functions resolve in the same session
+    val h = sql("SELECT graft_hash64('abc') AS h").collect().head.getLong(0)
+    assert(h == graft.functions.TextFns.hash64("abc"))
+  }
+
+  test("SQL filter pushdown reaches the parquet scan (PushedFilters on conv_id)") {
+    val conv = ExtractionJob.readCommitted(spark, out)
+      .select("conv_id").collect().map(_.getString(0)).min
+    val df = sql(s"SELECT * FROM graft_table('$out') WHERE conv_id = '$conv'")
+    df.collect() // force execution so the final plan exists
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("conv_id"),
+      s"expected conv_id in PushedFilters, plan:\n${plan.take(2000)}")
+    val viaApi = ExtractionJob.readCommittedForConvs(spark, out, Seq(conv))
+      .select("conv_id", "turn_idx", "main_text").collect().map(_.toString).sorted
+    val viaSql = df.select("conv_id", "turn_idx", "main_text")
+      .collect().map(_.toString).sorted
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("time travel, tags, branches, and CDC all read through SQL") {
+    val head = ExtractionJob.latestSnapshot(out).get
+    // time travel: the pre-edit snapshot has no 'Room: 12' anywhere
+    val old = sql(s"SELECT main_text FROM graft_table('$out', $s0)")
+      .collect().map(_.getString(0))
+    assert(!old.exists(_.contains("Room: 12")))
+    assert(sql(s"SELECT main_text FROM graft_table('$out')")
+      .collect().map(_.getString(0)).exists(_.contains("Room: 12")))
+
+    // tag pins the old snapshot by name
+    ExtractionJob.tagSnapshot(out, "v0", s0)
+    val viaTag = sql(s"SELECT main_text FROM graft_table_tag('$out', 'v0')")
+      .collect().map(_.getString(0)).sorted
+    assert(viaTag.toSeq == old.sorted.toSeq)
+
+    // a staged branch is visible via graft_table_branch, invisible at head
+    val ss = spark; import ss.implicits._
+    val turns = Transcripts.generate(spark, 20)
+    val victim = turns.select("conv_id").collect().map(_.getString(0)).max
+    val branchEdit = turns.map(t =>
+      if (t.conv_id == victim) t.copy(text = t.text + "\nWard: 7") else t)
+    val cfg = ExtractionJob.Config(out, buckets = 4, waves = 1, convGrained = true,
+      autoCompactDeletes = 0, toBranch = Some("sqlview"))
+    assert(ExtractionJob.run(spark, branchEdit, cfg).nonEmpty)
+    assert(sql(s"SELECT main_text FROM graft_table_branch('$out', 'sqlview')")
+      .collect().map(_.getString(0)).exists(_.contains("Ward: 7")))
+    assert(!sql(s"SELECT main_text FROM graft_table('$out')")
+      .collect().map(_.getString(0)).exists(_.contains("Ward: 7")))
+    ExtractionJob.abandonBranch(out, "sqlview")
+
+    // CDC: SQL range read equals the programmatic appends read
+    val viaSqlCdc = sql(s"SELECT conv_id, turn_idx FROM graft_table_changes('$out', $s0, $head)")
+      .collect().map(_.toString).sorted
+    val viaApiCdc = ExtractionJob.readAppendsBetween(spark, out, s0, head)
+      .select("conv_id", "turn_idx").collect().map(_.toString).sorted
+    assert(viaSqlCdc.nonEmpty && viaSqlCdc.toSeq == viaApiCdc.toSeq)
+
+    // metadata TVFs are manifest-sized SQL views
+    val snaps = sql(s"SELECT snapshot_id, is_current FROM graft_table_snapshots('$out')").collect()
+    assert(snaps.map(_.getInt(0)).toSet.contains(head))
+    assert(snaps.count(_.getBoolean(1)) == 1)
+    val nFiles = sql(s"SELECT count(*) FROM graft_table_files('$out')").collect().head.getLong(0)
+    assert(nFiles == ExtractionJob.readManifest(out).get.files.size)
+  }
+
+  test("TVF argument validation: non-literal and wrong-arity calls fail at analysis") {
+    intercept[Exception] { sql("SELECT * FROM graft_table()") }
+    intercept[Exception] {
+      sql(s"SELECT * FROM graft_table('$out', 1, 2, 3)")
+    }
+  }
+}
