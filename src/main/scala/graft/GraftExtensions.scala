@@ -25,6 +25,8 @@ import graft.functions.{BpeTokenCount64, Hash64, JaccardShingles1000, LangId, Ls
   *
   *   - `graft_table('/path')`              — current committed snapshot
   *   - `graft_table('/path', K)`           — time travel to snapshot K
+  *   - `graft_table_at('/path', '2026-08-18T12:00:00Z')` — time travel by
+  *                                           ISO-8601 instant
   *   - `graft_table_branch('/path', 'b')`  — a pending WAP branch's staged
   *                                           view (the audit surface)
   *   - `graft_table_tag('/path', 't')`     — the snapshot a tag pins
@@ -113,6 +115,11 @@ object GraftExtensions {
           if (args.length == 1) job.readCommitted(spark, path)
           else job.readCommittedAsOf(spark, path, litInt("graft_table", "snapshot", args(1)))
         df.queryExecution.analyzed
+      },
+      tvf("graft_table_at", Set(2)) { (spark, args) =>
+        job.readCommittedAsOfTimestamp(spark,
+          litString("graft_table_at", "path", args.head),
+          litString("graft_table_at", "timestamp", args(1))).queryExecution.analyzed
       },
       tvf("graft_table_branch", Set(2)) { (spark, args) =>
         job.readCommittedAtBranch(spark,

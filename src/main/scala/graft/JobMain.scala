@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   * --expire=N retains only the N most recent snapshots and GCs files no
   * retained manifest references (expire_snapshots analog; time travel to
   * expired snapshots becomes unavailable).
+  * --expire-branches=AGE_MS abandons pending WAP branches staged longer
+  * ago than AGE_MS (branch max-ref-age retention): a never-published
+  * stage pins its files against GC forever otherwise.
   * --get-conv=ID[,ID...] skips extraction and performs a keyed read of the
   * committed table instead: manifest-level data skipping (recorded bucket
   * modulus + per-file conv_id bounds) plans only the files that can hold
@@ -45,8 +48,10 @@ import org.apache.spark.sql.SparkSession
   * maintenance flags apply to the replica after the pass.
   * --to-branch=NAME stages the run's conv-grained delta commit on an
   * unpublished branch ref (write-audit-publish): readers of the table see
-  * nothing, and the table head is frozen, until --publish-branch or
-  * --abandon-branch. --audit-branch=NAME prints the structural audit
+  * nothing until --publish-branch (which cherry-picks over any commits
+  * that landed while the branch pended) or --abandon-branch; the table
+  * stays fully writable meanwhile. --audit-branch=NAME prints the
+  * structural audit
   * (key uniqueness under MOR deletes, null payloads, file intactness) and
   * exits nonzero when it fails, so
   * `--audit-branch=N && --publish-branch=N` is the WAP pipeline.
@@ -109,6 +114,16 @@ object JobMain {
         require(ms >= 0, s"--remove-orphans=AGE_MS must be >= 0, got $ms")
         ms
       }
+    val branchTtl: Option[Long] =
+      args.find(_.startsWith("--expire-branches=")).map { a =>
+        val ms =
+          try a.stripPrefix("--expire-branches=").toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"--expire-branches=AGE_MS requires an integer, got: $a")
+          }
+        require(ms >= 0, s"--expire-branches=AGE_MS must be >= 0, got $ms")
+        ms
+      }
     val expireRetain: Option[Int] =
       args.find(_.startsWith("--expire=")).map { a =>
         val n = // fail at PARSE time, not after the whole extraction ran
@@ -165,12 +180,13 @@ object JobMain {
     // a pending branch freezes the table head, so head-committing
     // maintenance cannot ride the same invocation — it runs post-publish
     require(toBranch.isEmpty || (!doCompact && rebucketTo.isEmpty && setProps.isEmpty &&
-        rewriteSortedTarget.isEmpty && binpackMin.isEmpty &&
+        rewriteSortedTarget.isEmpty && binpackMin.isEmpty && branchTtl.isEmpty &&
         !args.exists(_.startsWith("--stream-ingest=")) &&
         !args.exists(_.startsWith("--replicate="))),
-      "--to-branch does not compose with head-committing flags " +
-        "(--compact/--rebucket/--rewrite-sorted/--set-prop/--stream-ingest/--replicate): " +
-        "the staged branch freezes the table until it is published or abandoned")
+      "--to-branch does not compose with maintenance flags " +
+        "(--compact/--rebucket/--rewrite-sorted/--set-prop/--expire-branches/" +
+        "--stream-ingest/--replicate): a rewrite landing while the branch pends makes it " +
+        "unpublishable, and a TTL sweep could abandon the stage this same invocation created")
     // single-purpose mode flags early-return: refuse combinations whose
     // extra flags would otherwise be silently discarded (an operator
     // scripting "roll back AND pin" must not get a half-applied operation)
@@ -191,6 +207,7 @@ object JobMain {
     if (modeFlags.nonEmpty)
       require(!doCompact && expireRetain.isEmpty && orphanAge.isEmpty && setProps.isEmpty &&
           rebucketTo.isEmpty && rewriteSortedTarget.isEmpty && binpackMin.isEmpty &&
+          branchTtl.isEmpty &&
           !args.exists(_.startsWith("--stream-ingest=")) &&
           !args.exists(_.startsWith("--replicate=")),
         s"${modeFlags.head} does not compose with maintenance or ingest flags " +
@@ -451,7 +468,7 @@ object JobMain {
           "the source bucket layout — rebucket the SOURCE and re-baseline instead")
       val rows = graft.spark.TableReplication.replicateAvailableNow(spark, input, outDir, ckpt)
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo, rewriteSortedTarget, binpackMin)
+        rebucketTo, rewriteSortedTarget, binpackMin, branchTtl)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"replicate":true,"snapshot":$snap,"rows_applied":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -466,7 +483,7 @@ object JobMain {
       // they do with a batch run — a scheduled ingest+retention invocation
       // must not silently drop its retention half
       val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-        rebucketTo, rewriteSortedTarget, binpackMin)
+        rebucketTo, rewriteSortedTarget, binpackMin, branchTtl)
       val snap = graft.spark.ExtractionJob.latestSnapshot(outDir).getOrElse(-1)
       println(s"""{"stream_ingest":true,"snapshot":$snap,"rows_appended":$rows,$maint"out":"$outDir"}""")
       if (preexisting.isEmpty) spark.stop()
@@ -477,7 +494,7 @@ object JobMain {
       graft.spark.ExtractionJob.Config(outDir, buckets = buckets, waves = waves,
         fingerprintInputs = fingerprint, convGrained = convGrained, toBranch = toBranch))
     val maint = runMaintenance(spark, outDir, doCompact, expireRetain, orphanAge, setProps,
-      rebucketTo, rewriteSortedTarget, binpackMin)
+      rebucketTo, rewriteSortedTarget, binpackMin, branchTtl)
     // truthful only: a no-op run (input unchanged, nothing dirty) stages no
     // ref — report null so an unattended WAP pipeline skips the audit step
     // instead of crashing on a branch that was never created
@@ -498,7 +515,8 @@ object JobMain {
                              setProps: Map[String, String],
                              rebucketTo: Option[Int] = None,
                              rewriteSorted: Option[Long] = None,
-                             binpackMin: Option[Long] = None): String = {
+                             binpackMin: Option[Long] = None,
+                             branchTtl: Option[Long] = None): String = {
     // rebucket FIRST: the replacing rewrite applies pending deletes itself,
     // so a combined --rebucket --compact invocation compacts a clean table
     val rebucketed = rebucketTo.map { n =>
@@ -523,11 +541,16 @@ object JobMain {
       case Some(ms) => graft.spark.ExtractionJob.removeOrphanFiles(outDir, ms).total
       case None => 0
     }
+    // branch retention after snapshot expiry: an expired-stale branch no
+    // longer pins files, so the NEXT --remove-orphans sweep reclaims them
+    val expiredBranches = branchTtl
+      .map(ms => graft.spark.ExtractionJob.expireBranches(outDir, ms)).getOrElse(Seq.empty)
     if (setProps.nonEmpty) graft.spark.SnapshotManifestFormat.setTableProps(outDir, setProps)
     s""""rebucketed_to":${rebucketed.getOrElse(0)},"compacted_buckets":${compacted.size},""" +
       s""""binpacked_buckets":${binpacked.size},""" +
       s""""sort_rewritten_target":${sortRewritten.getOrElse(0)},""" +
       s""""expired_snapshots":$expired,"gc_files":$gcFiles,"orphans_removed":$orphans,""" +
+      s""""expired_branches":${expiredBranches.size},""" +
       s""""props_set":${setProps.size},"""
   }
 }

@@ -731,6 +731,16 @@ object ExtractionJob {
   def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame =
     defaultFormat.readCommittedAsOf(spark, outDir, snapshotId)
 
+  /** Time-travel read by ISO-8601 instant (see
+    * TableFormat.readCommittedAsOfTimestamp). */
+  def readCommittedAsOfTimestamp(spark: SparkSession, outDir: String, ts: String): DataFrame =
+    defaultFormat.readCommittedAsOfTimestamp(spark, outDir, ts)
+
+  /** The snapshot the table served at an instant (see
+    * TableFormat.snapshotAsOfTimestamp). */
+  def snapshotAsOfTimestamp(outDir: String, tsMillis: Long): Int =
+    defaultFormat.snapshotAsOfTimestamp(outDir, tsMillis)
+
   /** Snapshot expiry (see TableFormat.expireSnapshots). */
   def expireSnapshots(outDir: String, retainLast: Int): (Int, Int) =
     defaultFormat.expireSnapshots(outDir, retainLast)
@@ -776,6 +786,11 @@ object ExtractionJob {
   /** WAP abandon: drop the staged snapshot and GC what only it references. */
   def abandonBranch(outDir: String, name: String): Unit =
     defaultFormat.abandonBranch(outDir, name)
+
+  /** Branch retention: abandon pending branches staged longer ago than
+    * `olderThanMs` (see TableFormat.expireBranches). */
+  def expireBranches(outDir: String, olderThanMs: Long): Seq[String] =
+    defaultFormat.expireBranches(outDir, olderThanMs)
 
   /** WAP audit read: the branch's snapshot exactly as the table would
     * serve it after publish (MOR deletes applied). */

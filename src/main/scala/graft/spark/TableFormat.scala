@@ -125,6 +125,23 @@ trait TableFormat {
     * expire_snapshots/GC. */
   def readCommittedAsOf(spark: SparkSession, outDir: String, snapshotId: Int): DataFrame
 
+  /** Time travel by TIMESTAMP (Iceberg `FOR SYSTEM_TIME AS OF` analog):
+    * the snapshot the table served at `tsMillis` — the highest snapshot
+    * id whose recorded commit instant is at or before it. Snapshot ids
+    * are committed serially (the CAS), so id order IS commit order; the
+    * recorded instants assume commit-side clocks sane to within the
+    * gap between commits, the same contract Iceberg's timestamp travel
+    * carries. Legacy manifests without a commit instant are never
+    * selected (their time is unknowable); throws when no snapshot is old
+    * enough. */
+  def snapshotAsOfTimestamp(outDir: String, tsMillis: Long): Int
+
+  /** [[snapshotAsOfTimestamp]] + [[readCommittedAsOf]] in one step; `ts`
+    * is an ISO-8601 instant (e.g. "2026-08-18T12:00:00Z"). */
+  def readCommittedAsOfTimestamp(spark: SparkSession, outDir: String, ts: String): DataFrame =
+    readCommittedAsOf(spark, outDir,
+      snapshotAsOfTimestamp(outDir, java.time.Instant.parse(ts).toEpochMilli))
+
   /** Merge-on-read maintenance (Iceberg rewrite_data_files): rewrite the
     * buckets carrying equality deletes into clean sorted files and commit a
     * snapshot whose manifest references only the rewritten files (no delete
@@ -190,6 +207,15 @@ trait TableFormat {
     * table is untouched. Safe to re-run after a crash (the ref is removed
     * last). */
   def abandonBranch(outDir: String, name: String): Unit
+
+  /** Branch retention (Iceberg branch max-ref-age analog): abandon every
+    * pending branch whose STAGE instant is older than `olderThanMs` — a
+    * stage that was never audited/published within its TTL is an
+    * abandoned experiment holding GC hostage (its staged files pin
+    * expireSnapshots/removeOrphanFiles). Branches without a recorded
+    * stage instant are left alone (their age is unknowable). Returns the
+    * abandoned branch names, sorted. */
+  def expireBranches(outDir: String, olderThanMs: Long): Seq[String]
 
   /** Snapshot-isolated read of branch `name`'s staged snapshot — the
     * "audit" read of write-audit-publish, served with full MOR delete
@@ -1351,6 +1377,42 @@ object SnapshotManifestFormat extends TableFormat {
     }
     Files.deleteIfExists(ref)
     ()
+  }
+
+  override def snapshotAsOfTimestamp(outDir: String, tsMillis: Long): Int = {
+    val dated = allManifests(outDir).flatMap { m =>
+      m.committedAt.flatMap { s =>
+        try Some(m.snapshotId -> java.time.Instant.parse(s).toEpochMilli)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    }
+    require(dated.nonEmpty,
+      s"no retained snapshot under $outDir records a commit instant (legacy table) — " +
+        "time travel by timestamp needs committed_at; travel by snapshot id instead")
+    val qualifying = dated.filter(_._2 <= tsMillis)
+    if (qualifying.isEmpty) {
+      val earliest = dated.minBy(_._2)
+      throw new IllegalStateException(
+        s"no snapshot under $outDir is as old as ${java.time.Instant.ofEpochMilli(tsMillis)} — " +
+          s"earliest retained commit is snapshot ${earliest._1} at " +
+          s"${java.time.Instant.ofEpochMilli(earliest._2)} (older history expired)")
+    }
+    // ids are committed serially (CAS), so the highest qualifying id is
+    // the table's state at the instant even if writer clocks wobble
+    // within the inter-commit gap
+    qualifying.maxBy(_._1)._1
+  }
+
+  override def expireBranches(outDir: String, olderThanMs: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = pendingBranchManifests(outDir).toSeq.flatMap { case (name, man) =>
+      man.committedAt.flatMap { s =>
+        try Some(name -> java.time.Instant.parse(s).toEpochMilli)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    }.collect { case (name, staged) if staged <= cutoff => name }.sorted
+    stale.foreach(abandonBranch(outDir, _))
+    stale
   }
 
   override def readCommittedAtBranch(spark: SparkSession, outDir: String,

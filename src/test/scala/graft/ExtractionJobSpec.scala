@@ -746,6 +746,8 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
                                 from: Int, to: Int) = inner.readDeleteKeysBetween(s, outDir, from, to)
       def branches(outDir: String) = inner.branches(outDir)
+      def expireBranches(outDir: String, olderThanMs: Long) = inner.expireBranches(outDir, olderThanMs)
+      def snapshotAsOfTimestamp(outDir: String, tsMillis: Long) = inner.snapshotAsOfTimestamp(outDir, tsMillis)
       def publishBranch(outDir: String, name: String) = inner.publishBranch(outDir, name)
       def abandonBranch(outDir: String, name: String) = inner.abandonBranch(outDir, name)
       def readCommittedAtBranch(s: org.apache.spark.sql.SparkSession, outDir: String,

@@ -123,6 +123,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nFiles == ExtractionJob.readManifest(out).get.files.size)
   }
 
+  test("timestamp time travel: graft_table_at serves the snapshot live at the instant") {
+    val head = ExtractionJob.latestSnapshot(out).get
+    // the recorded commit instants come from the $snapshots metadata table
+    val instants = sql(s"SELECT snapshot_id, committed_at FROM graft_table_snapshots('$out')")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(instants.values.forall(_.nonEmpty), "every snapshot records its commit instant")
+    // at exactly s0's instant the table served s0 (ids are committed
+    // serially, so the highest qualifying id wins)
+    assert(ExtractionJob.snapshotAsOfTimestamp(out,
+      java.time.Instant.parse(instants(s0)).toEpochMilli) == s0)
+    // asking for "now" serves the head; asking before history errors
+    assert(ExtractionJob.snapshotAsOfTimestamp(out, System.currentTimeMillis()) == head)
+    intercept[IllegalStateException] {
+      ExtractionJob.snapshotAsOfTimestamp(out, 0L)
+    }
+    val viaTs = sql(s"SELECT main_text FROM graft_table_at('$out', '${instants(s0)}')")
+      .collect().map(_.getString(0)).sorted
+    val viaId = sql(s"SELECT main_text FROM graft_table('$out', $s0)")
+      .collect().map(_.getString(0)).sorted
+    assert(viaTs.toSeq == viaId.toSeq)
+  }
+
   test("TVF argument validation: non-literal and wrong-arity calls fail at analysis") {
     intercept[Exception] { sql("SELECT * FROM graft_table()") }
     intercept[Exception] {

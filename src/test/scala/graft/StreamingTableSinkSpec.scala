@@ -200,6 +200,8 @@ class StreamingTableSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     def readDeleteKeysBetween(s: org.apache.spark.sql.SparkSession, outDir: String,
                               from: Int, to: Int) = fmt.readDeleteKeysBetween(s, outDir, from, to)
     def branches(outDir: String) = fmt.branches(outDir)
+    def expireBranches(outDir: String, olderThanMs: Long) = fmt.expireBranches(outDir, olderThanMs)
+    def snapshotAsOfTimestamp(outDir: String, tsMillis: Long) = fmt.snapshotAsOfTimestamp(outDir, tsMillis)
     def publishBranch(outDir: String, name: String) = fmt.publishBranch(outDir, name)
     def abandonBranch(outDir: String, name: String) = fmt.abandonBranch(outDir, name)
     def readCommittedAtBranch(s: org.apache.spark.sql.SparkSession, outDir: String,

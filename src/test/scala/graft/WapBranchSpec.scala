@@ -522,6 +522,37 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(ExtractionJob.extract(spark, both).toDF()))
   }
 
+  test("branch retention: expireBranches abandons only stale stages and frees their files for GC") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-branchttl").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 8)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    def stage(name: String, conv: String): Unit = {
+      val edit = turns.map(t =>
+        if (t.conv_id == conv) t.copy(text = t.text + s"\nStage: $name") else t)
+      assert(ExtractionJob.run(spark, edit, cfg.copy(toBranch = Some(name))).nonEmpty)
+    }
+    stage("stale1", convs.head)
+    stage("stale2", convs.last)
+    assert(ExtractionJob.branches(out).keySet == Set("stale1", "stale2"))
+    // a generous TTL abandons nothing — both stages are seconds old
+    assert(ExtractionJob.expireBranches(out, olderThanMs = 24L * 3600 * 1000).isEmpty)
+    assert(ExtractionJob.branches(out).keySet == Set("stale1", "stale2"))
+    // TTL 0: every stage is older than "now" — both abandoned, files GC'd
+    val before = dataFiles(out)
+    assert(ExtractionJob.expireBranches(out, olderThanMs = 0L) == Seq("stale1", "stale2"))
+    assert(ExtractionJob.branches(out).isEmpty)
+    assert(dataFiles(out).size < before.size,
+      "abandoning the stale stages must GC their branch-only data files")
+    // the published table is untouched
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, turns).toDF()))
+  }
+
   test("audit reports per-bucket row deltas from manifest stats and schema drift vs head") {
     val ss = spark
     import ss.implicits._
