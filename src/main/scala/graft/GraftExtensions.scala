@@ -64,7 +64,16 @@ object GraftExtensions {
     one("graft_bpe_token_count")(BpeTokenCount64),
     one("graft_lang_id")(LangId),
     one("graft_lsh_band_keys")(LshBandKeys(_, 3, 64, 16)),
-    two("graft_jaccard_shingles")(JaccardShingles1000(_, _, 3)))
+    two("graft_jaccard_shingles")(JaccardShingles1000(_, _, 3)),
+    // aggregate: the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression, so graft_top_k(v, p, k) works in GROUP BY SQL
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_top_k expects (value, payload, k)")
+        graft.functions.TopKPairs(args(0), args(1),
+          litInt("graft_top_k", "k", args(2)))
+      }))
 
   /** A table-valued-function argument must be a foldable literal — the
     * table location / snapshot id is resolved at analysis time (the same

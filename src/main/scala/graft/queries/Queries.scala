@@ -1201,6 +1201,31 @@ object Queries {
       .orderBy("split", "lang")
   }
 
+  /** Per-group top-k without a window (q58): the k longest documents per
+    * language, ranked (n_tokens desc, doc_id asc) — served by the custom
+    * [[graft.functions.TopKPairs]] Catalyst aggregate instead of
+    * `row_number().over(Window.partitionBy("lang"))`.
+    *
+    * Scale shape: THE reason this operator exists. A per-lang rank window
+    * serializes each language (1/5 of a 10^12-row corpus) through one
+    * task's sort; the bounded-heap aggregate runs in ObjectHashAggregate
+    * with map-side partials, so each task keeps one k-slot heap per
+    * language and only O(|langs|·k) buffer bytes cross the exchange. No
+    * sort of corpus rows happens anywhere; the posexplode output is
+    * |langs|·k rows. */
+  def q58TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        col("doc_id").cast("long").as("doc_id"))
+    d.groupBy("lang")
+      .agg(graft.functions.TopKPairs.topKPairs(col("n_tokens"), col("doc_id"), 10).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.p").as("doc_id"), col("col.v").as("n_tokens"))
+      .orderBy("lang", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -1258,7 +1283,8 @@ object Queries {
     "q54_bigram_lm" -> q54BigramLm _,
     "q55_quality_score" -> q55QualityScore _,
     "q56_source_stats" -> q56SourceStats _,
-    "q57_train_split" -> q57TrainSplit _
+    "q57_train_split" -> q57TrainSplit _,
+    "q58_top_docs" -> q58TopDocs _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -1448,6 +1474,10 @@ object Queries {
       """WITH d AS (SELECT doc_id, source, lang, md5(text) AS h, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), dup AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1), ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs FROM d WHERE h IN (SELECT h FROM dup) GROUP BY 1), s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM d GROUP BY 1) SELECT s.source, s.n_docs, s.total_tokens, CAST(s.total_tokens // s.n_docs AS BIGINT) AS mean_tokens, s.n_langs, CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs FROM s LEFT JOIN ds USING (source) ORDER BY source""",
     "q57_train_split" ->
       // same md5-hex-prefix thresholds over the decimal doc_id string
-      """WITH a AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS k FROM documents), s AS (SELECT *, CASE WHEN k < '0d' THEN 'val' WHEN k < '1a' THEN 'test' ELSE 'train' END AS split FROM a) SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+      """WITH a AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS k FROM documents), s AS (SELECT *, CASE WHEN k < '0d' THEN 'val' WHEN k < '1a' THEN 'test' ELSE 'train' END AS split FROM a) SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q58_top_docs" ->
+      // the oracle MAY use the rank window (it is the oracle, not the
+      // 100 TB plan); same (n_tokens desc, doc_id) total order
+      """WITH t AS (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT lang, doc_id, n_tokens, row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rank FROM t) SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens FROM r WHERE rank <= 10 ORDER BY lang, rank"""
   )
 }

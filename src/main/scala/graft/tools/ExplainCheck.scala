@@ -205,6 +205,14 @@ object ExplainCheck {
       ("single hash exchange (final agg only)",
         p => "Exchange hashpartitioning".r.findAllIn(p).length == 1),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q58_top_docs", graft.queries.Queries.q58TopDocs(spark, dir),
+      // per-group top-k via the bounded-heap TypedImperativeAggregate:
+      // ObjectHashAggregate with a map-side partial, NO rank window and
+      // NO sort of corpus rows before the k-bounded exchange
+      ("bounded-heap agg runs in ObjectHashAggregate", _.contains("ObjectHashAggregate")),
+      ("map-side partial before the exchange", _.contains("partial_graft_top_k")),
+      ("no rank window anywhere", p => !p.contains("row_number") && !p.contains("Window")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),

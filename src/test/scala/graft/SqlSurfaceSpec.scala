@@ -61,6 +61,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scalar extension functions resolve in the same session
     val h = sql("SELECT graft_hash64('abc') AS h").collect().head.getLong(0)
     assert(h == graft.functions.TextFns.hash64("abc"))
+    // the custom top-k AGGREGATE works in GROUP BY SQL (analyzer wraps
+    // the returned AggregateFunction) — (v desc, p asc) order, k-bounded
+    val top = sql(
+      """SELECT g, graft_top_k(v, p, 2) AS t
+        |FROM VALUES ('a', 3L, 1L), ('a', 3L, 0L), ('a', 9L, 7L), ('b', 1L, 5L)
+        |  AS tbl(g, v, p)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(top.length == 2)
+    val aTop = top(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(aTop == Seq((9L, 7L), (3L, 0L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 5L)))
   }
 
   test("SQL filter pushdown reaches the parquet scan (PushedFilters on conv_id)") {
