@@ -33,6 +33,9 @@ import graft.functions.{BpeTokenCount64, Hash64, JaccardShingles1000, LangId, Ls
   *   - `graft_table_changes('/path', F, T)` — CDC appends in (F, T]
   *   - `graft_table_snapshots('/path')`    — `$snapshots` metadata table
   *   - `graft_table_files('/path'[, K])`   — `$files` metadata table
+  *   - `graft_table_lineage('/path')`      — `$lineage` metadata table
+  *   - `graft_table_partitions('/path'[, smallRows])` — `$partitions`
+  *                                           per-bucket health table
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.register(ext)
@@ -155,6 +158,17 @@ object GraftExtensions {
         val snap =
           if (args.length == 2) Some(litInt("graft_table_files", "snapshot", args(1))) else None
         job.readFilesTable(spark, path, snap).queryExecution.analyzed
+      },
+      tvf("graft_table_lineage", Set(1)) { (spark, args) =>
+        job.readLineageTable(spark,
+          litString("graft_table_lineage", "path", args.head)).queryExecution.analyzed
+      },
+      tvf("graft_table_partitions", Set(1, 2)) { (spark, args) =>
+        val path = litString("graft_table_partitions", "path", args.head)
+        val small =
+          if (args.length == 2) litInt("graft_table_partitions", "small_rows", args(1)).toLong
+          else 1000L
+        job.readPartitionsTable(spark, path, small).queryExecution.analyzed
       })
   }
 

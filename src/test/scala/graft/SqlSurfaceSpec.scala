@@ -134,6 +134,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps.count(_.getBoolean(1)) == 1)
     val nFiles = sql(s"SELECT count(*) FROM graft_table_files('$out')").collect().head.getLong(0)
     assert(nFiles == ExtractionJob.readManifest(out).get.files.size)
+    assert(sql(s"SELECT count(*) FROM graft_table_lineage('$out')")
+      .collect().head.getLong(0) > 0)
+    // file-footer row counts include rows pending MOR deletes, so the
+    // partitions sum bounds the committed read from above
+    val parts = sql(s"SELECT bucket, row_count FROM graft_table_partitions('$out')").collect()
+    assert(parts.nonEmpty && parts.map(_.getLong(1)).sum >=
+      ExtractionJob.readCommitted(spark, out).count())
   }
 
   test("timestamp time travel: graft_table_at serves the snapshot live at the instant") {
