@@ -92,7 +92,12 @@ object GraftExtensions {
     require(e.foldable, s"$fn: $arg must be a literal integer")
     e.eval() match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long    => l.intValue
+      case l: java.lang.Long =>
+        // toIntExact, not intValue: a BIGINT literal beyond Int range must
+        // fail loudly, not silently truncate to some other snapshot id
+        try Math.toIntExact(l.longValue)
+        catch { case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$fn: $arg is out of range for a snapshot id: $l") }
       case s: java.lang.Short   => s.intValue
       case b: java.lang.Byte    => b.intValue
       case other => throw new IllegalArgumentException(

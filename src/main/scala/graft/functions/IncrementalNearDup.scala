@@ -82,22 +82,50 @@ object IncrementalNearDup {
     graft.spark.StateDirs.readPartitioned(spark, dir, "bp", bps, emptyBands(spark))
       .select("doc_id", "band", "bp")
 
-  private def readWhole(spark: SparkSession, dir: Path, emptyLike: => DataFrame): DataFrame =
+  private def readWhole(spark: SparkSession, dir: Path, emptyLike: => DataFrame): DataFrame = {
+    recoverWhole(dir)
     if (!hasData(dir)) emptyLike else spark.read.parquet(dir.toString)
+  }
+
+  /** Finish (or discard) a replaceWhole interrupted by a crash. The swap
+    * protocol below only ever leaves one of three shapes:
+    *  - dir present: authoritative — any `.next` is an unfinished WRITE
+    *    (possibly partial parquet) and any `.old` a finished swap's
+    *    leftover; both are discardable.
+    *  - dir missing, `.next` present: the write COMPLETED (the swap's
+    *    first rename only runs after the parquet write returns) — finish
+    *    the swap by renaming `.next` into place.
+    *  - dir missing, only `.old` present: unreachable under the protocol
+    *    (between the two renames `.next` exists), but restoring `.old`
+    *    is still the safe reading of it. */
+  private def recoverWhole(dir: Path): Unit = {
+    val next = dir.resolveSibling(dir.getFileName.toString + ".next")
+    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+    if (Files.exists(dir)) { deleteRecursively(next); deleteRecursively(old) }
+    else if (Files.exists(next)) { Files.move(next, dir); deleteRecursively(old) }
+    else if (Files.exists(old)) Files.move(old, dir)
+  }
 
   /** Replace exactly the `bps` partitions of the band index with `rows`
     * (caller has materialized them — they were read from these dirs). */
   private def replaceBandParts(dir: Path, bps: Seq[Int], rows: DataFrame): Unit =
     graft.spark.StateDirs.replacePartitions(dir, "bp", bps, rows)
 
-  /** Atomically-enough replace of a small whole-table state dir: write to
-    * a sibling then swap (the state is single-writer by contract). */
+  /** Crash-safe replace of a small whole-table state dir (single-writer
+    * by contract): write the new state to `.next`, rename the current dir
+    * aside to `.old`, rename `.next` into place, then drop `.old`. Unlike
+    * delete-then-rename, every crash point leaves a recoverable shape —
+    * [[recoverWhole]] (run by every read and by the next replace) either
+    * finishes the swap or discards the unfinished write; the state can
+    * never silently become empty. */
   private def replaceWhole(dir: Path, rows: DataFrame): Unit = {
+    recoverWhole(dir)
     val tmp = dir.resolveSibling(dir.getFileName.toString + ".next")
-    deleteRecursively(tmp)
+    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
     rows.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    deleteRecursively(dir)
+    if (Files.exists(dir)) Files.move(dir, old)
     Files.move(tmp, dir)
+    deleteRecursively(old)
   }
 
   /** Current cluster assignment (doc_id, cluster). */

@@ -30,9 +30,18 @@ import org.apache.spark.sql.types._
 case class TopKPairs(value: Expression, payload: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k >= 1 && k <= (1 << 20), s"top-k bound must be in [1, 2^20], got $k")
+
+  // Coerce INT/SHORT/etc. children to BIGINT at analysis (or fail loudly
+  // there, naming the function) — without declared input types the
+  // asInstanceOf[Long] in update() throws a bare ClassCastException deep
+  // inside ObjectHashAggregate for any non-BIGINT column.
+  // (No explicit Seq[AbstractDataType] annotation: that type is
+  // private[sql] in Spark 4; the inferred type is identical.)
+  override def inputTypes = Seq(LongType, LongType)
 
   override def children: Seq[Expression] = Seq(value, payload)
   override def nullable: Boolean = false

@@ -157,9 +157,16 @@ object StreamingCurate {
           val s = cycleBatch(spark, tableDir, workDir, hashBuckets, -1, head)
           return Some(s.copy(from = last))
         }
-        if (from == head)
-          return Some(CycleStats(last, head, 0L, 0L, 0,
-            readCount(workDir).getOrElse(0L)))
+        if (from == head) {
+          // pre-upgrade workdirs have no _curated_rows file: count the
+          // corpus once and persist it (the same one-time migration
+          // cycleBatch runs), instead of reporting 0 curated rows
+          val rows = readCount(workDir).getOrElse {
+            val n = fullCuratedCount(spark, Paths.get(workDir, "curated"))
+            writeCount(workDir, n); n
+          }
+          return Some(CycleStats(last, head, 0L, 0L, 0, rows))
+        }
         return Some(cycleBatch(spark, tableDir, workDir, hashBuckets, from, head)
           .copy(from = last))
       }

@@ -13,7 +13,14 @@ import ExtractionJob.{FileEntry, LineageRow, Manifest}
   * caller may recompute against the new state and retry, exactly like
   * Iceberg's CommitFailedException.
   */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
+final class CommitConflictException(msg: String,
+                                     /** False for conflicts that re-validating cannot clear
+                                       * (cherry-pick bucket overlap, rewritten base files,
+                                       * divergent schema/modulus): re-running the same
+                                       * validation re-pays its Spark scans to throw the same
+                                       * error, so retry loops must propagate these at once. */
+                                     val retryable: Boolean = true)
+  extends RuntimeException(msg)
 
 /** Table-format seam (SURVEY.md §7.4.7): everything ExtractionJob needs
   * from the underlying table format — snapshot lookup, committed-state
@@ -583,6 +590,75 @@ object SnapshotManifestFormat extends TableFormat {
   private[spark] def branchLineagePath(outDir: String, name: String): Path =
     Paths.get(outDir, "lineage", s"lineage-branch-$name.json")
 
+  /** Publish-intent marker: written atomically just before a publish
+    * attempt's commitWave, naming the snapshot id it will commit and the
+    * ATTEMPT-UNIQUE artifact names that commit carries (run-token-stamped
+    * delete dirs / sidecar dir / writer-unique data-file part names).
+    * Resume logic verifies those names are live in the committed manifest
+    * — a FAILED attempt's marker can never validate against someone
+    * else's snapshot — making every publish crash window detectable,
+    * including the delete-only cherry-pick (whose committed artifacts are
+    * re-stamped COPIES that no other check can tie back to the branch).
+    * Deleted LAST in retirement (after the ref), so the ref-gone window
+    * still resolves; staging a branch name clears any stale marker. */
+  private[graft] def publishIntentPath(outDir: String, name: String): Path =
+    Paths.get(outDir, "snapshots", s"publish-intent-$name.json")
+
+  private case class PublishIntent(n: Int, cherryPick: Boolean,
+                                   deleteDirs: Vector[String], fpDir: Option[String],
+                                   filePaths: Vector[String]) {
+    /** A marker with no attempt-unique artifact names could validate
+      * against ANY manifest; such stages don't need the marker anyway. */
+    def verifiable: Boolean = deleteDirs.nonEmpty || fpDir.isDefined || filePaths.nonEmpty
+  }
+
+  private def writePublishIntent(outDir: String, name: String, in: PublishIntent): Unit =
+    atomicWrite(publishIntentPath(outDir, name),
+      s"""{"snapshot_id":${in.n},"cherry_pick":${in.cherryPick},""" +
+        s""""delete_dirs":[${in.deleteDirs.map(d => "\"" + jesc(d) + "\"").mkString(",")}],""" +
+        in.fpDir.map(f => s""""conv_fps_dir":"${jesc(f)}",""").getOrElse("") +
+        s""""files":[${in.filePaths.map(p => "\"" + jesc(p) + "\"").mkString(",")}]}""")
+
+  private def readPublishIntent(outDir: String, name: String): Option[PublishIntent] = {
+    val p = publishIntentPath(outDir, name)
+    if (!Files.exists(p)) return None
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def strList(key: String): Vector[String] =
+      ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).map(_.group(1))
+        .toVector.flatMap(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).map(junesc))
+    "\"snapshot_id\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).map { n =>
+      PublishIntent(n, txt.contains("\"cherry_pick\":true"), strList("delete_dirs"),
+        "\"conv_fps_dir\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .map(m => junesc(m.group(1))),
+        strList("files"))
+    }
+  }
+
+  /** Fault injection for specs ONLY: when set, the next publish attempt
+    * throws immediately after its commitWave returns and before any
+    * retirement — the worst crash window (committed but unretired), which
+    * the intent-marker resume path must recover from. One-shot: the
+    * injection resets itself. */
+  @volatile private[graft] var testCrashAfterPublishCommit: Boolean = false
+  private def maybeTestCrash(): Unit =
+    if (testCrashAfterPublishCommit) {
+      testCrashAfterPublishCommit = false
+      throw new IllegalStateException(
+        "injected test crash: publish committed, retirement skipped")
+    }
+
+  /** True when the marker's attempt-unique artifacts are live at its
+    * snapshot — i.e. that publish attempt COMMITTED. */
+  private def intentLanded(outDir: String, in: PublishIntent): Boolean =
+    in.verifiable && latestSnapshot(outDir).exists(_ >= in.n) &&
+      readManifestAt(outDir, in.n).exists { mm =>
+        val dirs = mm.deleteDirs.toSet
+        val paths = mm.files.map(_.path).toSet
+        in.deleteDirs.forall(dirs) && in.filePaths.forall(paths) &&
+          in.fpDir.forall(f => mm.convFpsDir.contains(f))
+      }
+
   /** The staged manifest of branch `name` under EITHER layout: the
     * branch-scoped path, or (legacy tables) `snap-<refId>.json` when the
     * ref id is beyond the head (a published id is a live snapshot, not a
@@ -603,11 +679,17 @@ object SnapshotManifestFormat extends TableFormat {
   /** LEGACY pending branches only (staged at `snap-<id>.json` by an older
     * library version): these still freeze the table, because any other
     * commit of that id would clobber the staged manifest file. New-layout
-    * branches stage at branch-scoped paths and freeze nothing. */
+    * branches stage at branch-scoped paths and freeze nothing — including
+    * a crashed new-layout remnant (ref beyond the head with NEITHER a
+    * branch manifest NOR a `snap-<id>.json`, left by a stage or abandon
+    * dying between its ref and manifest writes): there is no staged file
+    * for a commit to clobber, so it must not freeze the table either
+    * (abandonBranch retires it). */
   private def legacyPendingBranches(outDir: String): Map[String, Int] = {
     val cur = latestSnapshot(outDir).getOrElse(-1)
     branches(outDir).filter { case (n, id) =>
-      id > cur && !Files.exists(branchManifestPath(outDir, n))
+      id > cur && !Files.exists(branchManifestPath(outDir, n)) &&
+        Files.exists(Paths.get(outDir, "snapshots", s"snap-$id.json"))
     }
   }
 
@@ -676,17 +758,14 @@ object SnapshotManifestFormat extends TableFormat {
     try s.iterator().asScala.toVector finally s.close()
   }
 
-  /** Recursive delete, deepest-first, with the Files.walk stream closed.
-    * Quiet when the root is already gone: every caller is a GC/retirement
-    * path documented as re-runnable after a crash, so a prior (completed)
-    * attempt having removed the tree is success, not an error. */
-  private[spark] def deleteRecursively(root: Path): Unit = {
-    if (!Files.exists(root)) return
-    val s = Files.walk(root)
-    val paths = try s.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.toVector finally s.close()
-    paths.foreach(Files.deleteIfExists)
-  }
+  /** Recursive delete, deepest-first, quiet when the root is already gone:
+    * every caller is a GC/retirement path documented as re-runnable after
+    * a crash, so a prior (completed) attempt having removed the tree is
+    * success, not an error. One shared implementation (StateDirs) so the
+    * quirks can never diverge between the table format and the
+    * incremental-state operators. */
+  private[spark] def deleteRecursively(root: Path): Unit =
+    StateDirs.deleteRecursively(root)
 
   /** Row counts come from each parquet file's FOOTER metadata — a
     * driver-side read of a few KB per file instead of a second scan of the
@@ -1019,6 +1098,11 @@ object SnapshotManifestFormat extends TableFormat {
         // retires it; publishBranch reports it), so crashing between the
         // two writes is safe, and a same-name racer becomes visible to
         // the pending check no later than its manifest bytes land.
+        // a stale publish-intent marker from a RETIRED same-name branch
+        // must not outlive into this stage: its old attempt-unique names
+        // can still be live in retained history and would short-circuit
+        // this stage's future publish to the old snapshot id
+        Files.deleteIfExists(publishIntentPath(outDir, name))
         atomicWrite(ref, refContent)
         atomicWrite(manPath, manifest)
         if (manifestClobbered() || !refIsOurs()) {
@@ -1104,6 +1188,11 @@ object SnapshotManifestFormat extends TableFormat {
         while (true) {
           try return publishStaged(sparkOpt, outDir, name, man)
           catch {
+            // deterministic validation conflicts (bucket overlap,
+            // rewritten base, divergent schema/modulus/sidecar) cannot
+            // clear on re-validation — propagate at once instead of
+            // re-paying the validation's Spark scans to throw again
+            case e: CommitConflictException if !e.retryable => throw e
             case e: CommitConflictException =>
               attempt += 1
               if (attempt > retries) throw e
@@ -1111,8 +1200,27 @@ object SnapshotManifestFormat extends TableFormat {
         }
         -1 // unreachable
       case None =>
+        // A COMPLETED publish that crashed between deleting the branch
+        // manifest and the ref: only the intent marker can prove it (and
+        // a failed attempt's marker cannot validate) — finish retiring.
+        readPublishIntent(outDir, name).foreach { in =>
+          if (intentLanded(outDir, in)) {
+            Files.deleteIfExists(ref)
+            Files.deleteIfExists(publishIntentPath(outDir, name))
+            return in.n
+          } else Files.deleteIfExists(publishIntentPath(outDir, name))
+        }
+        // A run-token-stamped ref with no staged manifest and no landed
+        // intent is a crashed new-layout stage or abandon — nothing is
+        // staged, so publishing it must fail loudly, not guess.
+        val refTxt = new String(Files.readAllBytes(ref), StandardCharsets.UTF_8).trim
+        if (refTxt.matches("\\d{1,9} [0-9a-f]{8}"))
+          throw new IllegalStateException(
+            s"branch '$name' has a ref but no staged manifest under $outDir — a crashed " +
+              "stage or abandon left this remnant; nothing is staged to publish. " +
+              "Run abandonBranch to retire it")
         // legacy layout (staged at snap-<id>.json by an older library
-        // version), or a crashed publish/abandon remnant (ref only)
+        // version), or a crashed legacy publish remnant (ref only)
         val cur = latestSnapshot(outDir).getOrElse(-1)
         if (refId <= cur) { // publish crashed between the head swap and the ref
           Files.deleteIfExists(ref) // delete: the snapshot is already live
@@ -1147,12 +1255,24 @@ object SnapshotManifestFormat extends TableFormat {
         "abandon and re-stage"))
     val deltaFiles = man.files.filter(_.seq == man.snapshotId)
     val branchNewDels = man.deleteDirs.filterNot(baseMan.deleteDirs.toSet)
-    // Crash-resume idempotence: a publish that committed but crashed
-    // before retiring the branch artifacts is detected by its delta files
-    // (writer-unique part names) already living in the head manifest —
-    // or, for a data-less stage, by its writer-unique sidecar dir already
-    // referenced by retained history. Finish the retirement and report
-    // the id it published at.
+    // Crash-resume idempotence, strongest check first: the publish-intent
+    // marker names exactly what a prior attempt committed (attempt-unique
+    // names, so a failed attempt can never validate). It covers the one
+    // shape the weaker checks below cannot — a delete-only CHERRY-PICK,
+    // whose committed artifacts are re-stamped copies. A marker that does
+    // not validate is a failed attempt's leftover: discard it.
+    readPublishIntent(outDir, name).foreach { in =>
+      if (intentLanded(outDir, in)) {
+        retireBranchArtifacts(outDir, name, if (in.cherryPick) branchNewDels else Nil)
+        return in.n
+      } else Files.deleteIfExists(publishIntentPath(outDir, name))
+    }
+    // Weaker resume checks (pre-marker tables): a publish that committed
+    // but crashed before retiring the branch artifacts is detected by its
+    // delta files (writer-unique part names) already living in the head
+    // manifest — or, for a data-less stage, by its writer-unique sidecar
+    // dir already referenced by retained history. Finish the retirement
+    // and report the id it published at.
     val headMan = readManifestAt(outDir, cur)
     if (deltaFiles.nonEmpty && headMan.exists { h =>
           val live = h.files.map(_.path).toSet
@@ -1179,11 +1299,14 @@ object SnapshotManifestFormat extends TableFormat {
         s"cannot publish branch '$name': staged snapshot references files missing under " +
           s"$outDir — a crashed abandon; re-run abandonBranch to finish retiring it")
       // fast-forward: the staged ids already are the next snapshot's
+      writePublishIntent(outDir, name, PublishIntent(man.snapshotId, cherryPick = false,
+        branchNewDels.toVector, man.convFpsDir, deltaFiles.map(_.path).toVector))
       commitWave(outDir, s"$outDir/staging-publish-none", man.snapshotId, man.buckets,
         man.files, readBranchLineage(outDir, name), man.inputFps, additive = true,
         convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode,
         bucketCount = man.bucketCount, operation = man.operation.getOrElse("delta"),
         props = propsDelta, schemaDdl = man.schemaDdl)
+      maybeTestCrash()
       retireBranchArtifacts(outDir, name, Nil)
       man.snapshotId
     } else {
@@ -1204,7 +1327,7 @@ object SnapshotManifestFormat extends TableFormat {
         if (op == "rewrite" || op == "replace")
           throw new CommitConflictException(
             s"cannot cherry-pick branch '$name': snapshot $k is a $op commit (files the " +
-              "branch references were rewritten) — abandon and re-stage")
+              "branch references were rewritten) — abandon and re-stage", retryable = false)
       }
       // intactness AFTER the op validation: a rewrite/replace is exactly
       // what makes staged references go missing, and the conflict message
@@ -1216,7 +1339,7 @@ object SnapshotManifestFormat extends TableFormat {
       if (man.bucketCount != hMan.bucketCount || man.fpMode != hMan.fpMode)
         throw new CommitConflictException(
           s"cannot cherry-pick branch '$name': bucket modulus or fingerprint mode diverged " +
-            "from the head — abandon and re-stage")
+            "from the head — abandon and re-stage", retryable = false)
       // schema: at most ONE side may have evolved it since the base
       val mergedSchema: Option[String] = (man.schemaDdl, hMan.schemaDdl, baseMan.schemaDdl) match {
         case (s, h, _) if s == h => s
@@ -1225,13 +1348,13 @@ object SnapshotManifestFormat extends TableFormat {
         case _ =>
           throw new CommitConflictException(
             s"cannot cherry-pick branch '$name': schema evolved on both the branch and " +
-              "the head since the base — abandon and re-stage")
+              "the head since the base — abandon and re-stage", retryable = false)
       }
       if (deltaFiles.isEmpty && branchNewDels.isEmpty)
         throw new CommitConflictException(
           s"cannot cherry-pick branch '$name': the stage carries no data or delete files " +
             "(fingerprint-only re-baseline), so its sidecar is stale against the moved " +
-            "head — abandon and re-stage")
+            "head — abandon and re-stage", retryable = false)
       // partition-granular conflict detection (Iceberg cherrypick
       // semantics): the branch's touched buckets must be disjoint from
       // every bucket the intervening commits touched — inside a touched
@@ -1250,7 +1373,7 @@ object SnapshotManifestFormat extends TableFormat {
         throw new CommitConflictException(
           s"cannot cherry-pick branch '$name': commits since its base touched the same " +
             s"buckets (${overlap.toSeq.sorted.take(8).mkString(",")}" +
-            s"${if (overlap.size > 8) ",…" else ""}) — abandon and re-stage")
+            s"${if (overlap.size > 8) ",…" else ""}) — abandon and re-stage", retryable = false)
       val n = cur + 1
       val tok = newRunToken()
       // Re-stamp the branch's delete dirs to the published seq by COPY:
@@ -1286,7 +1409,7 @@ object SnapshotManifestFormat extends TableFormat {
         case _ =>
           throw new CommitConflictException(
             s"cannot cherry-pick branch '$name': conv-fingerprint sidecar presence diverged " +
-              "between the branch and the head — abandon and re-stage")
+              "between the branch and the head — abandon and re-stage", retryable = false)
       }
       // bucket fingerprints: branch buckets take the branch's values
       // (including buckets whose fingerprint the branch RETIRED)
@@ -1295,12 +1418,15 @@ object SnapshotManifestFormat extends TableFormat {
         man.inputFps.view.filterKeys(branchBuckets).toMap
       val mergedFiles = hMan.files ++ deltaFiles.map(_.copy(seq = n))
       val mergedLineage = readBranchLineage(outDir, name).map(_.copy(snapshot_id = n))
+      writePublishIntent(outDir, name, PublishIntent(n, cherryPick = true,
+        restampedDels.toVector, mergedFpDir, deltaFiles.map(_.path).toVector))
       commitWave(outDir, s"$outDir/staging-publish-none", n, hMan.buckets ++ man.buckets,
         mergedFiles, mergedLineage, mergedFps, additive = true,
         convFpsDir = mergedFpDir, deleteDirs = hMan.deleteDirs ++ restampedDels,
         fpMode = man.fpMode, bucketCount = man.bucketCount,
         operation = man.operation.getOrElse("delta"),
         props = propsDelta, schemaDdl = mergedSchema)
+      maybeTestCrash()
       retireBranchArtifacts(outDir, name, branchNewDels)
       n
     }
@@ -1317,6 +1443,10 @@ object SnapshotManifestFormat extends TableFormat {
     Files.deleteIfExists(branchLineagePath(outDir, name))
     Files.deleteIfExists(branchManifestPath(outDir, name))
     Files.deleteIfExists(Paths.get(outDir, "snapshots", s"branch-$name"))
+    // the intent marker goes AFTER the ref: a crash between manifest and
+    // ref deletes leaves a ref-only remnant only the marker can prove was
+    // a COMPLETED publish (vs a crashed stage/abandon)
+    Files.deleteIfExists(publishIntentPath(outDir, name))
     ()
   }
 
@@ -1376,6 +1506,7 @@ object SnapshotManifestFormat extends TableFormat {
         } // id <= cur: publish-crash remnant — the snapshot is live, only drop the ref
     }
     Files.deleteIfExists(ref)
+    Files.deleteIfExists(publishIntentPath(outDir, name))
     ()
   }
 

@@ -160,4 +160,55 @@ class IncrementalNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g == want, s"[step $step] incremental=$g from-scratch=$want")
     }
   }
+
+  test("a crash mid state-swap is recovered: the state never silently empties") {
+    val ss = spark
+    import ss.implicits._
+    val work = Files.createTempDirectory("graft-incdup-crash").toString
+    var corpus = Map.empty[Long, String]
+    def lookup(ids: Seq[Long]) =
+      ids.map(i => (i, corpus(i))).toDF("doc_id", "text")
+    def applyB(added: Seq[(Long, String)], removed: Seq[Long]): Unit = {
+      val remDf = removed.map(i => (i, corpus(i))).toDF("doc_id", "text")
+      corpus = corpus -- removed ++ added
+      IncrementalNearDup.applyBatch(spark, work,
+        added.toDF("doc_id", "text"), remDf, lookup)
+      ()
+    }
+    def got: Map[Long, Long] = IncrementalNearDup.clusters(spark, work)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val W = seqWords("k", 96)
+    applyB(Seq(1L -> window(W, 0), 2L -> window(W, 8)), Seq.empty)
+    val before = got
+    assert(before.nonEmpty)
+
+    val dir = java.nio.file.Paths.get(work, "clusters")
+    val next = java.nio.file.Paths.get(work, "clusters.next")
+    val old = java.nio.file.Paths.get(work, "clusters.old")
+
+    // crash between the swap's two renames: dir missing, fully-written
+    // `.next`, stale `.old` — recovery must finish the swap (the pre-fix
+    // delete-then-rename protocol made this state a permanent silent
+    // loss of the whole cluster index)
+    Files.createDirectories(old)
+    Files.write(old.resolve("stale.parquet"), Array[Byte](9, 9, 9))
+    Files.move(dir, next)
+    assert(got == before, "recovery must serve the completed .next state")
+    assert(Files.isDirectory(dir) && !Files.exists(next) && !Files.exists(old))
+
+    // crash DURING the `.next` write: dir intact, `.next` partial garbage
+    // — recovery must keep the authoritative dir and discard the partial
+    Files.createDirectories(next)
+    Files.write(next.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(got == before, "the authoritative dir must win over a partial .next")
+    assert(!Files.exists(next))
+
+    // the state still advances correctly after recovery
+    applyB(Seq(3L -> window(W, 16)), Seq.empty)
+    val want = IncrementalNearDup.fromScratch(spark,
+      corpus.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }

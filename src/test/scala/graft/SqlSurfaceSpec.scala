@@ -74,6 +74,21 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aTop == Seq((9L, 7L), (3L, 0L)))
     assert(top(1).getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 5L)))
+    // declared input types: INT children coerce to BIGINT at analysis
+    // instead of a ClassCastException deep inside ObjectHashAggregate
+    val intTop = sql(
+      """SELECT graft_top_k(v, p, 2) AS t
+        |FROM VALUES (3, 1), (9, 7), (1, 5) AS tbl(v, p)""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(intTop == Seq((9L, 7L), (3L, 1L)))
+    // non-numeric children fail AT ANALYSIS, naming the function
+    val bad = intercept[Exception] {
+      sql("SELECT graft_top_k(v, p, 2) FROM VALUES ('x', 'y') AS tbl(v, p)")
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("graft_top_k") ||
+      bad.getMessage.contains("BIGINT"), bad.getMessage)
   }
 
   test("SQL filter pushdown reaches the parquet scan (PushedFilters on conv_id)") {
@@ -170,5 +185,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       sql(s"SELECT * FROM graft_table('$out', 1, 2, 3)")
     }
+    // a BIGINT snapshot id beyond Int range must error, not silently
+    // truncate to some other snapshot's id
+    val big = intercept[Exception] {
+      sql(s"SELECT * FROM graft_table('$out', 4294967296)").collect()
+    }
+    assert(big.getMessage.contains("out of range"), big.getMessage)
   }
 }

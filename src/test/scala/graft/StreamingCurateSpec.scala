@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
 import graft.spark.{ExtractionJob, StreamingCurate, Transcripts, Turn}
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 /** Incremental curation over the change feed (the composition of the
@@ -135,6 +135,21 @@ class StreamingCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s7.upserts == 0L && s7.deletedConvs == 0L,
         s"a replace-only backlog must do zero data work, got $s7")
       assertMatchesFromScratch(out, work, "replace-terminated backlog")
+    }
+
+    // 7) pre-upgrade workdir (no _curated_rows count file) taking the
+    // rewrite-only skip-to-head path: the cycle must re-count the corpus
+    // once (and persist it), never report 0 curated rows
+    ExtractionJob.rewriteSorted(spark, out, targetRowsPerFile = 1000)
+    if (ExtractionJob.latestSnapshot(out).get > StreamingCurate.lastCuratedSnapshot(work)) {
+      Files.deleteIfExists(Paths.get(work, "_curated_rows"))
+      val s8 = StreamingCurate.cycle(spark, out, work).get
+      val realRows = StreamingCurate.readCurated(spark, work).count()
+      assert(realRows > 0)
+      assert(s8.curatedRows == realRows,
+        s"skip-to-head on a pre-upgrade workdir must re-count, got ${s8.curatedRows} vs $realRows")
+      assert(Files.exists(Paths.get(work, "_curated_rows")),
+        "the re-count must be persisted (one-time migration)")
     }
   }
 

@@ -447,6 +447,9 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(clash.getMessage.contains("same") && clash.getMessage.contains("bucket"),
       clash.getMessage)
+    // deterministic validation conflicts are non-retryable: the publish
+    // retry loop must propagate them without re-paying the validation
+    assert(!clash.retryable, "bucket-overlap conflicts must not be retried")
     // the head's content is untouched by the refused publish
     assert(rows(ExtractionJob.readCommitted(spark, out)) ==
       rows(ExtractionJob.extract(spark, headEdit).toDF()))
@@ -466,8 +469,99 @@ class WapBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExtractionJob.publishBranch(spark, out, "preRewrite")
     }
     assert(rw.getMessage.contains("rewrite"), rw.getMessage)
+    assert(!rw.retryable, "rewritten-base conflicts must not be retried")
     ExtractionJob.abandonBranch(out, "preRewrite")
     assert(ExtractionJob.branches(out).isEmpty)
+  }
+
+  test("delete-only cherry-pick publish: a crash after the commit resumes idempotently via the intent marker") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-delonly").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 12)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted
+    val vDel = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
+    val vEdit = convs.find(c => ExtractionJob.bucketOfConvId(c, 2) == 1).get
+
+    // DELETE-ONLY branch stage: same corpus minus one conversation — no
+    // changed text, so the stage carries an equality-delete dir and NO
+    // delta files. The commit this publish produces holds only re-stamped
+    // COPIES of the branch's artifacts, so no pre-marker resume check can
+    // tie it back to the branch.
+    assert(ExtractionJob.run(spark, turns.filter(_.conv_id != vDel),
+      cfg.copy(toBranch = Some("dels"))).nonEmpty)
+    val stagedTxt = new String(Files.readAllBytes(
+      Paths.get(out, "snapshots", "snap-branch-dels.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(stagedTxt.contains("\"delete_dirs\""), "stage must carry a delete dir")
+
+    // the head moves in the OTHER bucket while the branch pends
+    val headEdit = turns.map(t =>
+      if (t.conv_id == vEdit) t.copy(text = t.text + "\nSuite: 7Q") else t)
+    assert(ExtractionJob.run(spark, headEdit, cfg).nonEmpty)
+
+    // the publish attempt dies in the worst window: committed, unretired
+    SnapshotManifestFormat.testCrashAfterPublishCommit = true
+    val crash = intercept[IllegalStateException] {
+      ExtractionJob.publishBranch(spark, out, "dels")
+    }
+    assert(crash.getMessage.contains("injected test crash"), crash.getMessage)
+    val headAfterCrash = ExtractionJob.latestSnapshot(out).get
+    assert(headAfterCrash == s0 + 2, "the merged snapshot must be live despite the crash")
+    assert(Files.exists(SnapshotManifestFormat.publishIntentPath(out, "dels")),
+      "the intent marker must survive the crash window")
+
+    // resume: reports the SAME snapshot id, finishes retirement, commits
+    // nothing new (pre-marker, this threw a spurious bucket-overlap
+    // conflict against the publish's own re-stamped delete dirs)
+    val resumed = ExtractionJob.publishBranch(spark, out, "dels")
+    assert(resumed == headAfterCrash, s"expected idempotent resume at $headAfterCrash, got $resumed")
+    assert(ExtractionJob.branches(out).isEmpty)
+    assert(!Files.exists(Paths.get(out, "snapshots", "snap-branch-dels.json")))
+    assert(!Files.exists(SnapshotManifestFormat.publishIntentPath(out, "dels")))
+    assert(ExtractionJob.latestSnapshot(out).contains(headAfterCrash),
+      "resume must not commit a second snapshot")
+
+    // semantics: the deletion AND the head edit are both visible
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, headEdit.filter(_.conv_id != vDel)).toDF()))
+  }
+
+  test("a crashed new-layout stage/abandon remnant (tokened ref, no manifest) freezes nothing and publishes loudly") {
+    val ss = spark
+    import ss.implicits._
+    val out = Files.createTempDirectory("graft-wap-ghost").toString
+    val cfg = ExtractionJob.Config(out, buckets = 2, waves = 1, convGrained = true,
+      autoCompactDeletes = 0)
+    val turns = Transcripts.generate(spark, 8)
+    assert(ExtractionJob.run(spark, turns, cfg).nonEmpty)
+    val s0 = ExtractionJob.latestSnapshot(out).get
+
+    // a stager that died between its ref write and its manifest write:
+    // ref with a run token, no branch manifest, no snap-<id>.json
+    Files.write(Paths.get(out, "snapshots", "branch-ghost"),
+      s"${s0 + 1} deadbeef".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // the table stays fully writable — pre-fix, the legacy-branch freeze
+    // misfired on this remnant and pointed at a nonexistent snap file
+    val edit = turns.map(t => t.copy(text = t.text + "\nSuite: 1Z"))
+    assert(ExtractionJob.run(spark, edit, cfg).nonEmpty)
+    assert(ExtractionJob.latestSnapshot(out).contains(s0 + 1))
+
+    // publishing the remnant reports the truth instead of guessing that
+    // some other writer's snapshot was this branch's publish
+    val e = intercept[IllegalStateException] {
+      ExtractionJob.publishBranch(spark, out, "ghost")
+    }
+    assert(e.getMessage.contains("abandonBranch"), e.getMessage)
+    ExtractionJob.abandonBranch(out, "ghost")
+    assert(ExtractionJob.branches(out).isEmpty)
+    assert(rows(ExtractionJob.readCommitted(spark, out)) ==
+      rows(ExtractionJob.extract(spark, edit).toDF()))
   }
 
   test("publish crash-resume: a publish that committed but died before retiring the branch artifacts finishes idempotently") {
