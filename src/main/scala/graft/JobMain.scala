@@ -63,6 +63,13 @@ import org.apache.spark.sql.SparkSession
   * $partitions per-bucket health table (files, rows, small-file debt,
   * pending delete rows) — the maintenance planner's compact/binpack
   * targeting input.
+  * --doctor[=MAX_FOOTER_CHECKS] prints a table integrity report
+  * (errors/warnings/info JSON; see graft.spark.TableDoctor): head
+  * pointer and manifest consistency, per-file existence + footer
+  * row-count verification (bounded, cap reported), delete-dir and
+  * sidecar presence, schema parse, tag targets, branch-ref
+  * classification (pending vs crash remnants), stale intent markers,
+  * and orphan candidate counts. Reports, never repairs.
   * --curate-increment=WORKDIR runs one incremental curation cycle over
   * the table's change feed (quality gate + exact keep-first dedup
   * against persisted distributed state under WORKDIR; see
@@ -196,7 +203,8 @@ object JobMain {
         .flatMap(p => args.find(_.startsWith(p))) ++
         Seq("--tags", "--history", "--branches", "--lineage").filter(args.contains) ++
         args.find(a => a == "--files" || a.startsWith("--files=")) ++
-        args.find(a => a == "--partitions" || a.startsWith("--partitions="))
+        args.find(a => a == "--partitions" || a.startsWith("--partitions=")) ++
+        args.find(a => a == "--doctor" || a.startsWith("--doctor="))
     require(modeFlags.size <= 1,
       s"at most one query/metadata mode flag per invocation, got: ${modeFlags.mkString(", ")}")
     // a mode flag early-returns before the extraction run, so a combined
@@ -225,6 +233,21 @@ object JobMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     import spark.implicits._
+    args.find(a => a == "--doctor" || a.startsWith("--doctor=")).foreach { a =>
+      val cap =
+        if (a.contains('=')) {
+          val v = a.stripPrefix("--doctor=")
+          val c = try v.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"--doctor[=MAX_FOOTER_CHECKS] requires an integer, got: $a")
+          }
+          require(c >= 0, s"--doctor=MAX_FOOTER_CHECKS must be >= 0, got $c")
+          c
+        } else 10000
+      println(graft.spark.ExtractionJob.doctor(outDir, cap).render)
+      if (preexisting.isEmpty) spark.stop()
+      return
+    }
     args.find(_.startsWith("--get-conv=")).foreach { a =>
       val ids = a.stripPrefix("--get-conv=").split(",").toSeq.filter(_.nonEmpty)
       require(ids.nonEmpty, "--get-conv=ID[,ID...] requires at least one conversation id")

@@ -749,6 +749,11 @@ object ExtractionJob {
   def removeOrphanFiles(outDir: String, olderThanMs: Long): OrphanSweep =
     defaultFormat.removeOrphanFiles(outDir, olderThanMs)
 
+  /** Table integrity report (see TableDoctor.diagnose): driver-side,
+    * manifest-sized, reports and never repairs. */
+  def doctor(outDir: String, maxFooterChecks: Int = 10000): TableDoctor.Report =
+    TableDoctor.diagnose(outDir, maxFooterChecks)
+
   /** Tag a snapshot (see TableFormat.tagSnapshot). */
   def tagSnapshot(outDir: String, name: String, snapshotId: Int): Unit =
     defaultFormat.tagSnapshot(outDir, name, snapshotId)

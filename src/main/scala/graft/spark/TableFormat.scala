@@ -2114,7 +2114,7 @@ object SnapshotManifestFormat extends TableFormat {
   }
 
   /** Every manifest currently on disk (retained history), snapshot order. */
-  private def allManifests(outDir: String): Vector[Manifest] = {
+  private[spark] def allManifests(outDir: String): Vector[Manifest] = {
     val snapDir = Paths.get(outDir, "snapshots")
     if (!Files.isDirectory(snapDir)) return Vector.empty
     listDir(snapDir).flatMap { p =>
