@@ -1226,6 +1226,58 @@ object Queries {
       .orderBy("lang", "rank")
   }
 
+  /** Semantic dedup (q59) — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): embed -> cluster -> drop all but
+    * one member of each within-cluster epsilon-ball, so the quadratic
+    * pair search is bounded by CLUSTER size, never corpus size. Centroids
+    * here are the K lowest-id embeddings (a deterministic stand-in for
+    * the paper's k-means — the operator shape and cost model are
+    * identical); a doc is dropped when a LOWER-id member of its cluster
+    * sits at cosine >= tau (keep-first, the q10/q44 contract).
+    *
+    * Scale shape: centroid scoring is a broadcast K-row cross join fully
+    * inside codegen; the argmax is a map-side-partial max-of-struct agg
+    * (one row per doc reaches the exchange — never a corpus-wide
+    * window). The only other shuffle is the within-cluster self-join on
+    * cluster id (K scales with corpus in the published recipe, bounding
+    * each cluster; AQE skew-join splits hot clusters). Pair cosines run
+    * in codegen over the zipped arrays; output is integers only, so the
+    * oracle needs cosine ORDERING/thresholding agreement, not bit-equal
+    * floats (tau sits >= 1e-4 from every pair in the test data).
+    */
+  def q59SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.40
+    val dotExpr = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+    val cents = broadcast(emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("norm2").as("cnorm2")))
+    val assign = emb.crossJoin(cents)
+      .withColumn("cos",
+        expr(dotExpr("embedding", "cemb")) / sqrt(col("norm2") * col("cnorm2")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cluster"))
+    val withC = emb.join(assign, "vec_id")
+    val lo = withC.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm2").as("a_n2"))
+    val hi = withC.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm2").as("b_n2"))
+    val dropped = lo.join(hi, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", expr(dotExpr("a_emb", "b_emb")) / sqrt(col("a_n2") * col("b_n2")))
+      .where(col("cos") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_transcript_extract" -> q21TranscriptExtract _,
     "q22_turn_buckets" -> q22TurnBuckets _,
@@ -1284,7 +1336,8 @@ object Queries {
     "q55_quality_score" -> q55QualityScore _,
     "q56_source_stats" -> q56SourceStats _,
     "q57_train_split" -> q57TrainSplit _,
-    "q58_top_docs" -> q58TopDocs _
+    "q58_top_docs" -> q58TopDocs _,
+    "q59_semdedup" -> q59SemDedup _
   )
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
@@ -1475,6 +1528,11 @@ object Queries {
     "q57_train_split" ->
       // same md5-hex-prefix thresholds over the decimal doc_id string
       """WITH a AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS k FROM documents), s AS (SELECT *, CASE WHEN k < '0d' THEN 'val' WHEN k < '1a' THEN 'test' ELSE 'train' END AS split FROM a) SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_semdedup" ->
+      // integer-only output: the engines must agree on cosine ORDER and
+      // the tau threshold (margin >= 1e-4 in the test data), never on
+      // bit-equal floats; same keep-first drop rule
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8), a AS (SELECT vec_id, cid AS cluster FROM (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid) AS rk FROM embeddings e CROSS JOIN c) WHERE rk = 1), d AS (SELECT DISTINCT ab.vec_id FROM a aa JOIN a ab ON aa.cluster = ab.cluster AND ab.vec_id > aa.vec_id JOIN embeddings ea ON ea.vec_id = aa.vec_id JOIN embeddings eb ON eb.vec_id = ab.vec_id WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.40) SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped FROM a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""",
     "q58_top_docs" ->
       // the oracle MAY use the rank window (it is the oracle, not the
       // 100 TB plan); same (n_tokens desc, doc_id) total order

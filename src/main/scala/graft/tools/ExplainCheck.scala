@@ -213,6 +213,14 @@ object ExplainCheck {
       ("map-side partial before the exchange", _.contains("partial_graft_top_k")),
       ("no rank window anywhere", p => !p.contains("row_number") && !p.contains("Window")),
       ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
+    plan("q59_semdedup", graft.queries.Queries.q59SemDedup(spark, dir),
+      // SemDeDup: centroid side broadcast, argmax as a map-side-partial
+      // max-of-struct agg (never a corpus window), pair search confined
+      // to the within-cluster self-join
+      ("centroids broadcast", _.contains("BroadcastExchange")),
+      ("argmax is a partial agg, not a window", p =>
+        p.contains("partial_max") && !p.contains("row_number")),
+      ("no ScalaUDF anywhere", p => !p.contains("ScalaUDF")))
     plan("q42_repetition", graft.queries.Queries.q42RepetitionSignals(spark, dir),
       // shuffles carry (doc_id, gram, cnt) counts, never text
       ("partial agg before shuffle", _.contains("partial_")),
