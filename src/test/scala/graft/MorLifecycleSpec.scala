@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
-import graft.spark.{ExtractionJob, Transcripts, Turn}
+import graft.spark.{ExtractionJob, SnapshotManifestFormat, Transcripts, Turn}
 import java.nio.file.Files
 
 /** Multi-round merge-on-read lifecycle property test: seeded random
@@ -204,8 +204,26 @@ class MorLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(audit.bucketRowDeltas.nonEmpty && audit.bucketRowDeltas.values.forall(_ > 0),
           s"[seed=$seed $ctx] delta rows must show as positive bucket deltas, got $audit")
         if (rnd.nextBoolean()) {
-          // Spark overload: the tag moved the head, so this cherry-picks
-          ExtractionJob.publishBranch(spark, out, branch)
+          // Spark overload: the tag moved the head, so this cherry-picks.
+          // A third of publishes die in the worst crash window (committed,
+          // unretired) — the resumed publish must land idempotently via
+          // the intent marker, reporting the same snapshot
+          if (rnd.nextInt(3) == 0) {
+            SnapshotManifestFormat.testCrashAfterPublishCommit = true
+            val crash = intercept[IllegalStateException] {
+              ExtractionJob.publishBranch(spark, out, branch)
+            }
+            assert(crash.getMessage.contains("injected test crash"),
+              s"[seed=$seed $ctx] ${crash.getMessage}")
+            val headAfter = ExtractionJob.latestSnapshot(out).get
+            val resumed = ExtractionJob.publishBranch(spark, out, branch)
+            assert(resumed == headAfter,
+              s"[seed=$seed $ctx] crash-resume must report the landed snapshot " +
+                s"$headAfter, got $resumed")
+            assert(ExtractionJob.latestSnapshot(out).contains(headAfter),
+              s"[seed=$seed $ctx] resume must not commit a second snapshot")
+          } else
+            ExtractionJob.publishBranch(spark, out, branch)
           model = staged
           record(); checkServed(s"$ctx wap-published")
         } else {
