@@ -225,14 +225,8 @@ object JobMain {
     val Array(input, outDir) = pos.take(2)
     val buckets = if (pos.length > 2) pos(2).toInt else 256
     val waves = if (pos.length > 3) pos(3).toInt else 8
-    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = SparkSession.builder()
-      .appName("graft-extraction")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    import spark.implicits._
+    // --doctor is purely driver-side (filesystem + parquet footers): it
+    // runs BEFORE any SparkSession exists, so the ops tool is instant
     args.find(a => a == "--doctor" || a.startsWith("--doctor=")).foreach { a =>
       val cap =
         if (a.contains('=')) {
@@ -245,9 +239,16 @@ object JobMain {
           c
         } else 10000
       println(graft.spark.ExtractionJob.doctor(outDir, cap).render)
-      if (preexisting.isEmpty) spark.stop()
       return
     }
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = SparkSession.builder()
+      .appName("graft-extraction")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    import spark.implicits._
     args.find(_.startsWith("--get-conv=")).foreach { a =>
       val ids = a.stripPrefix("--get-conv=").split(",").toSeq.filter(_.nonEmpty)
       require(ids.nonEmpty, "--get-conv=ID[,ID...] requires at least one conversation id")

@@ -82,9 +82,21 @@ object IncrementalNearDup {
     graft.spark.StateDirs.readPartitioned(spark, dir, "bp", bps, emptyBands(spark))
       .select("doc_id", "band", "bp")
 
+  /** PASSIVE read of a whole-state dir: serves the authoritative dir, or
+    * (after a crash between the swap's renames) the completed `.next`,
+    * or the `.old` leftover — WITHOUT mutating anything. Only the writer
+    * (applyBatch / replaceWhole) runs [[recoverWhole]]'s renames: a
+    * reader racing the single writer must never delete its in-progress
+    * `.next` write or steal a rename out from under it. */
   private def readWhole(spark: SparkSession, dir: Path, emptyLike: => DataFrame): DataFrame = {
-    recoverWhole(dir)
-    if (!hasData(dir)) emptyLike else spark.read.parquet(dir.toString)
+    val next = dir.resolveSibling(dir.getFileName.toString + ".next")
+    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+    val src =
+      if (Files.exists(dir)) dir
+      else if (hasData(next)) next
+      else if (hasData(old)) old
+      else dir
+    if (!hasData(src)) emptyLike else spark.read.parquet(src.toString)
   }
 
   /** Finish (or discard) a replaceWhole interrupted by a crash. The swap
@@ -115,7 +127,8 @@ object IncrementalNearDup {
     * by contract): write the new state to `.next`, rename the current dir
     * aside to `.old`, rename `.next` into place, then drop `.old`. Unlike
     * delete-then-rename, every crash point leaves a recoverable shape —
-    * [[recoverWhole]] (run by every read and by the next replace) either
+    * [[recoverWhole]] (run by the writer at batch start and by the next
+    * replace; reads stay passive) either
     * finishes the swap or discards the unfinished write; the state can
     * never silently become empty. */
   private def replaceWhole(dir: Path, rows: DataFrame): Unit = {
@@ -151,6 +164,10 @@ object IncrementalNearDup {
     val pairsDir = Paths.get(workDir, "pairs")
     val clustersDir = Paths.get(workDir, "clusters")
     Files.createDirectories(Paths.get(workDir))
+    // writer-side crash recovery up front: finish (or discard) any swap a
+    // previous batch's crash interrupted, so this batch reads and replaces
+    // authoritative dirs (reads themselves never mutate)
+    recoverWhole(pairsDir); recoverWhole(clustersDir)
 
     val addB = bandsOf(added.select("doc_id", "text")).localCheckpoint(true)
     val remB = bandsOf(removed.select("doc_id", "text")).localCheckpoint(true)

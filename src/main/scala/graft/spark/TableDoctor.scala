@@ -46,9 +46,30 @@ object TableDoctor {
     val warns = Vector.newBuilder[Finding]
     var info = Map.empty[String, Long]
 
-    val head = fmt.latestSnapshot(outDir)
+    // Every metadata read is defensive: the doctor's whole purpose is to
+    // REPORT broken tables, so a read that the format itself would crash
+    // on (garbage _latest, corrupt branch ref, truncated branch manifest)
+    // becomes an error FINDING here, never a propagated exception.
+    val head: Option[Int] =
+      try fmt.latestSnapshot(outDir)
+      catch { case e: Exception =>
+        errs += Finding("head-pointer", s"_latest does not parse: ${e.getMessage}")
+        None
+      }
     val mans = fmt.allManifests(outDir)
     info += ("retained_snapshots" -> mans.size.toLong)
+    val branchRefs: Map[String, Int] =
+      try fmt.branches(outDir)
+      catch { case e: Exception =>
+        errs += Finding("branch-ref", s"branch refs do not parse: ${e.getMessage}")
+        Map.empty
+      }
+    val pendingMans: Map[String, ExtractionJob.Manifest] =
+      try fmt.pendingBranchManifests(outDir)
+      catch { case e: Exception =>
+        errs += Finding("branch", s"a staged branch manifest does not parse: ${e.getMessage}")
+        Map.empty
+      }
 
     // 1) the head pointer names a retained manifest
     head match {
@@ -118,30 +139,48 @@ object TableDoctor {
         s"${unavailable.size} retained snapshot(s) no longer intact " +
           s"(rewritten/expired files): ${unavailable.map(_.snapshotId).sorted.mkString(",")}")
 
-    // 4) tags must name retained manifests
-    fmt.tags(outDir).foreach { case (name, id) =>
+    // 4) tags must name retained manifests (tags live in the head
+    // manifest's props, so a garbage head pointer surfaces here too —
+    // already reported above, not worth a second crash)
+    val tagMap =
+      try fmt.tags(outDir)
+      catch { case _: Exception => Map.empty[String, Int] }
+    tagMap.foreach { case (name, id) =>
       if (!mans.exists(_.snapshotId == id))
         errs += Finding("tag", s"tag '$name' names expired snapshot $id")
     }
 
-    // 5) branch refs, classified exactly like the recovery paths
+    // 5) branch refs, classified exactly like the recovery paths —
+    // BOTH layouts get the staged-intactness check
     var pending = 0L; var remnants = 0L
-    fmt.branches(outDir).foreach { case (name, id) =>
-      fmt.readBranchManifest(outDir, name) match {
-        case Some(bman) =>
+    branchRefs.foreach { case (name, id) =>
+      val bman =
+        try fmt.readBranchManifest(outDir, name)
+        catch { case e: Exception =>
+          errs += Finding("branch",
+            s"staged manifest of branch '$name' does not parse: ${e.getMessage}")
+          None
+        }
+      bman match {
+        case Some(m) =>
           pending += 1
-          if (!fmt.snapshotIntact(outDir, bman))
+          if (!fmt.snapshotIntact(outDir, m))
             errs += Finding("branch", s"pending branch '$name' references missing files")
         case None =>
-          val legacyStaged = head.forall(id > _) &&
-            Files.exists(Paths.get(outDir, "snapshots", s"snap-$id.json"))
-          if (legacyStaged) pending += 1
-          else {
-            remnants += 1
-            warns += Finding("branch-remnant",
-              s"branch '$name' is a crashed stage/publish/abandon remnant (ref id $id, " +
-                "no staged manifest) — run abandonBranch (or publishBranch, which " +
-                "resolves landed publishes via the intent marker)")
+          val legacyMan =
+            if (head.forall(id > _)) fmt.readManifestAt(outDir, id) else None
+          legacyMan match {
+            case Some(m) =>
+              pending += 1
+              if (!fmt.snapshotIntact(outDir, m))
+                errs += Finding("branch",
+                  s"legacy-staged branch '$name' (snap-$id.json) references missing files")
+            case None =>
+              remnants += 1
+              warns += Finding("branch-remnant",
+                s"branch '$name' is a crashed stage/publish/abandon remnant (ref id $id, " +
+                  "no staged manifest) — run abandonBranch (or publishBranch, which " +
+                  "resolves landed publishes via the intent marker)")
           }
       }
     }
@@ -155,31 +194,30 @@ object TableDoctor {
       val markers = listNames(snapDir).filter(n =>
         n.startsWith("publish-intent-") && n.endsWith(".json"))
       val orphanMarkers = markers.map(_.stripPrefix("publish-intent-").stripSuffix(".json"))
-        .filterNot(fmt.branches(outDir).contains)
+        .filterNot(branchRefs.contains)
       if (orphanMarkers.nonEmpty)
         warns += Finding("intent-marker",
           s"publish-intent marker(s) without a branch ref: ${orphanMarkers.sorted.mkString(",")} " +
             "(retired publish's final crash window; safe to delete)")
     }
 
-    // 7) orphan candidates (counts only — removeOrphanFiles is the fix)
-    val referencedData: Set[String] =
-      (mans ++ fmt.pendingBranchManifests(outDir).values).flatMap(_.files.map(_.path)).toSet
+    // 7) orphan candidates (counts only — removeOrphanFiles is the fix);
+    // "data file" means exactly what the committer's isDataFile means, so
+    // the two can never drift apart
+    val allRefs = mans ++ pendingMans.values
+    val referencedData: Set[String] = allRefs.flatMap(_.files.map(_.path)).toSet
     val dataDir = Paths.get(outDir, "data")
     var orphanData = 0L
-    if (Files.isDirectory(dataDir) && (mans ++ fmt.pendingBranchManifests(outDir).values)
-          .forall(_.hasFilesList)) {
+    if (Files.isDirectory(dataDir) && allRefs.forall(_.hasFilesList)) {
       listChildren(dataDir).filter(_.getFileName.toString.startsWith("bucket=")).foreach { bd =>
         listChildren(bd).foreach { f =>
           val n = f.getFileName.toString
-          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-              !referencedData.contains(s"${bd.getFileName}/$n"))
+          if (fmt.isDataFile(n) && !referencedData.contains(s"${bd.getFileName}/$n"))
             orphanData += 1
         }
       }
     }
-    val referencedDels: Set[String] =
-      (mans ++ fmt.pendingBranchManifests(outDir).values).flatMap(_.deleteDirs).toSet
+    val referencedDels: Set[String] = allRefs.flatMap(_.deleteDirs).toSet
     val delDir = Paths.get(outDir, "deletes")
     val orphanDels =
       if (!Files.isDirectory(delDir)) 0L
@@ -209,10 +247,7 @@ object TableDoctor {
 
   private def listChildren(dir: Path): Vector[Path] =
     if (!Files.isDirectory(dir)) Vector.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.toVector finally s.close()
-    }
+    else SnapshotManifestFormat.listDir(dir)
 
   private def listNames(dir: Path): Vector[String] =
     listChildren(dir).map(_.getFileName.toString)

@@ -753,7 +753,7 @@ object SnapshotManifestFormat extends TableFormat {
     * stream (each open stream holds a directory fd; long-running drivers
     * commit many waves).
     */
-  private def listDir(dir: Path): Vector[Path] = {
+  private[spark] def listDir(dir: Path): Vector[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toVector finally s.close()
   }
@@ -775,7 +775,7 @@ object SnapshotManifestFormat extends TableFormat {
     */
   /** A staged/committed parquet DATA file (not a marker or hidden file) —
     * the one filter both the commit's file listing and its schema read use. */
-  private def isDataFile(name: String): Boolean =
+  private[spark] def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
 
   override def listStagedFiles(spark: SparkSession, staging: String): Seq[FileEntry] = {
@@ -1298,9 +1298,16 @@ object SnapshotManifestFormat extends TableFormat {
       require(snapshotIntact(outDir, man),
         s"cannot publish branch '$name': staged snapshot references files missing under " +
           s"$outDir — a crashed abandon; re-run abandonBranch to finish retiring it")
-      // fast-forward: the staged ids already are the next snapshot's
+      // fast-forward: the staged ids already are the next snapshot's.
+      // The marker records only artifact names this STAGE created — a
+      // sidecar dir inherited from the base is carried by other commits
+      // too (props-only, rollback), so it is not attempt-unique evidence
+      // and recording it could validate a failed attempt against another
+      // writer's snapshot.
       writePublishIntent(outDir, name, PublishIntent(man.snapshotId, cherryPick = false,
-        branchNewDels.toVector, man.convFpsDir, deltaFiles.map(_.path).toVector))
+        branchNewDels.toVector,
+        man.convFpsDir.filterNot(baseMan.convFpsDir.contains),
+        deltaFiles.map(_.path).toVector))
       commitWave(outDir, s"$outDir/staging-publish-none", man.snapshotId, man.buckets,
         man.files, readBranchLineage(outDir, name), man.inputFps, additive = true,
         convFpsDir = man.convFpsDir, deleteDirs = man.deleteDirs, fpMode = man.fpMode,

@@ -120,8 +120,32 @@ class DoctorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "999".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dangling = ExtractionJob.doctor(out)
     assert(!dangling.ok && dangling.errors.exists(_.check == "head-pointer"), dangling.render)
+
+    // GARBAGE metadata must become error findings, never crash the
+    // doctor — it exists to report exactly these tables
+    Files.write(Paths.get(out, "snapshots", "_latest"),
+      "not-a-number".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val garbage = ExtractionJob.doctor(out)
+    assert(!garbage.ok && garbage.errors.exists(f =>
+      f.check == "head-pointer" && f.detail.contains("parse")), garbage.render)
     Files.write(Paths.get(out, "snapshots", "_latest"),
       head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(out, "snapshots", "branch-bad"),
+      "garbage ref".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val badRef = ExtractionJob.doctor(out)
+    assert(!badRef.ok && badRef.errors.exists(_.check == "branch-ref"), badRef.render)
+    Files.delete(Paths.get(out, "snapshots", "branch-bad"))
+
+    // a legacy-layout staged branch (bare ref + snap-<id>.json) counts
+    // as pending and gets the intactness check like the new layout
+    val headManifest = Paths.get(out, "snapshots", s"snap-$head.json")
+    Files.copy(headManifest, Paths.get(out, "snapshots", s"snap-${head + 1}.json"))
+    Files.write(Paths.get(out, "snapshots", "branch-leg"),
+      s"${head + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val legacy = ExtractionJob.doctor(out)
+    assert(legacy.info("pending_branches") == 1L, legacy.render)
+    Files.delete(Paths.get(out, "snapshots", s"snap-${head + 1}.json"))
+    Files.delete(Paths.get(out, "snapshots", "branch-leg"))
     assert(ExtractionJob.doctor(out).ok)
   }
 

@@ -188,27 +188,37 @@ class IncrementalNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val old = java.nio.file.Paths.get(work, "clusters.old")
 
     // crash between the swap's two renames: dir missing, fully-written
-    // `.next`, stale `.old` — recovery must finish the swap (the pre-fix
-    // delete-then-rename protocol made this state a permanent silent
-    // loss of the whole cluster index)
+    // `.next`, stale `.old` — a PASSIVE read serves the completed .next
+    // without touching anything (a reader racing the writer must never
+    // rename/delete; the pre-fix delete-then-rename protocol made this
+    // state a permanent silent loss of the whole cluster index)
     Files.createDirectories(old)
     Files.write(old.resolve("stale.parquet"), Array[Byte](9, 9, 9))
     Files.move(dir, next)
-    assert(got == before, "recovery must serve the completed .next state")
-    assert(Files.isDirectory(dir) && !Files.exists(next) && !Files.exists(old))
+    assert(got == before, "a passive read must serve the completed .next state")
+    assert(!Files.exists(dir) && Files.isDirectory(next) && Files.isDirectory(old),
+      "reads must not mutate the crash state")
 
-    // crash DURING the `.next` write: dir intact, `.next` partial garbage
-    // — recovery must keep the authoritative dir and discard the partial
-    Files.createDirectories(next)
-    Files.write(next.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
-    assert(got == before, "the authoritative dir must win over a partial .next")
-    assert(!Files.exists(next))
-
-    // the state still advances correctly after recovery
+    // the WRITER heals the swap at the next batch and advances correctly
     applyB(Seq(3L -> window(W, 16)), Seq.empty)
+    assert(Files.isDirectory(dir) && !Files.exists(next) && !Files.exists(old),
+      "the next batch's writer-side recovery must finish the swap")
     val want = IncrementalNearDup.fromScratch(spark,
       corpus.toSeq.toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+
+    // crash DURING the `.next` write: dir intact, `.next` partial garbage
+    // — reads serve the authoritative dir; the next write discards the
+    // partial
+    Files.createDirectories(next)
+    Files.write(next.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(got == want, "the authoritative dir must win over a partial .next")
+    applyB(Seq(4L -> window(W, 24)), Seq.empty)
+    assert(!Files.exists(next))
+    val want2 = IncrementalNearDup.fromScratch(spark,
+      corpus.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want2)
   }
 }
