@@ -179,7 +179,7 @@ object TableDoctor {
               remnants += 1
               warns += Finding("branch-remnant",
                 s"branch '$name' is a crashed stage/publish/abandon remnant (ref id $id, " +
-                  "no staged manifest) — run abandonBranch (or publishBranch, which " +
+                  "no staged manifest) -- run abandonBranch (or publishBranch, which " +
                   "resolves landed publishes via the intent marker)")
           }
       }
@@ -201,7 +201,7 @@ object TableDoctor {
             "(retired publish's final crash window; safe to delete)")
     }
 
-    // 7) orphan candidates (counts only — removeOrphanFiles is the fix);
+    // 7) orphan candidates (counts only -- removeOrphanFiles is the fix);
     // "data file" means exactly what the committer's isDataFile means, so
     // the two can never drift apart
     val allRefs = mans ++ pendingMans.values
@@ -231,7 +231,7 @@ object TableDoctor {
     if (orphanData > 0 || orphanDels > 0 || stagingDirs > 0)
       warns += Finding("orphans",
         s"$orphanData unreferenced data file(s), $orphanDels untracked delete dir(s), " +
-          s"$stagingDirs staging dir(s) — removeOrphanFiles sweeps these once old enough")
+          s"$stagingDirs staging dir(s) -- removeOrphanFiles sweeps these once old enough")
 
     Report(head, mans.size, errs.result(), warns.result(), info)
   }
