@@ -37,6 +37,10 @@ object RaceDemoInputs {
     spark.createDataset(turns.map(t =>
       if (t.conv_id == vHead) t.copy(text = t.text + "\nSuite: 9C") else t))
       .write.mode("overwrite").parquet(s"$root/head_edit")
+    spark.createDataset(turns.map(t =>
+      if (t.conv_id == vHead) t.copy(text = t.text + "\nSuite: 9C")
+      else if (t.conv_id == vBranch) t.copy(text = t.text + "\nSuite: 4B") else t))
+      .write.mode("overwrite").parquet(s"$root/both_edits")
     println(s"""{"branch_victim":"$vBranch","head_victim":"$vHead","convs":${ids.size}}""")
     spark.stop()
   }
