@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+/** WARC (Web ARChive, ISO 28500) ingestion — the Common Crawl container
+  * format, i.e. THE source format a web-scale pretraining corpus starts
+  * from. Reads `response` records into a documents-shaped DataFrame:
+  * (warc_record_id, target_uri, warc_date, content_type, http_status,
+  * text, source_file, record_offset).
+  *
+  * Format handled (the Common Crawl shape):
+  *  - plain `.warc` and per-record-gzip `.warc.gz` members concatenated
+  *    in one file (java.util.zip.GZIPInputStream consumes concatenated
+  *    members transparently);
+  *  - each record: `WARC/1.0\r\n` + header lines + `\r\n` + exactly
+  *    `Content-Length` payload bytes + `\r\n\r\n`;
+  *  - response-record payloads carry an HTTP response (status line +
+  *    headers + `\r\n\r\n` + body); the body is decoded as lossy UTF-8 —
+  *    charset sniffing/transcoding is the downstream text pipeline's
+  *    job (langid/quality gates handle mojibake like any other noise).
+  *
+  * Malformed records (bad header, truncated payload) SKIP with a
+  * per-file counter surfaced in the `skipped_records` column of
+  * [[fileStats]] — never a silent drop, never a job-killing throw (one
+  * rotten record in a 100 TB crawl must not fail the ingest; losing it
+  * silently must not pass review either).
+  *
+  * Scale shape: `spark.read.format("binaryFile")` gives one row per
+  * WARC file; parsing is a flatMap — per-file work, embarrassingly
+  * parallel, no shuffle at all until the caller aggregates. Common
+  * Crawl segments are ~1 GB compressed, so whole-file rows fit executor
+  * memory (the same assumption every published Spark/CC pipeline makes;
+  * a streaming record-split datasource is the next step if segment
+  * sizes ever grow unbounded). Pure decode + flatMap keeps the op
+  * inside one stage; partition count = file count.
+  */
+object WarcIngest {
+
+  final case class WarcRecord(warc_record_id: String, target_uri: String,
+                              warc_date: String, content_type: String,
+                              http_status: Int, text: String,
+                              source_file: String, record_offset: Int)
+
+  final case class ParseResult(records: Vector[WarcRecord], skipped: Int)
+
+  /** All response records under `path` (glob ok; plain or .gz). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => parse(file, bytes).records }
+      .toDF()
+  }
+
+  /** Per-file ingest health: (source_file, n_records, skipped_records),
+    * where n_records counts EMITTED response rows (type-filtered records
+    * are neither emitted nor skipped). The skip counter is the
+    * no-silent-drop contract — alert when it moves, keep ingesting when
+    * it is a one-off. */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (file, bytes) =>
+        val r = parse(file, bytes)
+        (file, r.records.size.toLong, r.skipped.toLong)
+      }
+      .toDF("source_file", "n_records", "skipped_records")
+  }
+
+  private val GzipMagic0 = 0x1f.toByte
+  private val GzipMagic1 = 0x8b.toByte
+
+  /** Parse one WARC file's bytes (decompressing if gzip). Driver-free,
+    * executor-side; deterministic. */
+  def parse(file: String, raw: Array[Byte]): ParseResult = {
+    val bytes =
+      if (raw.length >= 2 && raw(0) == GzipMagic0 && raw(1) == GzipMagic1) gunzipAll(raw)
+      else raw
+    val out = Vector.newBuilder[WarcRecord]
+    var skipped = 0
+    var i = 0
+    var recordIdx = 0
+    while (i < bytes.length) {
+      // skip inter-record blank lines
+      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
+      if (i >= bytes.length) return ParseResult(out.result(), skipped)
+      val headerEnd = indexOfDoubleCrlf(bytes, i)
+      if (headerEnd < 0) { // trailing garbage with no complete header block
+        skipped += 1
+        return ParseResult(out.result(), skipped)
+      }
+      val header = new String(bytes, i, headerEnd - i, StandardCharsets.UTF_8)
+      val fields = parseHeader(header)
+      val lenOpt = fields.get("content-length").flatMap(v =>
+        try Some(v.trim.toInt) catch { case _: NumberFormatException => None })
+      val bodyStart = headerEnd + 4
+      (if (header.startsWith("WARC/")) lenOpt else None) match {
+        case Some(len) if len >= 0 && bodyStart + len <= bytes.length =>
+          if (fields.getOrElse("warc-type", "") == "response") {
+            val (status, body) = splitHttpPayload(bytes, bodyStart, len)
+            out += WarcRecord(
+              warc_record_id = fields.getOrElse("warc-record-id", ""),
+              target_uri = fields.getOrElse("warc-target-uri", ""),
+              warc_date = fields.getOrElse("warc-date", ""),
+              content_type = fields.getOrElse("content-type", ""),
+              http_status = status,
+              text = body,
+              source_file = file,
+              record_offset = recordIdx)
+          }
+          recordIdx += 1
+          i = bodyStart + len
+        case _ =>
+          // bad magic, missing/invalid Content-Length, or truncated
+          // payload: skip to the next plausible record boundary
+          skipped += 1
+          val next = indexOfWarcMagic(bytes, bodyStart)
+          if (next < 0) return ParseResult(out.result(), skipped)
+          i = next
+      }
+    }
+    ParseResult(out.result(), skipped)
+  }
+
+  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(raw), 1 << 16)
+    val out = new ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  private def parseHeader(header: String): Map[String, String] =
+    header.split("\r\n").iterator.drop(1).flatMap { line =>
+      val c = line.indexOf(':')
+      if (c <= 0) None
+      else Some(line.substring(0, c).toLowerCase -> line.substring(c + 1).trim)
+    }.toMap
+
+  /** Payload of a response record: HTTP status line + headers + body.
+    * Returns (status, body-as-lossy-UTF8); a payload without an HTTP
+    * envelope (e.g. a raw-text crawl) gets status 0 and the whole
+    * payload as text. */
+  private def splitHttpPayload(bytes: Array[Byte], start: Int, len: Int): (Int, String) = {
+    val looksHttp = len >= 5 &&
+      new String(bytes, start, 5, StandardCharsets.US_ASCII) == "HTTP/"
+    if (!looksHttp) return (0, new String(bytes, start, len, StandardCharsets.UTF_8))
+    val sep = indexOfDoubleCrlf(bytes, start)
+    if (sep < 0 || sep >= start + len)
+      return (0, new String(bytes, start, len, StandardCharsets.UTF_8))
+    val statusLine = {
+      val eol = {
+        var j = start
+        while (j < start + len && bytes(j) != '\r') j += 1
+        j
+      }
+      new String(bytes, start, eol - start, StandardCharsets.US_ASCII)
+    }
+    val status = statusLine.split(" ").lift(1)
+      .flatMap(s => try Some(s.toInt) catch { case _: NumberFormatException => None })
+      .getOrElse(0)
+    val bodyStart = sep + 4
+    val bodyLen = start + len - bodyStart
+    (status, new String(bytes, bodyStart, math.max(0, bodyLen), StandardCharsets.UTF_8))
+  }
+
+  private def indexOfDoubleCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    val n = bytes.length - 3
+    while (i < n) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfWarcMagic(bytes: Array[Byte], from: Int): Int = {
+    val magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+    var i = math.max(0, from)
+    val n = bytes.length - magic.length
+    while (i <= n) {
+      var j = 0
+      while (j < magic.length && bytes(i + j) == magic(j)) j += 1
+      if (j == magic.length) return i
+      i += 1
+    }
+    -1
+  }
+}
