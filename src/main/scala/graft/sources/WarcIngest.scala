@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
@@ -73,6 +73,20 @@ object WarcIngest {
       }
       .toDF("source_file", "n_records", "skipped_records")
   }
+
+  /** Bridge into the documents-table contract (doc_id, text, lang,
+    * source, n_chars) so ingested crawl records are drop-in inputs for
+    * every corpus operator (q10-q59): doc_id = xxhash64 of the
+    * crawl-unique record id (stable across re-ingests), lang from the
+    * engine's n-gram language id, source = the target URI's host (the
+    * per-domain analytics key, CCNet-style). Row-local, no shuffle. */
+  def toDocuments(warc: DataFrame): DataFrame =
+    warc.select(
+      xxhash64(col("warc_record_id")).as("doc_id"),
+      col("text"),
+      graft.functions.NativeFns.langId(col("text")).as("lang"),
+      coalesce(parse_url(col("target_uri"), lit("HOST")), lit("unknown")).as("source"),
+      length(col("text")).cast("long").as("n_chars"))
 
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte

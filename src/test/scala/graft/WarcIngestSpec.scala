@@ -101,6 +101,17 @@ class WarcIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       // type-filtered, not skipped
       assert(stats.getAs[Long]("n_records") == 3 && stats.getAs[Long]("skipped_records") == 0)
     }
+
+    // the documents bridge makes crawl records drop-in corpus-operator
+    // input: stable hashed ids, langid, host as the per-domain source
+    val docs = WarcIngest.toDocuments(
+      WarcIngest.read(spark, dir.resolve("a.warc").toString))
+      .collect().sortBy(_.getAs[Long]("n_chars"))
+    assert(docs.length == 3)
+    assert(docs.forall(_.getAs[String]("source") == "example.org"))
+    assert(docs.forall(r => r.getAs[Long]("n_chars") ==
+      r.getAs[String]("text").length.toLong))
+    assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 3, "stable distinct ids")
   }
 
   test("a malformed record skips WITH a counter and the parser resynchronizes") {
