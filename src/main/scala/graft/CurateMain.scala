@@ -79,12 +79,13 @@ object CurateMain {
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
-    require(pos.length == 2, "usage: CurateMain <documentsParquet> <outDir> " +
-      "[--shards=N] [--epoch=K] [--target=en:0.5,...] [--near-dup-cap=N]")
+    require(pos.length == 2, "usage: CurateMain <documentsInput> <outDir> " +
+      "[--input-format=parquet|jsonl|warc] [--shards=N] [--epoch=K] " +
+      "[--target=en:0.5,...] [--near-dup-cap=N]")
     val Array(input, outDir) = pos
     // a typo'd flag must not silently run with defaults — a corpus built
     // with --epochs=3 (for --epoch) would differ only at training time
-    val known = Set("shards", "epoch", "near-dup-cap", "target")
+    val known = Set("shards", "epoch", "near-dup-cap", "target", "input-format")
     args.filter(_.startsWith("--")).foreach { a =>
       val name = a.stripPrefix("--").takeWhile(_ != '=')
       require(known.contains(name), s"unknown flag --$name " +
@@ -137,7 +138,20 @@ object CurateMain {
     spark.sparkContext.setLogLevel("WARN")
     val shards = shardsOpt.getOrElse(spark.sparkContext.defaultParallelism)
 
-    val f = curate(spark, spark.read.parquet(input), outDir,
+    // ingestion formats compose straight into curation: the crawl
+    // container (WARC) and the release interchange (JSONL) both land on
+    // the documents contract before the first gate runs
+    val inputFormat = args.find(_.startsWith("--input-format="))
+      .map(_.stripPrefix("--input-format=")).getOrElse("parquet")
+    val docs = inputFormat match {
+      case "parquet" => spark.read.parquet(input)
+      case "jsonl"   => graft.sources.CorpusJsonl.read(spark, input)
+      case "warc"    => graft.sources.WarcIngest.toDocuments(
+        graft.sources.WarcIngest.read(spark, input))
+      case other => throw new IllegalArgumentException(
+        s"--input-format must be parquet, jsonl, or warc, got: '$other'")
+    }
+    val f = curate(spark, docs, outDir,
       target, shards, epoch, nearDupCap)
     val outJson = outDir.flatMap {
       case '"' => "\\\""

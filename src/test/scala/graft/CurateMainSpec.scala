@@ -116,4 +116,32 @@ class CurateMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       CurateMain.main(Array(s"$dir/documents.parquet", out, "--target=en"))
     }
   }
+
+  test("ingestion formats compose into curation: --input-format=jsonl end-to-end") {
+    val tmp = Files.createTempDirectory("graft-curate-jsonl")
+    // the documents fixture re-exported as JSONL (+ one corrupt line the
+    // permissive read quarantines) — curation must land on the identical
+    // clean funnel a parquet read produces
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val jsonLines = docs.toJSON.collect()
+    Files.write(tmp.resolve("docs.jsonl"),
+      (jsonLines :+ """{"broken json""").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("graft-curate-jsonl-out").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      CurateMain.main(Array(tmp.resolve("docs.jsonl").toString, out,
+        "--input-format=jsonl", "--shards=2", "--epoch=1",
+        "--target=en:0.5,es:0.1,de:0.15,fr:0.15,zh:0.1"))
+    }
+    val line = buf.toString.linesIterator.find(_.startsWith("{")).get
+    val input = "\"input\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+    assert(input == docs.count(), s"corrupt line must be quarantined, not counted: $line")
+    assert(spark.read.parquet(s"$out/corpus").count() > 0)
+    intercept[IllegalArgumentException] {
+      CurateMain.main(Array(tmp.resolve("docs.jsonl").toString, out,
+        "--input-format=csvish"))
+    }
+  }
 }
