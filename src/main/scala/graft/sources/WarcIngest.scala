@@ -42,7 +42,8 @@ object WarcIngest {
 
   final case class WarcRecord(warc_record_id: String, target_uri: String,
                               warc_date: String, content_type: String,
-                              http_status: Int, text: String,
+                              http_status: Int, http_content_type: String,
+                              text: String,
                               source_file: String, record_offset: Int)
 
   final case class ParseResult(records: Vector[WarcRecord], skipped: Int)
@@ -88,6 +89,26 @@ object WarcIngest {
       coalesce(parse_url(col("target_uri"), lit("HOST")), lit("unknown")).as("source"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** As [[toDocuments]], but HTML payloads first go through the
+    * engine's OWN boilerplate stripper (parse/Html.scala: streaming tag
+    * tokenizer + text/link-density content blocks — the trafilatura/
+    * jusText analog), so documents carry main content, not navigation
+    * chrome — the step every published crawl pipeline (CCNet, C4,
+    * RefinedWeb) runs between fetch and filtering. Detection: the HTTP
+    * Content-Type says html, or the payload starts with a tag. Runs as
+    * a Scala function over the row like the extraction pipeline itself;
+    * the no-UDF rule guards the QUERY layer, where expressions must
+    * stay in codegen — ingest is the typed-pipeline layer. */
+  def toDocumentsMainText(warc: DataFrame): DataFrame = {
+    val strip = udf { (text: String, httpCtype: String) =>
+      val t = Option(text).getOrElse("")
+      val isHtml = Option(httpCtype).exists(_.toLowerCase.contains("html")) ||
+        t.dropWhile(c => c == ' ' || c == '\t' || c == '\r' || c == '\n').startsWith("<")
+      if (isHtml) graft.parse.Html.extractMainText(t) else t
+    }
+    toDocuments(warc.withColumn("text", strip(col("text"), col("http_content_type"))))
+  }
+
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
@@ -118,13 +139,14 @@ object WarcIngest {
       (if (header.startsWith("WARC/")) lenOpt else None) match {
         case Some(len) if len >= 0 && bodyStart + len <= bytes.length =>
           if (fields.getOrElse("warc-type", "") == "response") {
-            val (status, body) = splitHttpPayload(bytes, bodyStart, len)
+            val (status, httpCtype, body) = splitHttpPayload(bytes, bodyStart, len)
             out += WarcRecord(
               warc_record_id = fields.getOrElse("warc-record-id", ""),
               target_uri = fields.getOrElse("warc-target-uri", ""),
               warc_date = fields.getOrElse("warc-date", ""),
               content_type = fields.getOrElse("content-type", ""),
               http_status = status,
+              http_content_type = httpCtype,
               text = body,
               source_file = file,
               record_offset = recordIdx)
@@ -162,16 +184,16 @@ object WarcIngest {
     }.toMap
 
   /** Payload of a response record: HTTP status line + headers + body.
-    * Returns (status, body-as-lossy-UTF8); a payload without an HTTP
-    * envelope (e.g. a raw-text crawl) gets status 0 and the whole
-    * payload as text. */
-  private def splitHttpPayload(bytes: Array[Byte], start: Int, len: Int): (Int, String) = {
+    * Returns (status, content-type header, body-as-lossy-UTF8); a
+    * payload without an HTTP envelope (e.g. a raw-text crawl) gets
+    * status 0, an empty content type, and the whole payload as text. */
+  private def splitHttpPayload(bytes: Array[Byte], start: Int, len: Int): (Int, String, String) = {
     val looksHttp = len >= 5 &&
       new String(bytes, start, 5, StandardCharsets.US_ASCII) == "HTTP/"
-    if (!looksHttp) return (0, new String(bytes, start, len, StandardCharsets.UTF_8))
+    if (!looksHttp) return (0, "", new String(bytes, start, len, StandardCharsets.UTF_8))
     val sep = indexOfDoubleCrlf(bytes, start)
     if (sep < 0 || sep >= start + len)
-      return (0, new String(bytes, start, len, StandardCharsets.UTF_8))
+      return (0, "", new String(bytes, start, len, StandardCharsets.UTF_8))
     val statusLine = {
       val eol = {
         var j = start
@@ -183,9 +205,13 @@ object WarcIngest {
     val status = statusLine.split(" ").lift(1)
       .flatMap(s => try Some(s.toInt) catch { case _: NumberFormatException => None })
       .getOrElse(0)
+    val httpHeader = new String(bytes, start, sep - start, StandardCharsets.UTF_8)
+    val ctype = httpHeader.split("\r\n").iterator
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim).getOrElse("")
     val bodyStart = sep + 4
     val bodyLen = start + len - bodyStart
-    (status, new String(bytes, bodyStart, math.max(0, bodyLen), StandardCharsets.UTF_8))
+    (status, ctype, new String(bytes, bodyStart, math.max(0, bodyLen), StandardCharsets.UTF_8))
   }
 
   private def indexOfDoubleCrlf(bytes: Array[Byte], from: Int): Int = {

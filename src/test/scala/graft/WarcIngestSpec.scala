@@ -114,6 +114,32 @@ class WarcIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 3, "stable distinct ids")
   }
 
+  test("toDocumentsMainText strips HTML boilerplate with the engine's own parser") {
+    val dir = Files.createTempDirectory("graft-warc-html")
+    val html =
+      """<html><head><title>t</title></head><body>
+        |<nav><a href="/">Home</a> <a href="/x">About</a> <a href="/y">Contact</a></nav>
+        |<div><p>The actual article body has enough words to be treated as
+        |content by the density heuristics, unlike the navigation above,
+        |and it keeps going for a while so the block is clearly prose with
+        |no links at all inside it.</p></div>
+        |</body></html>""".stripMargin
+    val page = record("response", "h1", "https://example.org/page",
+      httpPayload(200, html))
+    Files.write(dir.resolve("h.warc"), page)
+    val warc = WarcIngest.read(spark, dir.resolve("h.warc").toString)
+    assert(warc.collect().head.getAs[String]("http_content_type")
+      .startsWith("text/html"))
+    val txt = WarcIngest.toDocumentsMainText(warc).collect().head.getAs[String]("text")
+    assert(txt.contains("actual article body"), txt)
+    assert(!txt.contains("<p>") && !txt.contains("<nav>"), s"tags must be gone: $txt")
+    assert(!txt.contains("Home") || !txt.contains("Contact"),
+      s"link-dense navigation chrome should not survive: $txt")
+    // the plain bridge keeps raw payloads untouched
+    val raw0 = WarcIngest.toDocuments(warc).collect().head.getAs[String]("text")
+    assert(raw0.contains("<nav>"))
+  }
+
   test("a malformed record skips WITH a counter and the parser resynchronizes") {
     val dir = Files.createTempDirectory("graft-warc-bad")
     // middle record lies about its Content-Length (way past EOF would
