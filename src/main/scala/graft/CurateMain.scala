@@ -90,6 +90,11 @@ object CurateMain {
       val name = a.stripPrefix("--").takeWhile(_ != '=')
       require(known.contains(name), s"unknown flag --$name " +
         s"(known: ${known.toSeq.sorted.map("--" + _).mkString(", ")})")
+      // every known flag takes a value: a bare `--input-format` would
+      // pass the name check, miss every `--name=`-prefixed reader, and
+      // silently run with the default — the exact failure this
+      // validation exists to prevent
+      require(a.contains("="), s"flag --$name expects a value: --$name=...")
     }
     def intFlag(name: String, dflt: Int): Int =
       args.find(_.startsWith(s"--$name=")).map { a =>
@@ -146,7 +151,9 @@ object CurateMain {
     val docs = inputFormat match {
       case "parquet" => spark.read.parquet(input)
       case "jsonl"   => graft.sources.CorpusJsonl.read(spark, input)
-      case "warc"    => graft.sources.WarcIngest.toDocuments(
+      // main-text extraction, not the raw bridge: curating navigation
+      // chrome and markup is never what a corpus build wants
+      case "warc"    => graft.sources.WarcIngest.toDocumentsMainText(
         graft.sources.WarcIngest.read(spark, input))
       case other => throw new IllegalArgumentException(
         s"--input-format must be parquet, jsonl, or warc, got: '$other'")

@@ -13,74 +13,73 @@ import org.apache.spark.sql.types._
   *  - explicit schema (never inference — a schema-inference pass is a
   *    second full read of 100 TB, and one outlier line can silently
   *    widen a column for the whole corpus);
-  *  - PERMISSIVE mode with a captured `_corrupt_record` column: a
-  *    malformed line becomes a quarantine row, not an exception and not
-  *    a silent drop — [[read]] returns clean rows, [[quarantine]] the
-  *    bad lines for inspection, [[stats]] the counts to alert on;
-  *  - `n_chars` recomputed from `text` when the line omits it (the
-  *    field is derivable; a release that ships it wrong should not
-  *    poison length analytics) — a shipped value is kept only if it
-  *    matches, else recomputed;
-  *  - `.gz`/`.zst`-style compression is Spark's text codec layer —
-  *    nothing to do here; files split per-line for parallelism on
-  *    uncompressed input, per-file on gzip (standard Spark behavior).
+  *  - lines are read as TEXT and parsed with from_json, so the
+  *    quarantine keeps every refused line VERBATIM — including fields
+  *    outside the contract (a mis-keyed `content` column survives for
+  *    repair); a malformed line becomes a quarantine row, not an
+  *    exception and not a silent drop. [[read]] returns clean rows,
+  *    [[quarantine]] the raw refused lines, [[stats]] counts that
+  *    PARTITION the input;
+  *  - `n_chars` is always recomputed from `text` (it is derivable, and
+  *    a release that ships it wrong must not poison length analytics);
+  *  - `.gz` is Spark's text codec layer — nothing to do here; files
+  *    split per-line for parallelism on uncompressed input, per-file on
+  *    gzip (standard Spark behavior).
   *
-  * Scale shape: one scan, row-local projection, no shuffle. The
-  * corrupt-capture column is pruned away by Catalyst for callers that
-  * never select it.
+  * Scale shape: one scan, row-local parse + projection, no shuffle.
   */
 object CorpusJsonl {
 
-  /** The documents-table contract + the corrupt-capture column. */
+  /** The documents-table contract. */
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("n_chars", LongType),
-    StructField("_corrupt_record", StringType)))
+    StructField("n_chars", LongType)))
 
-  private def raw(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+  /** The contract plus a corrupt-capture column: from_json's PERMISSIVE
+    * mode does NOT yield a null struct for malformed input (it yields
+    * all-null fields, indistinguishable from `{}`), so the capture
+    * column is the only reliable unparseable signal. */
+  private val parseSchema: StructType = schema.add("_corrupt_record", StringType)
 
-  /** Clean documents-shaped rows. A row is clean when it parsed AND
-    * carries the two load-bearing fields (doc_id, text); n_chars is
-    * recomputed from text unless the shipped value already matches. */
+  private def parsed(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0) // blank lines are not documents
+      .withColumn("p", from_json(col("value"), parseSchema,
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", "_corrupt_record")))
+
+  private val isUnparseable = col("p._corrupt_record").isNotNull
+  private val isClean =
+    !isUnparseable && col("p.doc_id").isNotNull && col("p.text").isNotNull
+
+  /** Clean documents-shaped rows: parsed AND carrying the two
+    * load-bearing fields (doc_id, text); n_chars recomputed. */
   def read(spark: SparkSession, path: String): DataFrame =
-    raw(spark, path)
-      .where(col("_corrupt_record").isNull &&
-        col("doc_id").isNotNull && col("text").isNotNull)
-      .withColumn("n_chars",
-        when(col("n_chars") === length(col("text")).cast("long"), col("n_chars"))
-          .otherwise(length(col("text")).cast("long")))
-      .select("doc_id", "text", "lang", "source", "n_chars")
+    parsed(spark, path)
+      .where(isClean)
+      .select(col("p.doc_id").as("doc_id"), col("p.text").as("text"),
+        col("p.lang").as("lang"), col("p.source").as("source"),
+        length(col("p.text")).cast("long").as("n_chars"))
 
-  /** The lines [[read]] refused, verbatim, for inspection/repair:
-    * unparseable JSON plus parseable-but-contractless rows (missing
-    * doc_id/text). */
+  /** The lines [[read]] refused, VERBATIM (fields outside the contract
+    * survive for repair): unparseable JSON plus parseable-but-
+    * contractless rows (missing doc_id/text). */
   def quarantine(spark: SparkSession, path: String): DataFrame =
-    raw(spark, path)
-      .where(col("_corrupt_record").isNotNull ||
-        col("doc_id").isNull || col("text").isNull)
-      .select(
-        coalesce(col("_corrupt_record"),
-          to_json(struct(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars")))).as("line"),
-        col("_corrupt_record").isNotNull.as("unparseable"))
+    parsed(spark, path)
+      .where(!isClean)
+      .select(col("value").as("line"), isUnparseable.as("unparseable"))
 
   /** Ingest health in one row: (clean_rows, corrupt_lines,
-    * contractless_rows) — the alert surface; zero silent drops by
-    * construction (clean + quarantine partitions the input). */
-  def stats(spark: SparkSession, path: String): DataFrame = {
-    raw(spark, path).select(
-      count(when(col("_corrupt_record").isNull &&
-        col("doc_id").isNotNull && col("text").isNotNull, 1)).as("clean_rows"),
-      count(col("_corrupt_record")).as("corrupt_lines"),
-      count(when(col("_corrupt_record").isNull &&
-        (col("doc_id").isNull || col("text").isNull), 1)).as("contractless_rows"))
-  }
+    * contractless_rows) — the alert surface; clean + quarantine
+    * partition the non-blank input exactly, so nothing can vanish
+    * between the two. */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    parsed(spark, path).select(
+      count(when(isClean, 1)).as("clean_rows"),
+      count(when(isUnparseable, 1)).as("corrupt_lines"),
+      count(when(!isUnparseable &&
+        (col("p.doc_id").isNull || col("p.text").isNull), 1)).as("contractless_rows"))
 }

@@ -40,6 +40,9 @@ import java.util.zip.GZIPInputStream
   */
 object WarcIngest {
 
+  /** record_offset = byte offset of the record header within the
+    * (decompressed) stream — the locator for re-fetching a record from
+    * its segment, and unique within a file by construction. */
   final case class WarcRecord(warc_record_id: String, target_uri: String,
                               warc_date: String, content_type: String,
                               http_status: Int, http_content_type: String,
@@ -48,32 +51,44 @@ object WarcIngest {
 
   final case class ParseResult(records: Vector[WarcRecord], skipped: Int)
 
-  /** All response records under `path` (glob ok; plain or .gz). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => parse(file, bytes).records }
-      .toDF()
-  }
-
-  /** Per-file ingest health: (source_file, n_records, skipped_records),
-    * where n_records counts EMITTED response rows (type-filtered records
-    * are neither emitted nor skipped). The skip counter is the
-    * no-silent-drop contract — alert when it moves, keep ingesting when
-    * it is a one-off. */
-  def fileStats(spark: SparkSession, path: String): DataFrame = {
+  /** One row per FILE: (source_file, records array, skipped count) from
+    * a single decompress+parse pass. `read` and `fileStats` are
+    * projections of this; a caller that needs BOTH should
+    * `parseFiles(...).cache()` and project twice — re-invoking read and
+    * fileStats separately re-parses the corpus (a second full pass at
+    * 100 TB). */
+  def parseFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (file, bytes) =>
         val r = parse(file, bytes)
-        (file, r.records.size.toLong, r.skipped.toLong)
+        (file, r.records, r.skipped.toLong)
       }
-      .toDF("source_file", "n_records", "skipped_records")
+      .toDF("source_file", "records", "skipped_records")
   }
+
+  /** All response records under `path` (glob ok; plain or .gz). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFromParsed(parseFiles(spark, path))
+
+  /** [[read]] over an already-materialized [[parseFiles]] frame. */
+  def readFromParsed(parsed: DataFrame): DataFrame =
+    parsed.select(explode(col("records")).as("r")).select(col("r.*"))
+
+  /** Per-file ingest health: (source_file, n_records, skipped_records),
+    * where n_records counts EMITTED response rows (type-filtered records
+    * are neither emitted nor skipped). The skip counter is the
+    * no-silent-drop contract — alert when it moves, keep ingesting when
+    * it is a one-off. */
+  def fileStats(spark: SparkSession, path: String): DataFrame =
+    fileStatsFromParsed(parseFiles(spark, path))
+
+  /** [[fileStats]] over an already-materialized [[parseFiles]] frame. */
+  def fileStatsFromParsed(parsed: DataFrame): DataFrame =
+    parsed.select(col("source_file"), size(col("records")).cast("long").as("n_records"),
+      col("skipped_records"))
 
   /** Bridge into the documents-table contract (doc_id, text, lang,
     * source, n_chars) so ingested crawl records are drop-in inputs for
@@ -83,7 +98,12 @@ object WarcIngest {
     * per-domain analytics key, CCNet-style). Row-local, no shuffle. */
   def toDocuments(warc: DataFrame): DataFrame =
     warc.select(
-      xxhash64(col("warc_record_id")).as("doc_id"),
+      // a record without a WARC-Record-ID must NOT collapse onto
+      // xxhash64("") with every other id-less record — fall back to the
+      // (file, byte-offset) locator, unique by construction
+      when(length(col("warc_record_id")) > 0, xxhash64(col("warc_record_id")))
+        .otherwise(xxhash64(concat_ws(":", col("source_file"), col("record_offset"))))
+        .as("doc_id"),
       col("text"),
       graft.functions.NativeFns.langId(col("text")).as("lang"),
       coalesce(parse_url(col("target_uri"), lit("HOST")), lit("unknown")).as("source"),
@@ -115,17 +135,17 @@ object WarcIngest {
   /** Parse one WARC file's bytes (decompressing if gzip). Driver-free,
     * executor-side; deterministic. */
   def parse(file: String, raw: Array[Byte]): ParseResult = {
-    val bytes =
+    val (bytes, gzBroken) =
       if (raw.length >= 2 && raw(0) == GzipMagic0 && raw(1) == GzipMagic1) gunzipAll(raw)
-      else raw
+      else (raw, 0)
     val out = Vector.newBuilder[WarcRecord]
-    var skipped = 0
+    var skipped = gzBroken
     var i = 0
-    var recordIdx = 0
     while (i < bytes.length) {
       // skip inter-record blank lines
       while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
       if (i >= bytes.length) return ParseResult(out.result(), skipped)
+      val recordStart = i
       val headerEnd = indexOfDoubleCrlf(bytes, i)
       if (headerEnd < 0) { // trailing garbage with no complete header block
         skipped += 1
@@ -137,7 +157,10 @@ object WarcIngest {
         try Some(v.trim.toInt) catch { case _: NumberFormatException => None })
       val bodyStart = headerEnd + 4
       (if (header.startsWith("WARC/")) lenOpt else None) match {
-        case Some(len) if len >= 0 && bodyStart + len <= bytes.length =>
+        // `len <= bytes.length - bodyStart`, NOT `bodyStart + len <=
+        // bytes.length`: the latter overflows Int on a huge declared
+        // Content-Length and would pass validation, then crash the task
+        case Some(len) if len >= 0 && len <= bytes.length - bodyStart =>
           if (fields.getOrElse("warc-type", "") == "response") {
             val (status, httpCtype, body) = splitHttpPayload(bytes, bodyStart, len)
             out += WarcRecord(
@@ -149,9 +172,8 @@ object WarcIngest {
               http_content_type = httpCtype,
               text = body,
               source_file = file,
-              record_offset = recordIdx)
+              record_offset = recordStart)
           }
-          recordIdx += 1
           i = bodyStart + len
         case _ =>
           // bad magic, missing/invalid Content-Length, or truncated
@@ -165,15 +187,27 @@ object WarcIngest {
     ParseResult(out.result(), skipped)
   }
 
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(raw), 1 << 16)
+  /** Decompress every gzip member, NEVER throwing: a truncated or
+    * corrupt member (routine in crawl mirrors) yields the bytes
+    * decompressed so far plus a nonzero broken count that rides the
+    * file's skipped_records — a job-killing exception on one rotten
+    * segment and a silent stop are both contract violations. A clean
+    * EOF that leaves unconsumed input (GZIPInputStream treats a garbage
+    * next-member header as end-of-stream) is detected via the
+    * underlying stream's remaining bytes. */
+  private def gunzipAll(raw: Array[Byte]): (Array[Byte], Int) = {
+    val bais = new ByteArrayInputStream(raw)
     val out = new ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](1 << 16)
+    var broken = 0
     try {
+      val in = new GZIPInputStream(bais, 1 << 16)
+      val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.toByteArray
+      in.close()
+      if (bais.available() > 0) broken = 1 // bytes no member consumed
+    } catch { case _: java.io.IOException => broken = 1 }
+    (out.toByteArray, broken)
   }
 
   private def parseHeader(header: String): Map[String, String] =

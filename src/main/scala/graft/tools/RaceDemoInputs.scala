@@ -28,8 +28,11 @@ object RaceDemoInputs {
     import spark.implicits._
     val turns = Transcripts.generate(spark, convs).collect().toVector
     val ids = turns.map(_.conv_id).distinct.sorted
-    val vBranch = ids.find(c => ExtractionJob.bucketOfConvId(c, 2) == 0).get
-    val vHead = ids.find(c => ExtractionJob.bucketOfConvId(c, 2) == 1).get
+    def victim(b: Int): String =
+      ids.find(c => ExtractionJob.bucketOfConvId(c, 2) == b).getOrElse(sys.error(
+        s"no conversation hashes to bucket $b with $convs conversations — raise convs"))
+    val vBranch = victim(0)
+    val vHead = victim(1)
     spark.createDataset(turns).write.mode("overwrite").parquet(s"$root/base")
     spark.createDataset(turns.map(t =>
       if (t.conv_id == vBranch) t.copy(text = t.text + "\nSuite: 4B") else t))

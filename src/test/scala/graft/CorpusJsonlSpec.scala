@@ -46,13 +46,16 @@ class CorpusJsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clean = CorpusJsonl.read(spark, path).collect().sortBy(_.getLong(0))
     assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(clean.map(_.getAs[Long]("n_chars")).toSeq == Seq(10L, 5L, 5L),
-      "shipped-correct kept; shipped-wrong and missing recomputed")
+      "n_chars always recomputed from text (shipped values never trusted)")
 
     val q = CorpusJsonl.quarantine(spark, path).collect()
     assert(q.length == 2, q.mkString("; "))
     assert(q.count(_.getAs[Boolean]("unparseable")) == 1)
     assert(q.exists(r => r.getAs[Boolean]("unparseable") &&
       r.getAs[String]("line").contains("BROKEN")), "corrupt line kept verbatim")
+    assert(q.exists(r => !r.getAs[Boolean]("unparseable") &&
+      r.getAs[String]("line").contains("\"lang\": \"fr\"")),
+      "contractless line kept VERBATIM — repair fields survive")
 
     val s = CorpusJsonl.stats(spark, path).collect().head
     assert(s.getAs[Long]("clean_rows") == 3 && s.getAs[Long]("corrupt_lines") == 1 &&
