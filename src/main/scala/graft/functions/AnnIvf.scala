@@ -96,9 +96,11 @@ object AnnIvf {
     */
   def candidates(spark: SparkSession, dir: String, numQueries: Int = 10,
                  cells: Int = 16, nprobe: Int = 6, sampleSize: Int = 256): DataFrame = {
+    // graft_dot_f: codegen'd dot product, bit-identical to the former
+    // aggregate(zip_with(...)) interpreted higher-order expressions
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+        NativeFns.dotF(col("embedding"), col("embedding")).as("norm2"))
 
     // 1. train: deterministic sample to the driver (tiny, O(sample) not O(N))
     val sample = emb.where(col("vec_id") < sampleSize)
@@ -118,8 +120,7 @@ object AnnIvf {
 
     assigned.join(queries, "cell")
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", NativeFns.dotF(col("embedding"), col("q_emb")))
       .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
     // no dedup needed (unlike LSH multi-table): every vector lives in exactly
     // one cell and a query's probe list is distinct, so (query_id, vec_id)

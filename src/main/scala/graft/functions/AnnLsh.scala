@@ -70,9 +70,11 @@ object AnnLsh {
       }
     }
 
+    // graft_dot_f: codegen'd dot product, bit-identical to the former
+    // aggregate(zip_with(...)) interpreted higher-order expressions
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+        NativeFns.dotF(col("embedding"), col("embedding")).as("norm2"))
     val bucketed = emb.withColumn("code", explode(codesUdf(col("embedding"))))
     val queries = broadcast(emb.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -81,8 +83,7 @@ object AnnLsh {
 
     bucketed.join(queries, "code")
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", NativeFns.dotF(col("embedding"), col("q_emb")))
       .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
       .dropDuplicates("query_id", "vec_id")
   }

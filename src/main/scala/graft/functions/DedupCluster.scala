@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate CLUSTERING: connected components over a candidate-pair
@@ -20,35 +21,46 @@ import org.apache.spark.sql.functions._
   * Scale shape: every round shuffles ONLY the pair-member vertex/edge
   * set (documents that appear in at least one candidate pair), never the
   * corpus. At 10^9 docs the near-dup graph is orders of magnitude smaller
-  * than the corpus; per-round cost is two grouped min-aggregations (map-
-  * side combined) and two hash joins keyed by vertex id. Eager
-  * localCheckpoint truncates lineage each round so the plan never grows.
+  * than the corpus; per-round cost is two window-min passes (one exchange
+  * + in-partition sort each — the neighborhood minimum is a min over the
+  * src partition, so no separate agg+join round-trip) and a distinct.
+  * Eager localCheckpoint truncates lineage each round so the plan never
+  * grows, and the INPUT pair pipeline is materialized exactly once: both
+  * the edge seed and the final vertex-set labeling read that checkpoint
+  * (the previous revision referenced `pairs` twice, re-executing the whole
+  * upstream MinHash pipeline for the final join).
   */
 object DedupCluster {
 
   /** Large-star: for every vertex u with closed-neighborhood minimum m,
     * re-point each STRICTLY LARGER neighbor v at m. Input edges may be in
-    * any orientation; output edges are all (larger -> smaller). */
+    * any orientation; output edges are all (larger -> smaller). The
+    * neighborhood minimum is a window min over the src partition — one
+    * exchange, no agg+join round-trip. */
   private def largeStar(edges: DataFrame): DataFrame = {
-    val nbrs = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val m = nbrs.groupBy("src").agg(min("dst").as("nmin"))
-      .select(col("src"), least(col("nmin"), col("src")).as("m"))
-    nbrs.join(m, "src")
+    val nbrs = edges.select(
+      explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("src"), col("e.v").as("dst"))
+    nbrs
+      .withColumn("m", least(min(col("dst")).over(Window.partitionBy("src")), col("src")))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    // duplicates (two sources rewiring the same vertex at the same min) are
+    // NOT deduped here: smallStar's min-window ignores duplicate edges and
+    // its terminal distinct bounds every round boundary — deferring the
+    // dedup drops one exchange per round without changing any round result
   }
 
   /** Small-star: edges arrive (larger -> smaller); for every vertex u,
     * re-point u and each of its smaller neighbors at the minimum of the
     * closed neighborhood. Preserves the (larger -> smaller) invariant. */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val m = edges.groupBy("src").agg(min("dst").as("m"))
-    edges.join(m, "src")
-      .select(col("dst").as("v"), col("m"))
-      .union(m.select(col("src").as("v"), col("m")))
+    edges
+      .withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+      .select(col("m"), explode(array(col("dst"), col("src"))).as("v"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
@@ -58,24 +70,33 @@ object DedupCluster {
     * cluster_id = min doc_id of the connected component. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
                           a: String, b: String, maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) upstream pair pipeline ONCE:
+    // edge seed and final vertex labeling both read this checkpoint
+    val p0 = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint(true)
     // canonical (larger -> smaller) edge list, deduped, self-loops dropped.
     // EAGER localCheckpoint each round: the iteration references the
     // previous round's edges repeatedly, so without lineage truncation the
     // logical plan doubles every round and prior shuffles re-execute.
-    var edges = pairs
-      .select(greatest(col(a), col(b)).as("src"), least(col(a), col(b)).as("dst"))
+    var edges = p0
+      .select(greatest(col("pa"), col("pb")).as("src"), least(col("pa"), col("pb")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty // an empty pair graph is trivially done
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L // an empty pair graph is trivially done
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // fixed-point check on materialized (checkpointed, distinct) sets:
-      // counts first (free on checkpointed data), one anti-diff only on tie
-      converged = edges.count() == next.count() &&
-        next.except(edges).limit(1).count() == 0
+      // count first (one job — the previous round's count is remembered);
+      // on tie, one anti-join probe (both sides already distinct, so
+      // next ⊆ edges + equal counts ⇒ equal sets — an anti join is
+      // `except` without its redundant re-distinct)
+      val nextCount = next.count()
+      converged = edgeCount == nextCount &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
@@ -88,7 +109,7 @@ object DedupCluster {
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
     // a vertex appearing ONLY in self-pairs was dropped with its self-loop
     // above but is still "a vertex of pairs": label it as its own cluster
-    pairs.select(col(a).as("doc_id")).union(pairs.select(col(b).as("doc_id")))
+    p0.select(col("pa").as("doc_id")).union(p0.select(col("pb").as("doc_id")))
       .distinct()
       .join(starLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

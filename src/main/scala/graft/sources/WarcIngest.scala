@@ -31,12 +31,15 @@ import java.util.zip.GZIPInputStream
   *
   * Scale shape: `spark.read.format("binaryFile")` gives one row per
   * WARC file; parsing is a flatMap — per-file work, embarrassingly
-  * parallel, no shuffle at all until the caller aggregates. Common
-  * Crawl segments are ~1 GB compressed, so whole-file rows fit executor
-  * memory (the same assumption every published Spark/CC pipeline makes;
-  * a streaming record-split datasource is the next step if segment
-  * sizes ever grow unbounded). Pure decode + flatMap keeps the op
-  * inside one stage; partition count = file count.
+  * parallel, no shuffle at all until the caller aggregates. The parser
+  * materializes the DECOMPRESSED segment as one array, so it is bounded
+  * by [[MaxDecompressedBytes]] (just under the 2 GiB JVM array ceiling):
+  * a segment decompressing past the cap truncates WITH a counted skip —
+  * never an allocation error. Note a full-size Common Crawl segment is
+  * ~1 GB compressed but ~4-5 GB DECOMPRESSED, i.e. above the cap; a
+  * streaming per-member record reader is the documented next step for
+  * those. Pure decode + flatMap keeps the op inside one stage;
+  * partition count = file count.
   */
 object WarcIngest {
 
@@ -195,17 +198,46 @@ object WarcIngest {
     * EOF that leaves unconsumed input (GZIPInputStream treats a garbage
     * next-member header as end-of-stream) is detected via the
     * underlying stream's remaining bytes. */
-  private def gunzipAll(raw: Array[Byte]): (Array[Byte], Int) = {
+  /** Hard ceiling on decompressed bytes per file: a JVM byte array tops
+    * out just under 2 GiB, so decompression STOPS at the cap — counted as
+    * a broken/truncated member, parse continues on the prefix — instead
+    * of letting buffer growth end in an uncatchable OutOfMemoryError
+    * (an Error, which the IOException recovery never saw; the round-6
+    * review's one `weak` finding). A full-size CC segment (~4-5 GB
+    * decompressed) therefore truncates WITH a counted skip rather than
+    * killing the task; the streaming per-member reader that removes the
+    * whole-array limit entirely remains the documented next step. */
+  private[graft] val MaxDecompressedBytes: Int = Int.MaxValue - 64
+
+  private def gunzipAll(raw: Array[Byte]): (Array[Byte], Int) =
+    gunzipAllBounded(raw, MaxDecompressedBytes)
+
+  /** Cap-parameterized for tests (constant-memory truncation property). */
+  private[graft] def gunzipAllBounded(raw: Array[Byte], cap: Int): (Array[Byte], Int) = {
     val bais = new ByteArrayInputStream(raw)
-    val out = new ByteArrayOutputStream(raw.length * 4)
+    // initial sizing in LONG math clamped to the cap: `raw.length * 4`
+    // overflows Int for gz inputs >= 512 MiB (negative size ->
+    // IllegalArgumentException thrown before any recovery path)
+    val init = math.min(math.max(64L, raw.length.toLong * 4L), cap.toLong).toInt
+    val out = new ByteArrayOutputStream(init)
     var broken = 0
     try {
       val in = new GZIPInputStream(bais, 1 << 16)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      if (bais.available() > 0) broken = 1 // bytes no member consumed
+      while (n >= 0 && broken == 0) {
+        if (out.size().toLong + n > cap.toLong) {
+          out.write(buf, 0, math.max(0, cap - out.size())) // keep the prefix
+          broken = 1 // counted truncation, never an allocation error
+        } else {
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      }
+      if (broken == 0) {
+        in.close()
+        if (bais.available() > 0) broken = 1 // bytes no member consumed
+      }
     } catch { case _: java.io.IOException => broken = 1 }
     (out.toByteArray, broken)
   }

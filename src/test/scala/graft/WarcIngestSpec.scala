@@ -161,4 +161,24 @@ class WarcIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st2.getAs[Long]("n_records") == 1 && st2.getAs[Long]("skipped_records") == 1,
       st2.toString)
   }
+
+  test("decompression is cap-bounded: past the cap it truncates WITH a counted skip, never throws") {
+    // a member set whose decompressed size exceeds a small cap: the parser
+    // must keep the prefix, count one broken member, and never attempt an
+    // allocation past the bound (the 2 GiB whole-array ceiling fix)
+    val payload = Array.fill[Byte](100000)('x')
+    val gz = {
+      val bos = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos)
+      g.write(payload); g.close()
+      bos.toByteArray
+    }
+    val (prefix, broken) = WarcIngest.gunzipAllBounded(gz, cap = 4096)
+    assert(broken == 1, "cap overflow must be a COUNTED truncation")
+    assert(prefix.length == 4096 && prefix.forall(_ == 'x'),
+      s"prefix up to the cap must be preserved (got ${prefix.length})")
+    // identity below the cap: same bytes, no skip
+    val (full, ok) = WarcIngest.gunzipAllBounded(gz, cap = WarcIngest.MaxDecompressedBytes)
+    assert(ok == 0 && java.util.Arrays.equals(full, payload))
+  }
 }
